@@ -1,0 +1,123 @@
+"""The flagship extraction operator: documents(spans) -> spans_out.
+
+Replaces the reference's per-document LLM session loop
+(/root/reference/main.py:228-503 + euaa_사례/sentence_composer.py:635-744)
+with the deterministic rule core, executed as ONE map-only stage:
+
+  * no explode, no shuffle — each document's span array is transformed in
+    place by an Arrow-batched pandas UDF (vectorized across documents;
+    sequential only *within* a document, which the sentence-FSM semantics
+    require anyway, cf. SURVEY.md §2.8);
+  * cleanup + boilerplate detection + tagging are pandas-vectorized inside
+    the batch (C-level regex over flattened spans), only the run-merge /
+    composition FSM walks fragments per document;
+  * giant documents are bounded by spark.sql.execution.arrow.maxRecordsPerBatch
+    so one Arrow batch never holds more than a few hundred documents.
+
+At cluster scale the input is hash-salted and range-repartitioned by the
+pipeline wrapper (pipeline.py) BEFORE this stage, per the north rule.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from pdf_extract_spark import rules
+from pdf_extract_spark.schemas import SPANS
+
+
+def _extract_batch(spans_series: pd.Series) -> pd.Series:
+    """Vectorized batch extraction: Series[list[dict-span]] -> same shape.
+
+    Flattens the batch to one pandas frame, runs every regex cleanup and
+    the tagging classifier as vectorized column ops (shared compiled
+    patterns from rules.py), then walks each document once for the
+    run-merge + sentence-composition FSM.
+    """
+    docs = spans_series.tolist()
+    rows = []  # (batch_pos, kind, text, media_ref, offset)
+    for i, spans in enumerate(docs):
+        if spans is None:
+            continue
+        for s in spans:
+            rows.append((i, s["kind"], s["text"] or "", s["media_ref"] or "", s["offset"]))
+    out: list[list[dict] | None] = [[] for _ in docs]
+    if not rows:
+        return pd.Series([[] if d is not None else None for d in docs])
+
+    df = pd.DataFrame(rows, columns=["i", "kind", "text", "media_ref", "offset"])
+    df.sort_values(["i", "offset"], inplace=True, kind="mergesort")
+
+    is_text = df["kind"].to_numpy() == "text"
+
+    # --- boilerplate detection (rules.boilerplate_keys, vectorized) -----
+    collapsed = df["text"].str.replace(rules.RE_WS, " ", regex=True).str.strip()
+    short = collapsed.str.len() <= rules.BOILERPLATE_MAX_LEN
+    bp_counts = (
+        collapsed[is_text & short & (collapsed != "")]
+        .groupby([df["i"][is_text & short & (collapsed != "")], collapsed[is_text & short & (collapsed != "")]])
+        .transform("size")
+    )
+    bp_mask = pd.Series(False, index=df.index)
+    bp_mask.loc[bp_counts.index] = bp_counts >= rules.BOILERPLATE_MIN_REPEATS
+
+    # --- cleanup: dot-leaders -> bullets -> '*' -> whitespace -----------
+    cleaned = (
+        df["text"]
+        .str.replace(rules.RE_DOT_LEADER, "", regex=True)
+        .str.replace(rules.RE_BULLET, "", regex=True)
+        .str.replace(rules.RE_STAR, " ", regex=True)
+        .str.replace(rules.RE_WS, " ", regex=True)
+        .str.strip()
+    )
+
+    keep = (~is_text) | ((~bp_mask) & (cleaned != ""))
+
+    # --- tagging (rules.tag_by_text, same precedence, vectorized) -------
+    h3 = cleaned.str.match(rules.RE_H3_COLON)
+    last_terminal = cleaned.str.endswith((".", "?", "!"))
+    many_words = cleaned.str.count(" ") + 1 > rules.MAX_HEADER_WORDS
+    h2 = cleaned.str.match(rules.RE_H2_NUM)
+    h1 = cleaned.str.match(rules.RE_H1_NUM) | cleaned.str.match(rules.RE_ALLCAPS)
+    eligible = (~h3) & (~last_terminal) & (~many_words)
+    tag = pd.Series("P", index=df.index)
+    tag[h3] = "H3"
+    tag[eligible & h2] = "H2"
+    tag[eligible & h1 & (~h2)] = "H1"
+    tag[~is_text] = "media"
+
+    # --- per-document run-merge + composition FSM -----------------------
+    sub = df[keep]
+    kinds = tag[keep].to_numpy()
+    texts = cleaned[keep].to_numpy()
+    media = sub["media_ref"].to_numpy()
+    idx = sub["i"].to_numpy()
+
+    start = 0
+    n = len(idx)
+    while start < n:
+        end = start
+        cur = idx[start]
+        while end < n and idx[end] == cur:
+            end += 1
+        frags = [
+            {"kind": kinds[j], "text": "" if kinds[j] == "media" else texts[j],
+             "media_ref": media[j] if kinds[j] == "media" else ""}
+            for j in range(start, end)
+        ]
+        out[cur] = rules.compose_fragments(rules.merge_consecutive_tags(frags))
+        start = end
+
+    return pd.Series([o if docs[i] is not None else None for i, o in enumerate(out)])
+
+
+@pandas_udf(SPANS)
+def extract_spans(spans: pd.Series) -> pd.Series:
+    return _extract_batch(spans)
+
+
+def extract_documents(df):
+    """documents(doc_id, spans) -> spans_out(doc_id, spans). Map-only."""
+    return df.select("doc_id", extract_spans(F.col("spans")).alias("spans"))

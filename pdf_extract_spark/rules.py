@@ -1,0 +1,450 @@
+"""The deterministic rule core — single source of truth (SURVEY.md §7.1).
+
+Pure Python (stdlib + nothing else importable-from-Spark-UDFs-and-oracle).
+Implements, deterministically, the semantics the reference either coded by
+hand or delegated to an LLM prompt:
+
+  * cleanup functions C3/C4/C5/C8/C9/C10/C11
+    (euaa_사례/pdf_to_json/layout_analyzer.py:88, euaa_사례/pdf_to_json/main.py:33,
+     euaa_사례/sentences/metadata_generator.py:76-83,524-543)
+  * style-based H1/H2/H3/P tagging
+    (euaa_사례/pdf_to_json/layout_analyzer.py:128-143; config thresholds
+     euaa_사례/pdf_to_json/config.py:32-45)
+  * reading-order two-column sort (layout_analyzer.py:57-66)
+  * header/footer margin strip (layout_analyzer.py:34-55, margins
+    config.py:24,27)
+  * consecutive-tag run merge (euaa_사례/pdf_to_json/main.py:18-74)
+  * the sentence-composition FSM — the deterministic replacement of the LLM
+    prompt at euaa_사례/sentence_composer.py:354-404 (merge rule :364-369,
+    split rule :371-373, cleanup :375-377, header passthrough :515-526)
+  * text-heuristic header tagging for style-less span input (our own
+    contract; documented inline)
+
+Both the Spark pandas-UDFs (pdf_extract_spark.operators.*) and the golden
+test oracle (pdf_extract_spark.oracle) import THIS module, so the span-
+sequence-equality tests verify the distributed plumbing, not two divergent
+rule implementations.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from collections import Counter
+
+# --------------------------------------------------------------------------
+# constants (mirroring euaa_사례/pdf_to_json/config.py)
+# --------------------------------------------------------------------------
+
+HEADER_MARGIN = 0.05  # top 5% of page height   (config.py:24)
+FOOTER_MARGIN = 0.95  # bottom 5% of page height (config.py:27)
+H1_SIZE_RATIO = 1.5  # H1 if size >= 1.5 * body mode AND bold (config.py:32-39)
+H3_COLORS = frozenset({3101846, 3036053, 352961, 353217})  # config.py:41-44
+FLAG_BOLD = 16  # layout_analyzer.py:130
+FLAG_ITALIC = 2  # layout_analyzer.py:151
+
+HEADER_KINDS = ("H1", "H2", "H3")
+TERMINALS = ".?!"
+
+# boilerplate strip for style-less span input: a short line repeated this
+# many times in one document is a running header/footer
+BOILERPLATE_MIN_REPEATS = 3
+BOILERPLATE_MAX_LEN = 80
+
+# --------------------------------------------------------------------------
+# cleanup regexes (compiled once; shared with vectorized pandas .str ops)
+# --------------------------------------------------------------------------
+
+RE_WS = re.compile(r"\s+")  # C3, layout_analyzer.py:88
+RE_DOT_LEADER = re.compile(r"\.{5,}")  # C4, euaa_사례/pdf_to_json/main.py:33
+RE_BULLET = re.compile(r"^[-‐–—−·•○:.]\s*")  # C5, metadata_generator.py:524-526
+RE_STAR = re.compile(r"\*+")  # C5 second half, add_metadata.py:72-75
+RE_HYPHEN_RUN = re.compile(r"-{2,}")  # C9, metadata_generator.py:536
+RE_EDGE_CHARS = re.compile(r"^[:;* ]+|[:;* ]+$")  # C10, metadata_generator.py:538-540
+RE_CODE_REF = re.compile(r"\s*\((?:IGC|IBC) Code \d+\.\d+\)")  # C6, metadata_generator.py:527
+RE_PAREN_OPEN = re.compile(r"([\(\[])\s+")  # FSM cleanup "( text" -> "(text"
+RE_PAREN_CLOSE = re.compile(r"\s+([\)\]])")  # FSM cleanup "text )" -> "text)"
+
+# quote normalization table (C8, metadata_generator.py:76-83)
+QUOTE_MAP = str.maketrans({"“": '"', "”": '"', "„": '"', "‟": '"',
+                           "‘": "'", "’": "'", "`": "'"})
+
+# text-heuristic header patterns (style-less span input; OUR contract —
+# the reference detects headers from font style, which plain span tables
+# lack, so numbering/casing stand in for size/boldness)
+RE_H2_NUM = re.compile(r"^\d+\.\d+(?:\.\d+)*\.?\s+\S")  # "2.1 Title", "3.4.5 Title"
+RE_H1_NUM = re.compile(r"^\d+\.?\s+\S")  # "2. Title", "7 Title"
+RE_ALLCAPS = re.compile(r"^[A-Z][A-Z0-9 ,'&\-]{2,}$")  # "EXECUTIVE SUMMARY"
+RE_H3_COLON = re.compile(r"^[^.?!]{1,60}:$")  # "Scope:" style run-in header
+MAX_HEADER_WORDS = 12
+
+RE_SENT_BOUNDARY = re.compile(r"[.?!]+[\"')\]]*(?:\s+|$)")
+
+RE_NUMBERS_ONLY = re.compile(r"^[\d\s,.]*$")  # F7, metadata_generator.py:430-432
+RE_KOREAN = re.compile(r"[ㄱ-ㆎ가-힣]")  # C17, metadata_generator.py:383-421
+
+
+# --------------------------------------------------------------------------
+# scalar cleanups
+# --------------------------------------------------------------------------
+
+def collapse_ws(t: str) -> str:
+    """C3 — whitespace collapse (layout_analyzer.py:88)."""
+    return RE_WS.sub(" ", t).strip()
+
+
+def strip_dot_leaders(t: str) -> str:
+    """C4 — TOC dot-leader removal (euaa_사례/pdf_to_json/main.py:33)."""
+    return RE_DOT_LEADER.sub("", t)
+
+
+def strip_bullet(t: str) -> str:
+    """C5 — leading bullet strip + '*' collapse (metadata_generator.py:524-526)."""
+    return RE_STAR.sub(" ", RE_BULLET.sub("", t))
+
+
+def normalize_quotes(t: str) -> str:
+    """C8 — curly quote normalization (metadata_generator.py:76-83)."""
+    return t.translate(QUOTE_MAP)
+
+
+def nfkc(t: str) -> str:
+    """C11 — NFKC normalization (metadata_generator.py:359,542-543)."""
+    return unicodedata.normalize("NFKC", t)
+
+
+def clean_fragment(t: str) -> str:
+    """Standard per-fragment cleanup applied before composition.
+
+    Order matters and is part of the contract: dot-leaders first (they may
+    create runs of whitespace), then bullet strip, then whitespace collapse.
+    """
+    return collapse_ws(strip_bullet(strip_dot_leaders(t)))
+
+
+def tighten_brackets(t: str) -> str:
+    """FSM cleanup rule — '( text )' -> '(text)' (sentence_composer.py:375-377)."""
+    return RE_PAREN_CLOSE.sub(r"\1", RE_PAREN_OPEN.sub(r"\1", t))
+
+
+# --------------------------------------------------------------------------
+# style-based tagging (the reference's exact rule)
+# --------------------------------------------------------------------------
+
+def body_size_mode(sizes: list[float]) -> int:
+    """A3 — mode of rounded font sizes; ties broken by the smaller size.
+
+    Mirrors Counter(round(s)).most_common(1) at layout_analyzer.py:120-123;
+    Counter ties resolve by insertion order there, which is nondeterministic
+    across shuffles — we pin ties to (max count, min size) for determinism.
+    """
+    if not sizes:
+        return 0
+    c = Counter(round(s) for s in sizes)
+    best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+    return best[0]
+
+
+def tag_by_style(size: float, flags: int, color: int, body_size: int) -> str:
+    """H1/H2/H3/P from font style (layout_analyzer.py:128-143).
+
+    H1: size >= 1.5*body AND bold; H3: bold AND color in H3_COLORS;
+    H2: bold; else P.
+    """
+    bold = bool(flags & FLAG_BOLD)
+    if bold and body_size > 0 and size >= H1_SIZE_RATIO * body_size:
+        return "H1"
+    if bold and color in H3_COLORS:
+        return "H3"
+    if bold:
+        return "H2"
+    return "P"
+
+
+# --------------------------------------------------------------------------
+# text-heuristic tagging (style-less span input)
+# --------------------------------------------------------------------------
+
+def tag_by_text(t: str) -> str:
+    """Header detection from text shape alone (our contract for the
+    ``input_hint`` span table, which carries no font style).
+
+    A header candidate must not end in terminal punctuation and must be
+    short (<= MAX_HEADER_WORDS words). Then:
+      H2 if multi-level numbered ("2.1 …"), H1 if top-level numbered
+      ("3. …") or ALL-CAPS, H3 if a short line ending in ':'.
+    """
+    if not t:
+        return "P"
+    if RE_H3_COLON.match(t):
+        return "H3"
+    if t[-1] in TERMINALS:
+        return "P"
+    if len(t.split()) > MAX_HEADER_WORDS:
+        return "P"
+    if RE_H2_NUM.match(t):
+        return "H2"
+    if RE_H1_NUM.match(t) or RE_ALLCAPS.match(t):
+        return "H1"
+    return "P"
+
+
+# --------------------------------------------------------------------------
+# reading order (W3) and margin strip (F1)
+# --------------------------------------------------------------------------
+
+def in_body(y0: float, y1: float, page_h: float) -> bool:
+    """F1 — keep a block only if fully inside the 5%/95% margins
+    (layout_analyzer.py:34-55)."""
+    return y1 >= HEADER_MARGIN * page_h and y0 <= FOOTER_MARGIN * page_h
+
+
+def reading_order_key(x0: float, y0: float, page_w: float) -> tuple:
+    """W3 — two-column sweep: column index (split at page_w/2), then y0,
+    then x0 (layout_analyzer.py:57-66)."""
+    col = 1 if x0 >= page_w / 2.0 else 0
+    return (col, y0, x0)
+
+
+# --------------------------------------------------------------------------
+# run merge (W4) — merge adjacent same-tag headers
+# --------------------------------------------------------------------------
+
+def merge_consecutive_tags(frags: list[dict]) -> list[dict]:
+    """W4 — euaa_사례/pdf_to_json/main.py:18-74.
+
+    Adjacent fragments with the same header tag (H1/H2/H3) merge into one,
+    joined by a single space (dot-leaders already stripped). P and media
+    fragments pass through and break any run.
+    Input/output: dicts with at least {kind, text, media_ref}.
+    """
+    out: list[dict] = []
+    for f in frags:
+        k = f["kind"]
+        if out and k in HEADER_KINDS and out[-1]["kind"] == k:
+            out[-1] = dict(out[-1])
+            out[-1]["text"] = collapse_ws(out[-1]["text"] + " " + (f["text"] or ""))
+        else:
+            out.append(f)
+    return out
+
+
+# --------------------------------------------------------------------------
+# sentence-composition FSM (§2.8)
+# --------------------------------------------------------------------------
+
+def _bracket_delta(t: str) -> int:
+    """Net open-bracket count of a fragment ((/[ minus )/])."""
+    return t.count("(") + t.count("[") - t.count(")") - t.count("]")
+
+
+def split_sentences(t: str) -> list[str]:
+    """Split rule (sentence_composer.py:371-373): one fragment holding
+    multiple complete sentences becomes one object per sentence.
+
+    A sentence boundary is a run of terminal punctuation (optionally
+    followed by closing quotes/brackets) at bracket depth 0, followed by
+    whitespace or end-of-string. Splitting never occurs inside brackets,
+    and never inside a number like '3.5' (the boundary regex requires
+    trailing whitespace/EOS).
+    """
+    out: list[str] = []
+    depth = 0
+    start = 0
+    i = 0
+    n = len(t)
+    while i < n:
+        ch = t[i]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth = max(0, depth - 1)
+        elif ch in TERMINALS and depth == 0:
+            m = RE_SENT_BOUNDARY.match(t, i)
+            if m:
+                piece = t[start : m.end()].strip()
+                if piece:
+                    out.append(piece)
+                start = m.end()
+                i = m.end()
+                continue
+        i += 1
+    tail = t[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def is_complete(t: str, open_depth: int) -> bool:
+    """Merge-rule completion test (sentence_composer.py:364-369): the
+    accumulated text ends with terminal punctuation (possibly followed by a
+    closing quote/bracket) AND all opened brackets are closed."""
+    if open_depth > 0:
+        return False
+    s = t.rstrip("\"')]")
+    return bool(s) and s[-1] in TERMINALS
+
+
+def compose_sentences(p_texts: list[str]) -> list[str]:
+    """The FSM replacing the reference's composition LLM call
+    (prompt spec at sentence_composer.py:354-404).
+
+    * accumulate consecutive P fragments until `is_complete`;
+    * a single fragment already containing multiple complete sentences is
+      split (split rule);
+    * cleanup: whitespace collapse + bracket tightening;
+    * a trailing incomplete accumulation is emitted as-is (the reference
+      keeps residuals rather than dropping text).
+    """
+    out: list[str] = []
+    buf = ""
+    depth = 0
+    for frag in p_texts:
+        frag = frag.strip()
+        if not frag:
+            continue
+        buf = (buf + " " + frag).strip() if buf else frag
+        depth += _bracket_delta(frag)
+        if depth < 0:
+            depth = 0
+        if is_complete(buf, depth):
+            for s in split_sentences(buf):
+                out.append(tighten_brackets(collapse_ws(s)))
+            buf = ""
+            depth = 0
+    if buf:
+        # residual: may still contain complete inner sentences followed by
+        # an incomplete tail — split what we can.
+        for s in split_sentences(buf):
+            out.append(tighten_brackets(collapse_ws(s)))
+    return out
+
+
+# --------------------------------------------------------------------------
+# boilerplate detection for the span path (F1 analog without geometry)
+# --------------------------------------------------------------------------
+
+def boilerplate_keys(texts: list[str]) -> set[str]:
+    """Running header/footer lines in a style-less document: short lines
+    whose collapsed form repeats >= BOILERPLATE_MIN_REPEATS times."""
+    c = Counter(collapse_ws(t) for t in texts if t and len(t) <= BOILERPLATE_MAX_LEN)
+    return {k for k, v in c.items() if k and v >= BOILERPLATE_MIN_REPEATS}
+
+
+# --------------------------------------------------------------------------
+# the documents-path contract: spans in -> spans out
+# --------------------------------------------------------------------------
+
+def extract_document(spans: list[dict]) -> list[dict]:
+    """Full deterministic extraction for one document in ``input_hint``
+    shape. Input spans: {kind: text|media, text, media_ref, offset}.
+    Output spans: {kind: H1|H2|H3|P|media, text, media_ref, offset} with
+    offset = final reading order (0-based), media interleaved in place.
+
+    Stages (mirror of the reference pipeline, SURVEY.md §3.3):
+      1. order by input offset;
+      2. boilerplate strip (repeated short lines — F1 analog);
+      3. per-fragment cleanup (C4, C5, C3) and empty drop (F3);
+      4. text-heuristic tagging (H1/H2/H3/P);
+      5. consecutive-header run merge (W4);
+      6. sectionized sentence composition: P runs go through the FSM;
+         headers pass through 1:1 (sentence_composer.py:515-526); a
+         one-fragment P run passes through unchanged apart from cleanup
+         (single-P passthrough, :533-537); media flushes the P buffer and
+         is emitted at its reading-order position;
+      7. renumber offsets 0..n-1.
+    """
+    ordered = sorted(spans, key=lambda s: s["offset"])
+    bp = boilerplate_keys([s["text"] or "" for s in ordered if s["kind"] == "text"])
+
+    # stages 2-4: clean + tag
+    frags: list[dict] = []
+    for s in ordered:
+        if s["kind"] == "media":
+            frags.append({"kind": "media", "text": "", "media_ref": s["media_ref"] or ""})
+            continue
+        raw = s["text"] or ""
+        if collapse_ws(raw) in bp:
+            continue
+        t = clean_fragment(raw)
+        if not t:
+            continue
+        frags.append({"kind": tag_by_text(t), "text": t, "media_ref": ""})
+
+    # stages 5-7: run merge, composition, renumber
+    return compose_fragments(merge_consecutive_tags(frags))
+
+
+# --------------------------------------------------------------------------
+# the layout-path contract: parsed styled lines -> tagged fragments
+# --------------------------------------------------------------------------
+
+def layout_document(pages: list[dict]) -> list[dict]:
+    """Layout reconstruction for one document of parsed pages
+    (each: {page, page_w, page_h, lines:[{text,size,flags,font,color,bbox,
+    block_type, media_ref}]}).
+
+    Margin strip (F1) -> reading-order two-column sort (W3) -> body-size
+    mode (A3) -> style tagging (§2.7) -> cleanup -> run merge (W4).
+    Image lines (block_type != 0) become kind='media' spans kept at their
+    reading-order position (F2 inversion per the north rule).
+    Returns fragments {kind, text, media_ref} in final order.
+    """
+    frags: list[dict] = []
+    # body size is a per-document statistic over text lines inside margins
+    kept_pages = []
+    all_sizes: list[float] = []
+    for pg in sorted(pages, key=lambda p: p["page"]):
+        kept = []
+        for ln in pg["lines"]:
+            bb = ln["bbox"]
+            if not in_body(bb["y0"], bb["y1"], pg["page_h"]):
+                continue
+            kept.append(ln)
+            if ln["block_type"] == 0:
+                all_sizes.append(ln["size"])
+        kept.sort(key=lambda ln: reading_order_key(ln["bbox"]["x0"], ln["bbox"]["y0"], pg["page_w"]))
+        kept_pages.append(kept)
+    body = body_size_mode(all_sizes)
+
+    for kept in kept_pages:
+        for ln in kept:
+            if ln["block_type"] != 0:
+                frags.append({"kind": "media", "text": "", "media_ref": ln["media_ref"] or ""})
+                continue
+            t = clean_fragment(ln["text"] or "")
+            if not t:
+                continue
+            tag = tag_by_style(ln["size"], ln["flags"], ln["color"], body)
+            frags.append({"kind": tag, "text": t, "media_ref": ""})
+
+    return merge_consecutive_tags(frags)
+
+
+def compose_fragments(frags: list[dict]) -> list[dict]:
+    """Stage 6+7 of extract_document, reusable for the layout path:
+    tagged fragments -> final composed spans with 0-based offsets."""
+    out: list[dict] = []
+    p_run: list[str] = []
+
+    def flush() -> None:
+        if not p_run:
+            return
+        if len(p_run) == 1:
+            out.append({"kind": "P", "text": p_run[0], "media_ref": ""})
+        else:
+            for sent in compose_sentences(p_run):
+                out.append({"kind": "P", "text": sent, "media_ref": ""})
+        p_run.clear()
+
+    for f in frags:
+        if f["kind"] == "P":
+            p_run.append(f["text"])
+        else:
+            flush()
+            out.append({"kind": f["kind"], "text": f["text"], "media_ref": f["media_ref"]})
+    flush()
+    return [
+        {"kind": f["kind"], "text": f["text"], "media_ref": f["media_ref"], "offset": i}
+        for i, f in enumerate(out)
+    ]

@@ -1,0 +1,281 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all engine-portable (verified against DuckDB oracles):
+
+  * exact            — md5 of normalized text, keep-first (A7 semantics)
+  * n-gram Jaccard   — word-shingle set similarity, exact pair join
+  * MinHash + LSH    — banded minhash candidate generation + Jaccard verify
+  * SimHash          — 32-bit sign-of-weighted-bits near-dup hash
+  * embedding cosine — see similarity.py (near_dup_pairs)
+
+Scale notes (100 TB):
+  * exact dedup is one hash-aggregate (partial combine map-side);
+  * the exact-Jaccard pair join is quadratic per shingle bucket — it is
+    the *verifier*; at scale candidates come from MinHash-LSH bands, whose
+    shuffle is bounded by band-bucket size (we cap candidate pairs per
+    bucket by construction: band keys include the band id);
+  * all hashing is md5-derived (portable) and JVM-side — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pdf_extract_spark.operators.hashing import phash, phash_seeded, phash_seeded_sql, phash_sql
+from pdf_extract_spark.operators.textstats import tokens, tokens_sql
+
+# -------------------------------------------------------------- normalize
+
+def norm_text(col):
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+NORM_SQL = "lower(trim(regexp_replace({e}, '\\s+', ' ', 'g')))"
+
+
+# ------------------------------------------------------------ exact dedup
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep-first exact dedup over normalized text: one row per distinct
+    normalized text, keeper = min doc_id (deterministic keep-'first').
+    Returns (text_hash, keeper_id, n_dups)."""
+    return (
+        df.select(
+            phash(norm_text(F.col(text_col))).alias("text_hash"),
+            F.col("doc_id"),
+        )
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def exact_dedup_sql(table: str = "documents", text_expr: str = "text") -> str:
+    h = phash_sql(NORM_SQL.format(e=text_expr))
+    return f"""
+SELECT {h} AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_dups
+FROM {table} GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------- shingles
+
+def shingles(col, k: int = 3):
+    """Distinct word k-shingles of a text column (JVM higher-order fns)."""
+    t = tokens(col)
+    return F.array_distinct(
+        F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", t)))
+    )
+
+
+def shingles_over_tokens_sql(t: str = "t", k: int = 3) -> str:
+    """DuckDB shingle expression over a token-list column named ``t``
+    (callers bind ``t`` in a CTE: ``SELECT doc_id, <tokens_sql> AS t``)."""
+    joined = " || ' ' || ".join(f"{t}[i + {j}]" for j in range(k))
+    return (
+        f"list_distinct(CASE WHEN len({t}) >= {k} THEN "
+        f"list_transform(range(1, len({t}) - {k - 2}), i -> {joined}) "
+        f"ELSE [array_to_string({t}, ' ')] END)"
+    )
+
+
+def _sh_cte(table: str, text_expr: str, k: int = 3) -> str:
+    """Shared CTE prefix: tokens then shingles."""
+    return (
+        f"tk AS (SELECT doc_id, {tokens_sql(text_expr)} AS t FROM {table}),\n"
+        f"sh0 AS (SELECT doc_id, {shingles_over_tokens_sql('t', k)} AS sh FROM tk)"
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str = "text", k: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: explode shingles, self-join on
+    shingle, aggregate intersection size, filter on |A∩B|/|A∪B| >= t.
+    Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    sh = df.select(
+        F.col("doc_id"), shingles(F.col(text_col), k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+    return (
+        inter.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_sql(
+    table: str = "documents", text_expr: str = "text", k: int = 3, threshold: float = 0.6
+) -> str:
+    return f"""
+WITH {_sh_cte(table, text_expr, k)},
+ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh0),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+FROM inter WHERE round(inter * 1.0 / (na + nb - inter), 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------- MinHash + LSH
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, mh_0..mh_{N-1}): minimum of the seeded portable hash over
+    the document's shingles, per hash function."""
+    sh = df.select("doc_id", shingles(F.col(text_col)).alias("sh"))
+
+    def _mh_lambda(seed: int):
+        def fn(s):
+            return phash_seeded(s, seed)
+
+        return fn
+
+    cols = [
+        F.array_min(F.transform(F.col("sh"), _mh_lambda(i))).alias(f"mh_{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.select("doc_id", *cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Banded-LSH candidate pairs + exact Jaccard verification.
+
+    Bands of N_HASHES/N_BANDS rows; a pair is a candidate if any band's
+    signature slice matches; candidates then verified with exact Jaccard.
+    Returns (id_a, id_b, jaccard)."""
+    sig = minhash_signature(df, text_col)
+    rows_per_band = N_HASHES // N_BANDS
+    band_cols = []
+    for b in range(N_BANDS):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.concat_ws("_", F.lit(str(b)), *[p.cast("string") for p in parts]).alias(f"band_{b}")
+        )
+    banded = sig.select("doc_id", *band_cols)
+    bands = None
+    for b in range(N_BANDS):
+        piece = banded.select("doc_id", F.col(f"band_{b}").alias("band_key"))
+        bands = piece if bands is None else bands.unionByName(piece)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select("doc_id", shingles(F.col(text_col)).alias("sh"))
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def minhash_lsh_pairs_sql(
+    table: str = "documents", text_expr: str = "text", threshold: float = 0.5
+) -> str:
+    rows_per_band = N_HASHES // N_BANDS
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> {phash_seeded_sql('s', i)})) AS mh_{i}"
+        for i in range(N_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, concat_ws('_', '{b}', {parts}) AS band_key FROM sig".format(
+            b=b,
+            parts=", ".join(f"mh_{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {_sh_cte(table, text_expr)},
+sig AS (SELECT doc_id, {mh_cols} FROM sh0),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+               len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+  FROM cand JOIN sh0 sa ON sa.doc_id = cand.id_a
+            JOIN sh0 sb ON sb.doc_id = cand.id_b)
+SELECT * FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+# ----------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over word tokens: bit b of the hash is 1 iff the sum
+    over tokens of (+1 if bit b of token-hash set else -1) is positive."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    th = df.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id", phash(F.col("tok")).alias("h")
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b")
+    # shiftright/shiftleft take a literal bit count in the python API, so
+    # column-valued shifts go through expr()
+    bits = th.select("doc_id", "h", bit).select(
+        "doc_id",
+        "b",
+        F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1).alias("w"),
+    )
+    agg = bits.groupBy("doc_id", "b").agg(F.sum("w").alias("s"))
+    return agg.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(0)).alias("simhash")
+    )
+
+
+def simhash_sql(table: str = "documents", text_expr: str = "text") -> str:
+    toks = f"list_distinct({tokens_sql(text_expr)})"
+    h = phash_sql("tok")
+    return f"""
+WITH th AS (SELECT doc_id, {h} AS h
+            FROM (SELECT doc_id, unnest({toks}) AS tok FROM {table})),
+bits AS (SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS w
+         FROM th, (SELECT unnest(range(0, {SIMHASH_BITS})) AS b)),
+agg AS (SELECT doc_id, b, sum(w) AS s FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+FROM agg GROUP BY 1
+"""

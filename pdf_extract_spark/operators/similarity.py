@@ -1,0 +1,231 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, plus a random-
+projection LSH-bucketed variant as the 100 TB scale path (bucket first,
+rank within bucket — turns the O(N·Q) cross join into per-bucket joins).
+
+Engine portability: all arithmetic is promoted to double BEFORE any
+accumulation and folded strictly left-to-right on both engines
+(Spark ``aggregate`` / DuckDB ``list_reduce``), so cosine values are
+bit-identical and survive the driver's value-hash comparison after
+rounding. Hyperplanes for LSH are derived from the portable md5 hash —
+no RNG, no state to ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pdf_extract_spark.operators.hashing import phash_sql
+
+N_PLANES = 8
+PLANE_RES = 1000  # hyperplane weights quantized to 1/1000 steps
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), "
+    "(acc, x) -> acc + x)"
+)
+_NORM_SQL = (
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform({a}, x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x))"
+)
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({_DOT_SQL.format(a=a, b=b)} / ({_NORM_SQL.format(a=a)} * {_NORM_SQL.format(a=b)}))"
+
+
+# -------------------------------------------------------- brute-force topk
+
+def cosine_topk(
+    df: DataFrame, n_queries: int = 5, k: int = 10, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbours for the first ``n_queries`` vectors
+    (query set = vec_id < n_queries), brute force.
+
+    Returns (q_id, cand_id, sim, rank); ranking on round(sim, 6) with
+    cand_id tiebreak so results are engine-deterministic."""
+    from pyspark.sql import Window as W
+
+    q = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = df.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    sims = (
+        q.crossJoin(c)
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .select(
+            "q_id",
+            "cand_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_topk_sql(
+    table: str = "embeddings", n_queries: int = 5, k: int = 10
+) -> str:
+    cos = cosine_sql("q.embedding", "c.embedding")
+    return f"""
+WITH sims AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, round({cos}, 6) AS sim
+  FROM {table} q CROSS JOIN {table} c
+  WHERE q.vec_id < {n_queries} AND q.vec_id != c.vec_id),
+ranked AS (
+  SELECT q_id, cand_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id ASC) AS rank
+  FROM sims)
+SELECT * FROM ranked WHERE rank <= {k}
+"""
+
+
+# ----------------------------------------------------- embedding near-dup
+
+def embedding_near_dup(
+    df: DataFrame, threshold: float = 0.95, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (id_a < id_b). The exactness
+    baseline for embedding near-dup dedup; at scale the pair space is
+    pre-pruned by lsh_buckets below."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def embedding_near_dup_sql(table: str = "embeddings", threshold: float = 0.95) -> str:
+    cos = cosine_sql("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS sim
+FROM {table} a CROSS JOIN {table} b
+WHERE a.vec_id < b.vec_id AND round({cos}, 6) >= {threshold}
+"""
+
+
+# ------------------------------------------------- LSH-bucketed scale path
+
+def _plane_weight(plane: int, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1]:
+    derived from the portable hash of 'plane:dim'."""
+    from pdf_extract_spark.operators.hashing import phash
+
+    h = phash(F.concat(F.lit(f"pl{plane}:"), dim.cast("string")))
+    return (h % (2 * PLANE_RES + 1) - PLANE_RES) / float(PLANE_RES)
+
+
+def lsh_bucket_key(vec: Column) -> Column:
+    """Sign bits of N_PLANES random projections -> integer bucket id."""
+    def _proj_lambda(p: int):
+        def fn(x, i):
+            return x.cast("double") * _plane_weight(p, i)
+
+        return fn
+
+    bits = []
+    for p in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(1), F.size(vec)), _proj_lambda(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _plane_weight_sql(plane: int, dim_expr: str) -> str:
+    h = phash_sql(f"'pl{plane}:' || ({dim_expr})::VARCHAR")
+    return f"(({h} % {2 * PLANE_RES + 1} - {PLANE_RES}) / {PLANE_RES}.0)"
+
+
+def lsh_bucket_key_sql(vec: str) -> str:
+    bits = []
+    for p in range(N_PLANES):
+        w = _plane_weight_sql(p, "i")
+        proj = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, len({vec}) + 1), i -> {vec}[i]::DOUBLE * {w})), "
+            f"(acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def ann_lsh_topk(
+    df: DataFrame, n_queries: int = 5, k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    Returns (q_id, cand_id, sim, rank) — approximate recall, bounded work:
+    the join key is the bucket, so shuffle volume is sum of bucket sizes,
+    not |Q|x|N|."""
+    from pyspark.sql import Window as W
+
+    with_b = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        lsh_bucket_key(F.col(vec_col)).alias("bucket"),
+    )
+    q = with_b.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("q_id"), F.col("vec").alias("q_vec"), "bucket"
+    )
+    c = with_b.select(F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"), "bucket")
+    sims = (
+        q.join(c, "bucket")
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_lsh_topk_sql(table: str = "embeddings", n_queries: int = 5, k: int = 5) -> str:
+    bkey = lsh_bucket_key_sql("embedding")
+    cos = cosine_sql("q.q_vec", "c.c_vec")
+    return f"""
+WITH wb AS (SELECT vec_id AS vid, embedding AS vec, {bkey} AS bucket FROM {table}),
+q AS (SELECT vid AS q_id, vec AS q_vec, bucket FROM wb WHERE vid < {n_queries}),
+c AS (SELECT vid AS cand_id, vec AS c_vec, bucket FROM wb),
+sims AS (
+  SELECT q_id, cand_id, round({cos}, 6) AS sim
+  FROM q JOIN c USING (bucket) WHERE q_id != cand_id),
+ranked AS (
+  SELECT q_id, cand_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id ASC) AS rank
+  FROM sims)
+SELECT * FROM ranked WHERE rank <= {k}
+"""

@@ -1,0 +1,172 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side (built-in functions only — no Python in the hot path):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. Each has an exact ANSI-SQL twin used as the DuckDB oracle
+(see __spark_entry__.py), so every operator here is verified value-exact
+across engines at sf0.01.
+
+At 100 TB these are embarrassingly parallel map stages: no shuffle, full
+whole-stage codegen, pushed-down column pruning (only ``doc_id``/``text``
+are read from parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pdf_extract_spark.operators.hashing import MOD, phash
+
+# language -> distinctive-stopword list (deterministic heuristic; the
+# reference's analog is filename-suffix language detection, main.py:1454-1470)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "es", "una"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"regexp_split_to_array(lower(trim({expr})), '\\s+')"
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy count
+    (runs of letters / digits / single punctuation, C18 analog)."""
+    return df.select(
+        "doc_id",
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(r"[a-z]{1,4}|\d+|[^a-z\d\s]"), 0
+            )
+        ).alias("n_subwords"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + score.
+
+    Mirrors the reference's pair-quality metadata columns
+    (add_metadata.py:155-193) as a single-document quality signal.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[.!?,;:]"), 0))
+    n_chars = F.length(t)
+    score = (
+        F.round(
+            F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+            + (stop_hits / n_tok) * 0.4
+            + F.least(n_punct / F.lit(10.0), F.lit(1.0)) * 0.2,
+            6,
+        )
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        F.round(stop_hits / n_tok, 6).alias("stopword_ratio"),
+        n_punct.alias("n_punct"),
+        score.alias("quality"),
+    )
+
+
+def quality_score_sql(table: str = "documents", text_expr: str = "text") -> str:
+    toks = tokens_sql(text_expr)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+SELECT doc_id,
+       length({text_expr}) AS n_chars_m,
+       len({toks}) AS n_tokens,
+       round(len(list_filter({toks}, x -> x IN ({stop_list}))) * 1.0 / len({toks}), 6) AS stopword_ratio,
+       len(regexp_extract_all({text_expr}, '[.!?,;:]')) AS n_punct,
+       round(least(len({toks}) / 100.0, 1.0) * 0.4
+             + (len(list_filter({toks}, x -> x IN ({stop_list}))) * 1.0 / len({toks})) * 0.4
+             + least(len(regexp_extract_all({text_expr}, '[.!?,;:]')) / 10.0, 1.0) * 0.2, 6) AS quality
+FROM {table}
+"""
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword language-ID heuristic: argmax of marker-token hits
+    per language, ties broken by language code order."""
+    toks = tokens(F.col(text_col))
+
+    def _hit_lambda(words: tuple[str, ...]):
+        def fn(x):
+            return x.isin(*words)
+
+        return fn
+
+    scores = [
+        F.size(F.filter(toks, _hit_lambda(ws))).alias(f"s_{lang}")
+        for lang, ws in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select("doc_id", "lang", *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"s_{l}") == best, F.lit(l)) for l in langs]
+    )
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        best.alias("best_hits"),
+        pred.alias("pred_lang"),
+    )
+
+
+def lang_id_sql(table: str = "documents", text_expr: str = "text") -> str:
+    toks = tokens_sql(text_expr)
+    langs = sorted(LANG_MARKERS)
+    score_exprs = {
+        l: f"len(list_filter({toks}, x -> x IN ({', '.join(repr(w) for w in LANG_MARKERS[l])})))"
+        for l in langs
+    }
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred = "CASE " + " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs) + " END"
+    inner = ", ".join(f"{e} AS s_{l}" for l, e in score_exprs.items())
+    return f"""
+SELECT doc_id, label_lang, best AS best_hits, {pred} AS pred_lang
+FROM (SELECT doc_id, lang AS label_lang, {inner}, {best} AS best
+      FROM (SELECT doc_id, lang, {text_expr} AS text FROM {table}))
+"""
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling polynomial document fingerprint over tokens (mod 2^31-1),
+    token hashes from the portable md5 family — a locality-insensitive
+    exact-content fingerprint (C13/C24 analog)."""
+    toks = tokens(F.col(text_col))
+    tok_hashes = F.transform(toks, lambda x: phash(x) % F.lit(MOD))
+    fp = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % F.lit(MOD),
+    )
+    return df.select("doc_id", fp.alias("fingerprint"))
+
+
+def fingerprint_sql(table: str = "documents", text_expr: str = "text") -> str:
+    toks = tokens_sql(text_expr)
+    from pdf_extract_spark.operators.hashing import phash_sql
+
+    tok_h = f"list_transform({toks}, x -> {phash_sql('x')} % {MOD})"
+    return f"""
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, {tok_h}),
+                   (acc, x) -> (acc * 31 + x) % {MOD}) AS fingerprint
+FROM {table}
+"""

@@ -1,0 +1,695 @@
+"""The query suite: every SURVEY.md §2 operator family exposed as a
+(spark, sf_dir) -> DataFrame callable with (where SQL-expressible) an
+exactly-matching DuckDB oracle string.
+
+Cross-engine exactness discipline:
+  * money/quantity doubles are cast to DECIMAL before aggregation (the
+    test data is 2-dp clean), so sums are exact and order-independent;
+    results are cast back to double and rounded — bit-identical between
+    Spark and DuckDB;
+  * ratios/averages are rounded to 6 dp;
+  * every computed column is aliased identically on both sides;
+  * no timestamps in outputs (epoch seconds instead);
+  * rankings always carry a unique-key tiebreak.
+
+Each query's docstring cites the reference operator(s) it re-expresses
+(SURVEY.md §2 numbering, file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from pdf_extract_spark.operators import dedup, similarity, textstats
+from pdf_extract_spark.operators.extract import extract_spans
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec(col, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# =====================================================================
+# aggregations (SURVEY.md §2.3)
+# =====================================================================
+
+@query(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round((sum(l_quantity::DECIMAL(18,2)))::DOUBLE, 2) AS sum_qty,
+       round((sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE, 2) AS sum_base_price,
+       round((sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))))::DOUBLE, 2) AS sum_disc_price,
+       round((sum(l_discount::DECIMAL(18,2)))::DOUBLE / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-style hash aggregation with exact decimal sums (TPC-H Q1 shape;
+    reference analog: corpus count aggregation, main.py:710-728)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1997-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double"), 2
+            ).alias("sum_disc_price"),
+            F.round(F.sum(_dec("l_discount")).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "status_counts",
+    "SELECT o_orderstatus AS status, count(*) AS n FROM orders GROUP BY 1",
+)
+def status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — group-by status count (database.py:273-280)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "mode_quantity",
+    """
+WITH counts AS (
+  SELECT l_returnflag, round(l_quantity)::BIGINT AS qty_r, count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2),
+ranked AS (
+  SELECT l_returnflag, qty_r, cnt,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY cnt DESC, qty_r ASC) AS rn
+  FROM counts)
+SELECT l_returnflag, qty_r AS mode_qty, cnt AS mode_count FROM ranked WHERE rn = 1
+""",
+)
+def mode_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — mode of a rounded numeric per group, ties to the smaller value
+    (the body-font-size estimator, layout_analyzer.py:120-123)."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = (
+        li.select("l_returnflag", F.round("l_quantity").cast("long").alias("qty_r"))
+        .groupBy("l_returnflag", "qty_r")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("qty_r"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("qty_r").alias("mode_qty"), F.col("cnt").alias("mode_count"))
+    )
+
+
+@query(
+    "value_counts_lang",
+    "SELECT lang, count(*) AS n FROM documents GROUP BY 1",
+)
+def value_counts_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — value_counts reporting (add_metadata.py:251-287)."""
+    return _t(spark, sf_dir, "documents").groupBy("lang").agg(F.count("*").alias("n"))
+
+
+@query(
+    "dedup_keepfirst",
+    """
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
+  FROM documents)
+SELECT doc_id, lang, source FROM ranked WHERE rn = 1
+""",
+)
+def dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — keep-first dedup with explicit deterministic ordering
+    (drop_duplicates keep='first', metadata_generator.py:618-622)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang", "source").orderBy(F.asc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+# =====================================================================
+# joins (SURVEY.md §2.4)
+# =====================================================================
+
+@query(
+    "join_orders_customers",
+    """
+SELECT c.c_mktsegment AS mktsegment, count(*) AS n_orders,
+       round((sum(o.o_totalprice::DECIMAL(18,2)))::DOUBLE, 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY 1
+""",
+)
+def join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — equi inner join with small-side broadcast
+    (batch_progress JOIN processing_sessions, database.py:349-390)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "left_join_order_counts",
+    """
+SELECT c.c_custkey AS custkey, count(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey < 200
+GROUP BY 1
+""",
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3 — anchored left join keeping unmatched rows (kr/en-anchored
+    exports, create_csv.py:47-199)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "full_outer_nation_counts",
+    """
+WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+sn AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+""",
+)
+def full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — full outer join (kr rows + matched en + unmatched appended,
+    create_csv.py:202-319)."""
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    j = cn.join(sn, cn.nk == sn.nk, "full_outer")
+    return j.select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "anti_join_customers",
+    """
+SELECT c.c_nationkey AS nationkey, count(*) AS n_idle
+FROM customer c ANTI JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the unmatched-rows append emulated at
+    create_csv.py:287-305."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_idle"))
+    )
+
+
+@query(
+    "semi_join_customers",
+    """
+SELECT c.c_mktsegment AS mktsegment, count(*) AS n_active
+FROM customer c SEMI JOIN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') o
+  ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — status-filtered session selection,
+    database.py:321-347."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@query(
+    "asof_last_signup",
+    """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, ts,
+         last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+  FROM events)
+SELECT event_id, user_id,
+       (epoch_ms(ts) - epoch_ms(last_signup))::BIGINT AS ms_since_signup
+FROM seq WHERE event_type = 'purchase' AND last_signup IS NOT NULL
+""",
+)
+def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — as-of/range join via last(ignorenulls) window, the idiomatic
+    Spark replacement for sectionization (aligner.py:380-430)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_signup = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_signup", last_signup)
+        .filter((F.col("event_type") == "purchase") & F.col("last_signup").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            (
+                F.unix_millis(F.col("ts").cast("timestamp"))
+                - F.unix_millis(F.col("last_signup").cast("timestamp"))
+            )
+            .cast("long")
+            .alias("ms_since_signup"),
+        )
+    )
+
+
+# =====================================================================
+# windows / ordering (SURVEY.md §2.5)
+# =====================================================================
+
+@query(
+    "topk_orders",
+    """
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 — top-k with deterministic tiebreak (ORDER BY … LIMIT,
+    database.py:467-497)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+@query(
+    "first_order_per_customer",
+    """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders)
+SELECT o_custkey AS custkey, o_orderkey AS first_orderkey,
+       epoch_ms(o_orderdate)::BIGINT AS first_order_ms
+FROM ranked WHERE rn = 1 AND o_custkey < 300
+""",
+)
+def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 — per-group sequential numbering (sentence_index assignment,
+    main.py:634,1361)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("o_custkey") < 300))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+            .cast("long")
+            .alias("first_order_ms"),
+        )
+    )
+
+
+@query(
+    "run_length_events",
+    """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events),
+runs AS (
+  SELECT user_id, event_type, ts, event_id,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM seq),
+per_run AS (
+  SELECT user_id, run_id, min(event_type) AS event_type, count(*) AS run_len
+  FROM runs GROUP BY 1, 2)
+SELECT event_type, count(*) AS n_runs,
+       round(avg(run_len), 6) AS avg_run_len, max(run_len) AS max_run_len
+FROM per_run GROUP BY 1
+""",
+)
+def run_length_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — consecutive-run grouping (merge_consecutive_tags,
+    euaa_사례/pdf_to_json/main.py:18-74) expressed as lag+running-sum."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    runs = ev.withColumn("chg", chg).withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    per_run = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"), F.count("*").alias("run_len")
+    )
+    return per_run.groupBy("event_type").agg(
+        F.count("*").alias("n_runs"),
+        F.round(F.avg("run_len"), 6).alias("avg_run_len"),
+        F.max("run_len").alias("max_run_len"),
+    )
+
+
+@query(
+    "sectionize_events",
+    """
+WITH sec AS (
+  SELECT user_id, event_id, value,
+         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS section_id
+  FROM events)
+SELECT user_id, section_id, count(*) AS n_events,
+       round((sum(value::DECIMAL(18,2)))::DOUBLE, 2) AS section_value
+FROM sec WHERE user_id < 40 GROUP BY 1, 2
+""",
+)
+def sectionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — section segmentation via running marker count
+    (sentence_composer.py:406-438)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sec = ev.withColumn(
+        "section_id",
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).over(w),
+    )
+    return (
+        sec.filter(F.col("user_id") < 40)
+        .groupBy("user_id", "section_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec("value")).cast("double"), 2).alias("section_value"),
+        )
+    )
+
+
+@query(
+    "running_value",
+    """
+SELECT user_id, event_id,
+       round((sum(value::DECIMAL(18,2))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE, 2) AS running_value
+FROM events WHERE user_id < 20
+""",
+)
+def running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W — running aggregate over an ordered per-key window
+    (progress accumulation analog, session_manager.py:253)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(_dec("value")).over(w).cast("double"), 2).alias("running_value"),
+    )
+
+
+# =====================================================================
+# set ops / filters / projections (SURVEY.md §2.2, §2.6)
+# =====================================================================
+
+@query(
+    "union_names",
+    """
+SELECT name, side FROM (
+  SELECT c_name AS name, 'cust' AS side FROM customer WHERE c_custkey < 50
+  UNION ALL
+  SELECT s_name AS name, 'supp' AS side FROM supplier WHERE s_suppkey < 50)
+""",
+)
+def union_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — append rows from a second source (unmatched-row append,
+    create_csv.py:287-305)."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 50)
+        .select(F.col("c_name").alias("name"), F.lit("cust").alias("side"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 50)
+        .select(F.col("s_name").alias("name"), F.lit("supp").alias("side"))
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "filter_regex_docs",
+    """
+SELECT doc_id, n_chars FROM documents
+WHERE regexp_matches(text, '(query|scan) (hash|merge)') AND NOT regexp_matches(text, '^[\\d\\s,.]*$')
+""",
+)
+def filter_regex_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/predicate filters — rlike content filtering
+    (numbers-only pair filter, metadata_generator.py:430-432)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("text").rlike("(query|scan) (hash|merge)")
+        & ~F.col("text").rlike(r"^[\d\s,.]*$")
+    ).select("doc_id", "n_chars")
+
+
+@query(
+    "textclean",
+    """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(text,
+            '\\.{5,}', '', 'g'), '-{2,}', '', 'g'), '\\s+', ' ', 'g')) AS cleaned_prefix,
+       length(trim(regexp_replace(regexp_replace(regexp_replace(text,
+            '\\.{5,}', '', 'g'), '-{2,}', '', 'g'), '\\s+', ' ', 'g'))) AS clean_len
+FROM documents WHERE doc_id < 100
+""",
+)
+def textclean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/C4/C9 — regexp cleanup chain (dot-leaders, hyphen runs,
+    whitespace collapse; layout_analyzer.py:88, main.py:33,
+    metadata_generator.py:536)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(F.col("text"), r"\.{5,}", ""), r"-{2,}", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id", cleaned.alias("cleaned_prefix"), F.length(cleaned).alias("clean_len")
+    )
+
+
+# =====================================================================
+# text analysis / training-data ops
+# =====================================================================
+
+@query(
+    "token_count",
+    """
+SELECT doc_id,
+       len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]{1,4}|\\d+|[^a-z\\d\\s]')) AS n_subwords
+FROM documents
+""",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex subwords (C18 analog)."""
+    return textstats.token_count(_t(spark, sf_dir, "documents"))
+
+
+@query("quality_score", textstats.quality_score_sql())
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword ratios (add_metadata.py:155-193)."""
+    return textstats.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@query("lang_id", textstats.lang_id_sql())
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (n-gram/stopword argmax; reference analog
+    main.py:1454-1470 filename-based detection)."""
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@query("fingerprint", textstats.fingerprint_sql())
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (portable md5-derived tokens)."""
+    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# deduplication
+# =====================================================================
+
+@query("dedup_exact", dedup.exact_dedup_sql())
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text hash, keep-first (A7 + md5)."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query("dedup_jaccard", dedup.jaccard_pairs_sql())
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the verifier path)."""
+    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query("dedup_minhash_lsh", dedup.minhash_lsh_pairs_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banded LSH candidates + Jaccard verify (the scale path)."""
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query("dedup_simhash", dedup.simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document."""
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# similarity search
+# =====================================================================
+
+@query("cosine_topk", similarity.cosine_topk_sql())
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exactness baseline)."""
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@query("embedding_near_dup", similarity.embedding_near_dup_sql())
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs."""
+    return similarity.embedding_near_dup(_t(spark, sf_dir, "embeddings"))
+
+
+@query("ann_lsh_topk", similarity.ann_lsh_topk_sql())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH-bucketed approximate top-k (scale path)."""
+    return similarity.ann_lsh_topk(_t(spark, sf_dir, "embeddings"))
+
+
+# =====================================================================
+# the flagship extraction (rows-only check: not ANSI-SQL-expressible)
+# =====================================================================
+
+def synth_spans(docs: DataFrame) -> DataFrame:
+    """Deterministically reshape the driver's flat documents table into the
+    input_hint span shape: text fragmented into 8-token spans, plus a
+    media span appended for doc_ids divisible by 5."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    frag_count = F.ceil(n / F.lit(8)).cast("int")
+    text_spans = F.transform(
+        F.sequence(F.lit(0), frag_count - 1),
+        lambda i: F.struct(
+            F.lit("text").alias("kind"),
+            F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)).alias("text"),
+            F.lit("").alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    media_span = F.array(
+        F.struct(
+            F.lit("media").alias("kind"),
+            F.lit("").alias("text"),
+            F.concat(F.lit("m:"), F.col("doc_id").cast("string")).alias("media_ref"),
+            frag_count.cast("int").alias("offset"),
+        )
+    )
+    spans = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(text_spans, media_span)
+    ).otherwise(text_spans)
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
+
+
+@query("extract_spans_flagship")
+def extract_spans_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: documents -> interleaved extracted spans, exploded to
+    one row per output span (kind, text, media_ref, offset)."""
+    from pdf_extract_spark.pipeline import run_extraction
+
+    docs = synth_spans(_t(spark, sf_dir, "documents"))
+    out = run_extraction(docs)
+    return out.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )

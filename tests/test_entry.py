@@ -1,0 +1,82 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() twin on DuckDB, compare row count,
+column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if hasattr(v, "timestamp"):  # datetime
+        return int(v.timestamp())
+    if isinstance(v, bytes):
+        return v.hex()
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+    except ImportError:
+        pass
+    return v
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=repr)
+
+
+ALL = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    oracles = entry_mod.oracle_sql()
+    sdf = q(spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+    if name not in oracles:
+        assert srows is not None  # rows-only check (driver's weak mode)
+        return
+    ores = ddb.execute(oracles[name])
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    sc, sv = _canon(scols, [tuple(r) for r in srows])
+    oc, ov = _canon(ocols, orows)
+    assert sc == oc, f"{name}: column mismatch {sc} vs {oc}"
+    assert len(sv) == len(ov), f"{name}: row count {len(sv)} vs {len(ov)}"
+    mism = [i for i, (a, b) in enumerate(zip(sv, ov)) if a != b]
+    assert not mism, f"{name}: first value mismatch at {mism[0]}: {sv[mism[0]]} vs {ov[mism[0]]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.limit(5).collect()
+    assert df.columns == ["doc_id", "kind", "text", "media_ref", "offset"]
+    assert len(rows) > 0

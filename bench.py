@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Benchmark harness for pdf_extract_spark.
+
+Default mode runs the headline query suite at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": "headline suite wall time", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1, ...}
+
+Each query is forced end-to-end with the ``noop`` sink (full computation,
+no driver collect, no disk write skew).
+
+``--scaling`` mode evidences the BASELINE.json N -> 4N throughput-scaling
+criterion inside this single-machine sandbox: it re-executes the flagship
+extraction job in fresh subprocesses at two parallelism levels
+(local[8] and local[32] by default) over the SAME input and reports
+throughput at both plus the scaling efficiency
+``(t_N / t_4N) / (4N / N)`` into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+# The headline queries: one per major operator family (SURVEY.md §2) plus
+# the flagship extraction and the training-data ops.
+HEADLINE = [
+    "extract_spans_flagship",   # the core engine: salted range-partitioned Arrow extraction
+    "pricing_summary",          # A1 hash agg, decimal-exact
+    "mode_quantity",            # A3 per-group mode
+    "join_orders_customers",    # J1 broadcast equi join
+    "full_outer_nation_counts", # J4
+    "asof_last_signup",         # J9 as-of via window
+    "run_length_events",        # W4 run-length grouping
+    "sectionize_events",        # W5 running-marker sections
+    "topk_orders",              # W7
+    "dedup_exact",              # exact dedup
+    "dedup_minhash_lsh",        # MinHash+LSH near-dup (scale path)
+    "dedup_simhash",            # SimHash
+    "token_count",              # text analysis
+    "quality_score",            # text analysis
+    "lang_id",                  # text analysis
+    "cosine_topk",              # similarity brute force
+    "ann_lsh_topk",             # similarity scale path
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _force(df) -> int:
+    """Force full evaluation without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_suite(sf_dir: str, cpus: str) -> dict:
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+    from pdf_extract_spark.queries import QUERIES
+    from pdf_extract_spark.session import build_spark
+
+    spark = build_spark(app_name=f"bench_local[{cpus}]")
+    # warm the JVM + python workers once so per-query times measure the
+    # queries, not process spin-up
+    _force(QUERIES["status_counts"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+
+    # documents/sec for the flagship (the BASELINE.json metric)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    dps = round(n_docs / timings["extract_spans_flagship"], 2)
+
+    return {
+        "metric": "headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "cpus": int(cpus),
+        "flagship_docs_per_sec": dps,
+    }
+
+
+# ---------------------------------------------------------------- scaling
+
+def run_flagship_once(sf_dir: str, cpus: str, mult: int) -> dict:
+    """One measured flagship run (used as the --scaling subprocess body).
+
+    ``mult`` unions the documents table with itself (distinct doc_ids) to
+    give enough work to amortize fixed overheads at 32 cores.
+    """
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.pipeline import run_extraction
+    from pdf_extract_spark.queries import synth_spans
+    from pdf_extract_spark.session import build_spark
+
+    spark = build_spark(app_name=f"bench_scaling_local[{cpus}]")
+    docs = synth_spans(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    if mult > 1:
+        docs = (
+            spark.range(mult)
+            .crossJoin(docs)
+            .select(
+                F.concat_ws("#", "doc_id", F.col("id").cast("string")).alias("doc_id"),
+                "spans",
+            )
+        )
+    docs = docs.cache()
+    n_docs = docs.count()  # materialize input outside the timed region
+
+    _force(run_extraction(docs))  # warmup (python workers fork, code JITs)
+    t0 = time.perf_counter()
+    _force(run_extraction(docs))
+    elapsed = time.perf_counter() - t0
+    return {
+        "cpus": int(cpus),
+        "n_docs": n_docs,
+        "sec": round(elapsed, 3),
+        "docs_per_sec": round(n_docs / elapsed, 2),
+    }
+
+
+def run_scaling(sf_dir: str, n_small: int, n_big: int, mult: int) -> dict:
+    runs = {}
+    for cpus in (n_small, n_big):
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--flagship-once",
+                "--cpus",
+                str(cpus),
+                "--sf-dir",
+                sf_dir,
+                "--mult",
+                str(mult),
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    small, big = runs[n_small], runs[n_big]
+    ratio = n_big / n_small
+    efficiency = round((small["sec"] / big["sec"]) / ratio, 3)
+    return {
+        "metric": "flagship scaling efficiency",
+        "value": efficiency,
+        "unit": "fraction",
+        "criterion": ">= 0.8 from N to 4N parallelism (BASELINE.json)",
+        "runs": [small, big],
+        "sf": _sf_of(sf_dir),
+        "mult": mult,
+    }
+
+
+def write_bench_md(result: dict) -> None:
+    small, big = result["runs"]
+    lines = [
+        "# BENCH — N → 4N scaling evidence",
+        "",
+        "The BASELINE.json north rule requires throughput scaling efficiency",
+        "≥ 0.8 between cluster sizes N and 4N. No real cluster exists in this",
+        "sandbox, so per the driver instructions the SAME flagship extraction",
+        "job (salt → repartitionByRange → map-only Arrow extraction stage,",
+        "pdf_extract_spark/pipeline.py) is run at two local parallelism",
+        f"levels — `local[{small['cpus']}]` and `local[{big['cpus']}]` — over the identical",
+        "cached input, in fresh subprocesses, timed after a warmup pass.",
+        "",
+        "| parallelism | docs | wall sec | docs/sec |",
+        "|---|---|---|---|",
+        f"| local[{small['cpus']}] | {small['n_docs']} | {small['sec']} | {small['docs_per_sec']} |",
+        f"| local[{big['cpus']}] | {big['n_docs']} | {big['sec']} | {big['docs_per_sec']} |",
+        "",
+        f"**Scaling efficiency (N={small['cpus']} → {big['cpus']}):** "
+        f"`(t_N / t_4N) / {big['cpus'] // small['cpus']}` = **{result['value']}** "
+        f"(criterion ≥ 0.8: {'PASS' if result['value'] >= 0.8 else 'FAIL'})",
+        "",
+        "The extraction stage has no join/aggregation in the hot path — one",
+        "mandated range-repartition shuffle, then embarrassingly parallel",
+        "Arrow batches — so efficiency is bounded only by scheduler overhead",
+        "and Python-worker fan-out, both of which amortize further at real",
+        "cluster scale (more rows per task, JVM-side shuffle).",
+        "",
+        f"Raw: `{json.dumps(result)}`",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR))
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--scaling", action="store_true", help="run the N->4N scaling evidence job")
+    ap.add_argument("--flagship-once", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--mult", type=int, default=8, help="input replication for --scaling")
+    ap.add_argument("--n-small", type=int, default=8)
+    ap.add_argument("--n-big", type=int, default=32)
+    args = ap.parse_args()
+
+    if args.flagship_once:
+        print(json.dumps(run_flagship_once(args.sf_dir, args.cpus, args.mult)))
+        return
+    if args.scaling:
+        result = run_scaling(args.sf_dir, args.n_small, args.n_big, args.mult)
+        write_bench_md(result)
+        print(json.dumps(result))
+        return
+    print(json.dumps(run_suite(args.sf_dir, args.cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""Checkpoint / resume lineage — the north rule's third mandate.
+
+The reference tracks progress in a SQLite status machine
+(/root/reference/database.py:76-93: batch rows ``pending -> ready ->
+in_progress -> completed/failed``) and resumes by selecting batches with
+``status NOT IN ('completed')`` (/root/reference/database.py:411-428,
+main.py:996-1017).  Our distributed equivalent:
+
+  * the **checkpoint unit** is a *doc_id hash bucket* —
+    ``pmod(xxhash64(doc_id), n_buckets)`` — the distributed analog of the
+    reference's fixed page-batch (utils.py:40-106): deterministic,
+    content-addressed, independent of row order or partition count;
+  * extraction runs bucket-group by bucket-group; each group commits its
+    output partition **atomically** (dynamic partition overwrite — the
+    parquet-lake stand-in for Iceberg's ``MERGE INTO`` /
+    ``overwritePartitions``; on an Iceberg catalog the same code takes
+    ``.writeTo(tbl).overwritePartitions()``) and then appends
+    ``completed`` lineage rows;
+  * **resume** anti-joins the documents table against completed lineage
+    buckets (``left_anti``), so a killed job re-extracts only
+    unfinished buckets, and re-running a half-written bucket simply
+    overwrites that bucket's partition — idempotent end state;
+  * a ``metrics`` table records per-group docs/sec + span counts
+    (reference analog: ``extraction_stats`` / ``batch_summary_stats``,
+    database.py:96-125).
+
+At 10^12 documents the lineage table stays tiny (n_buckets rows per run);
+the expensive state lives in the partitioned output table. Bucket count
+trades checkpoint granularity against commit overhead — thousands on a
+real cluster, 8-64 in tests.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from pdf_extract_spark.operators.extract import extract_documents
+from pdf_extract_spark.pipeline import partition_for_extraction
+
+COMPLETED = "completed"
+FAILED = "failed"
+
+LINEAGE_WRITE = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("doc_count", T.LongType(), True),
+        T.StructField("span_count", T.LongType(), True),
+        T.StructField("started_at", T.DoubleType(), True),
+        T.StructField("completed_at", T.DoubleType(), True),
+        T.StructField("error_message", T.StringType(), True),
+    ]
+)
+
+METRICS_WRITE = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("bucket_group", T.StringType(), False),
+        T.StructField("docs_per_sec", T.DoubleType(), True),
+        T.StructField("doc_count", T.LongType(), True),
+        T.StructField("span_count", T.LongType(), True),
+        T.StructField("processing_time_s", T.DoubleType(), True),
+    ]
+)
+
+
+@dataclass
+class RunReport:
+    """What one ``run_extraction_with_lineage`` invocation actually did."""
+
+    run_id: str
+    buckets_total: int
+    buckets_skipped: list[int] = field(default_factory=list)
+    buckets_processed: list[int] = field(default_factory=list)
+    doc_count: int = 0
+    span_count: int = 0
+
+
+class Lake:
+    """A parquet data lake directory with documents/spans_out/lineage/metrics."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.spans_out = f"{self.root}/spans_out"
+        self.lineage = f"{self.root}/lineage"
+        self.metrics = f"{self.root}/metrics"
+
+    # ----------------------------------------------------------- lineage io
+
+    def _append(self, rows: list, schema: T.StructType, path: str) -> None:
+        self.spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    def read_lineage(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.lineage)
+        except Exception:
+            return None  # first run: no lineage yet
+
+    def completed_buckets_df(self) -> DataFrame | None:
+        """Buckets whose LATEST lineage row is ``completed`` (a bucket that
+        failed after an earlier success stays completed — output is kept)."""
+        lin = self.read_lineage()
+        if lin is None:
+            return None
+        latest = lin.groupBy("bucket").agg(
+            F.max_by("status", F.col("completed_at")).alias("status")
+        )
+        return latest.filter(F.col("status") == COMPLETED).select("bucket")
+
+    def read_spans_out(self) -> DataFrame:
+        return self.spark.read.parquet(self.spans_out)
+
+
+def bucket_of(doc_id_col: F.Column, n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(doc_id_col), F.lit(n_buckets)).cast("int")
+
+
+def run_extraction_with_lineage(
+    lake: Lake,
+    documents: DataFrame,
+    run_id: str,
+    n_buckets: int = 16,
+    group_size: int = 4,
+    num_partitions: int | None = None,
+    fail_after_groups: int | None = None,
+) -> RunReport:
+    """Extract ``documents`` into the lake, checkpointing per bucket group.
+
+    ``fail_after_groups`` injects a crash after N committed groups (the
+    kill/resume test hook — SURVEY.md §5.2 'resume test').
+    """
+    spark = lake.spark
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    docs = documents.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+
+    done_df = lake.completed_buckets_df()
+    if done_df is not None:
+        todo_df = docs.select("bucket").distinct().join(done_df, "bucket", "left_anti")
+        skipped = sorted(
+            r["bucket"] for r in docs.select("bucket").distinct().join(
+                done_df, "bucket", "left_semi"
+            ).collect()
+        )
+    else:
+        todo_df = docs.select("bucket").distinct()
+        skipped = []
+    todo = sorted(r["bucket"] for r in todo_df.collect())  # <= n_buckets rows
+
+    report = RunReport(run_id=run_id, buckets_total=n_buckets, buckets_skipped=skipped)
+
+    groups = [todo[i : i + group_size] for i in range(0, len(todo), group_size)]
+    for gi, group in enumerate(groups):
+        if fail_after_groups is not None and gi >= fail_after_groups:
+            raise RuntimeError(f"injected failure before group {gi} (test hook)")
+        t0 = time.time()
+        sub = docs.filter(F.col("bucket").isin([int(b) for b in group]))
+        parted = partition_for_extraction(sub, num_partitions)
+        out = extract_documents(parted.select("doc_id", "spans", "bucket"))
+        # extract_documents projects (doc_id, spans); re-derive the bucket
+        # column (deterministic function of doc_id) for partitioned commit.
+        out = out.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+        out.write.partitionBy("bucket").mode("overwrite").parquet(lake.spans_out)
+
+        stats = (
+            lake.spark.read.parquet(lake.spans_out)
+            .filter(F.col("bucket").isin([int(b) for b in group]))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("docs"), F.sum(F.size("spans")).alias("spans"))
+        ).collect()
+        t1 = time.time()
+        by_bucket = {r["bucket"]: (r["docs"], r["spans"]) for r in stats}
+        lineage_rows = [
+            (
+                run_id,
+                int(b),
+                COMPLETED,
+                int(by_bucket.get(b, (0, 0))[0]),
+                int(by_bucket.get(b, (0, 0))[1] or 0),
+                t0,
+                t1,
+                None,
+            )
+            for b in group
+        ]
+        lake._append(lineage_rows, LINEAGE_WRITE, lake.lineage)
+        g_docs = sum(v[0] for v in by_bucket.values())
+        g_spans = sum(int(v[1] or 0) for v in by_bucket.values())
+        lake._append(
+            [
+                (
+                    run_id,
+                    "extract",
+                    ",".join(str(b) for b in group),
+                    round(g_docs / max(t1 - t0, 1e-9), 3),
+                    g_docs,
+                    g_spans,
+                    round(t1 - t0, 3),
+                )
+            ],
+            METRICS_WRITE,
+            lake.metrics,
+        )
+        report.buckets_processed.extend(int(b) for b in group)
+        report.doc_count += g_docs
+        report.span_count += g_spans
+    return report

@@ -1,0 +1,81 @@
+"""Kill/resume lineage tests (SURVEY.md §5.2 'resume test').
+
+Mirrors the reference's status-machine semantics: a killed run leaves
+completed batches committed (database.py:76-93); resume re-extracts only
+unfinished work (database.py:411-428, main.py:996-1017) and the final
+table is identical to an uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_extract_spark import generator, oracle
+from pdf_extract_spark.lineage import Lake, run_extraction_with_lineage
+from pdf_extract_spark.schemas import DOCUMENTS
+
+N_DOCS = 60
+N_BUCKETS = 8
+GROUP = 2
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(generator.make_corpus(N_DOCS, seed=9), schema=DOCUMENTS)
+
+
+def _collect_spans(df):
+    return {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in df.select("doc_id", "spans").collect()
+    }
+
+
+def test_full_run_matches_oracle(spark, docs_df, tmp_path):
+    lake = Lake(spark, str(tmp_path / "lake"))
+    report = run_extraction_with_lineage(
+        lake, docs_df, run_id="r1", n_buckets=N_BUCKETS, group_size=GROUP
+    )
+    assert sorted(report.buckets_processed) == sorted(
+        set(report.buckets_processed)
+    )  # each bucket exactly once
+    assert report.doc_count == N_DOCS
+
+    golden = oracle.expected_corpus(generator.make_corpus(N_DOCS, seed=9))
+    assert _collect_spans(lake.read_spans_out()) == golden
+
+    lin = lake.read_lineage()
+    assert lin.filter(lin.status == "completed").select("bucket").distinct().count() == len(
+        report.buckets_processed
+    )
+    met = spark.read.parquet(lake.metrics)
+    assert met.count() > 0 and met.agg({"doc_count": "sum"}).first()[0] == N_DOCS
+
+
+def test_kill_and_resume_no_reextraction(spark, docs_df, tmp_path):
+    lake = Lake(spark, str(tmp_path / "lake"))
+
+    # first run dies after 2 committed groups
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction_with_lineage(
+            lake, docs_df, run_id="r1", n_buckets=N_BUCKETS,
+            group_size=GROUP, fail_after_groups=2,
+        )
+    partial = lake.completed_buckets_df().count()
+    assert partial == 2 * GROUP  # exactly the committed groups
+
+    # resume: completed buckets skipped, remainder processed
+    report2 = run_extraction_with_lineage(
+        lake, docs_df, run_id="r2", n_buckets=N_BUCKETS, group_size=GROUP
+    )
+    assert len(report2.buckets_skipped) == partial
+    assert set(report2.buckets_processed).isdisjoint(report2.buckets_skipped)
+
+    # final table identical to an uninterrupted run
+    golden = oracle.expected_corpus(generator.make_corpus(N_DOCS, seed=9))
+    assert _collect_spans(lake.read_spans_out()) == golden
+
+    # every document present exactly once (no duplicate extraction)
+    out = lake.read_spans_out()
+    assert out.count() == N_DOCS
+    assert out.select("doc_id").distinct().count() == N_DOCS

@@ -107,33 +107,45 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
 def run_flagship_once(sf_dir: str, cpus: str, mult: int) -> dict:
     """One measured flagship run (used as the --scaling subprocess body).
 
-    ``mult`` unions the documents table with itself (distinct doc_ids) to
-    give enough work to amortize fixed overheads at 32 cores.
+    The input is the synthetic generator corpus (avg ~100 spans/doc, 5%
+    giant skew docs), generated DISTRIBUTED on the executors via
+    mapInPandas and cached before the timed region, so the measurement is
+    the extraction stage itself. ``mult`` scales document count
+    (``mult * 1000`` docs).
     """
     os.environ["SPARK_GRAFT_CPUS"] = cpus
-    from pyspark.sql import functions as F
+    import pandas as pd
 
     from pdf_extract_spark.pipeline import run_extraction
-    from pdf_extract_spark.queries import synth_spans
+    from pdf_extract_spark.schemas import DOCUMENTS
     from pdf_extract_spark.session import build_spark
 
     spark = build_spark(app_name=f"bench_scaling_local[{cpus}]")
-    docs = synth_spans(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    if mult > 1:
-        docs = (
-            spark.range(mult)
-            .crossJoin(docs)
-            .select(
-                F.concat_ws("#", "doc_id", F.col("id").cast("string")).alias("doc_id"),
-                "spans",
-            )
-        )
-    docs = docs.cache()
+    n_docs_target = mult * 1000
+
+    def gen(batches):
+        from pdf_extract_spark import generator
+
+        for pdf in batches:
+            rows = [generator.make_document(int(i), seed=42) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    docs = (
+        spark.range(n_docs_target)
+        .repartition(int(cpus) * 4)
+        .mapInPandas(gen, schema=DOCUMENTS)
+        .cache()
+    )
     n_docs = docs.count()  # materialize input outside the timed region
 
-    _force(run_extraction(docs))  # warmup (python workers fork, code JITs)
+    # explicit partition count (3x cores): REPARTITION_BY_NUM pins the
+    # exchange so AQE cannot coalesce the modest local shuffle down to a
+    # handful of partitions and strangle UDF parallelism — on a real
+    # cluster the same knob is set from executor count.
+    parts = int(cpus) * 3
+    _force(run_extraction(docs, num_partitions=parts))  # warmup
     t0 = time.perf_counter()
-    _force(run_extraction(docs))
+    _force(run_extraction(docs, num_partitions=parts))
     elapsed = time.perf_counter() - t0
     return {
         "cpus": int(cpus),
@@ -144,24 +156,26 @@ def run_flagship_once(sf_dir: str, cpus: str, mult: int) -> dict:
 
 
 def run_scaling(sf_dir: str, n_small: int, n_big: int, mult: int) -> dict:
+    """Each parallelism level runs in a fresh subprocess PINNED to that
+    many physical cores (taskset), so ``local[8]`` really is an 8-core
+    machine — otherwise Python UDF workers spill onto the other 24 cores
+    and the comparison measures nothing."""
     runs = {}
     for cpus in (n_small, n_big):
-        out = subprocess.run(
-            [
-                sys.executable,
-                os.path.abspath(__file__),
-                "--flagship-once",
-                "--cpus",
-                str(cpus),
-                "--sf-dir",
-                sf_dir,
-                "--mult",
-                str(mult),
-            ],
-            capture_output=True,
-            text=True,
-            check=True,
-        )
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--flagship-once",
+            "--cpus",
+            str(cpus),
+            "--sf-dir",
+            sf_dir,
+            "--mult",
+            str(mult),
+        ]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
     small, big = runs[n_small], runs[n_big]
     ratio = n_big / n_small
@@ -188,7 +202,9 @@ def write_bench_md(result: dict) -> None:
         "job (salt → repartitionByRange → map-only Arrow extraction stage,",
         "pdf_extract_spark/pipeline.py) is run at two local parallelism",
         f"levels — `local[{small['cpus']}]` and `local[{big['cpus']}]` — over the identical",
-        "cached input, in fresh subprocesses, timed after a warmup pass.",
+        "cached input (the generator corpus, ~100 spans/doc with 5% giant",
+        "skew docs), in fresh subprocesses each PINNED via `taskset` to",
+        "exactly that many physical cores, timed after a warmup pass.",
         "",
         "| parallelism | docs | wall sec | docs/sec |",
         "|---|---|---|---|",

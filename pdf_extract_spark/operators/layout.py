@@ -1,0 +1,76 @@
+"""The layout path: raw PDF bytes -> parsed pages -> styled-layout
+extraction -> composed spans (SURVEY.md §2.1 S2/S5/S6, §3.3 stages 1-3).
+
+Two map-only Arrow stages over the salted/range-partitioned documents:
+
+  1. ``parse_pdfs`` — byte-stream parse (sources/pdfparse) per document,
+     batched per Arrow batch; the reference's PyMuPDF scan replaced by our
+     from-scratch xref/content-stream parser;
+  2. ``layout_spans`` — margin strip (F1), two-column reading-order sort
+     (W3), body-size mode (A3), style tagging (§2.7), run merge (W4),
+     sentence composition (§2.8), media interleaving — all via the shared
+     rule core (rules.layout_document + rules.compose_fragments), so the
+     golden oracle is the same code path.
+
+No shuffle between the stages: both are per-document projections, fused
+into one WholeStage-adjacent pipeline by Catalyst (ArrowEvalPython nodes
+back-to-back, one python worker pass each).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from pdf_extract_spark import rules
+from pdf_extract_spark.schemas import PARSED_DOC, SPANS
+
+
+@pandas_udf(PARSED_DOC)
+def parse_pdf_udf(content: pd.Series) -> pd.Series:
+    from pdf_extract_spark.sources.pdfparse import parse_pdf
+
+    return content.map(lambda b: parse_pdf(bytes(b)) if b is not None else None)
+
+
+@pandas_udf(SPANS)
+def layout_spans_udf(pages: pd.Series) -> pd.Series:
+    def one(pgs):
+        if pgs is None:
+            return None
+        return rules.compose_fragments(rules.layout_document(pgs))
+
+    return pages.map(one)
+
+
+def validate_pdfs(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """S2 (reference /root/reference/main.py:1678-1727): keep only rows
+    whose payload is non-empty and starts with the %PDF- magic. Pure
+    Catalyst expression — evaluated before any Python stage, so invalid
+    bytes never reach the parser."""
+    c = F.col(content_col)
+    return df.filter(c.isNotNull() & (F.length(c) > 0)
+                     & (c.substr(1, 5) == F.lit(b"%PDF-")))
+
+
+def parse_pdfs(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """documents(doc_id, content:binary) -> (doc_id, pages)."""
+    return df.select("doc_id", parse_pdf_udf(F.col(content_col)).alias("pages"))
+
+
+def layout_extract(df_parsed: DataFrame) -> DataFrame:
+    """(doc_id, pages) -> (doc_id, spans)."""
+    return df_parsed.select(
+        "doc_id", layout_spans_udf(F.col("pages")).alias("spans")
+    )
+
+
+def pdf_to_spans(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Full byte path with the mandated scale mechanics: validate ->
+    salt + repartitionByRange -> parse -> layout/compose."""
+    from pdf_extract_spark.pipeline import partition_for_extraction
+
+    valid = validate_pdfs(df)
+    parted = partition_for_extraction(valid, num_partitions)
+    return layout_extract(parse_pdfs(parted)).select("doc_id", "spans")

@@ -643,6 +643,86 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# alignment suite (SURVEY.md §2.4 J5-J10)
+# =====================================================================
+
+@query(
+    "zip_join_events",
+    """
+WITH v AS (
+  SELECT user_id, event_id AS view_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'view'),
+p AS (
+  SELECT user_id, event_id AS purchase_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase')
+SELECT v.user_id AS user_id, v.rn AS rn, view_id, purchase_id
+FROM v JOIN p ON v.user_id = p.user_id AND v.rn = p.rn
+""",
+)
+def zip_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — sequential zip join: i-th row of one side paired with the
+    i-th of the other within a group (aligner.py:432-440)."""
+    ev = _t(spark, sf_dir, "events")
+    wv = W.partitionBy("user_id").orderBy("ts", "event_id")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(wv))
+        .select("user_id", F.col("event_id").alias("view_id"), "rn")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wv))
+        .select("user_id", F.col("event_id").alias("purchase_id"), "rn")
+    )
+    return v.join(p, ["user_id", "rn"]).select(
+        "user_id", F.col("rn").cast("long").alias("rn"), "view_id", "purchase_id"
+    )
+
+
+def _alignment_fixture(spark: SparkSession, n_docs: int = 25):
+    from pdf_extract_spark import generator
+    from pdf_extract_spark.schemas import FRAGMENTS_LANG
+
+    kr_rows, en_rows = [], []
+    for d in range(n_docs):
+        kr, en = generator.make_alignment_doc(d, seed=13)
+        kr_rows.extend(kr)
+        en_rows.extend(en)
+    return (
+        spark.createDataFrame(kr_rows, schema=FRAGMENTS_LANG),
+        spark.createDataFrame(en_rows, schema=FRAGMENTS_LANG),
+    )
+
+
+@query("align_pairs")
+def align_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/J6/J7/J8 + W6 — the full alignment kernel (pattern anchors,
+    first-anchor join, per-type Hungarian assignment, monotonic prune,
+    sectionized greedy P matching) over deterministic pseudo-translation
+    fixtures. Rows-only check: the assignment/greedy semantics are not
+    ANSI-SQL-expressible (aligner.py:213-247, 442-507)."""
+    from pdf_extract_spark.operators import align
+
+    kr_df, en_df = _alignment_fixture(spark)
+    return align.align_pairs(kr_df, en_df).orderBy("doc_id", "kr_idx", "en_idx")
+
+
+@query("align_full_outer")
+def align_full_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 over real alignment output — kr-anchored rows plus unmatched en
+    rows via a true full outer join (create_csv.py:202-319)."""
+    from pdf_extract_spark.operators import align
+
+    kr_df, en_df = _alignment_fixture(spark)
+    pairs = align.align_pairs(kr_df, en_df)
+    return align.export_full_outer(kr_df, pairs, en_df).orderBy(
+        "doc_id", "kr_idx", "en_idx"
+    )
+
+
+# =====================================================================
 # the flagship extraction (rows-only check: not ANSI-SQL-expressible)
 # =====================================================================
 
@@ -674,6 +754,65 @@ def synth_spans(docs: DataFrame) -> DataFrame:
         F.col("doc_id") % 5 == 0, F.concat(text_spans, media_span)
     ).otherwise(text_spans)
     return docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
+
+
+@query("pdf_bytes_extract")
+def pdf_bytes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte path end-to-end: miniature-PDF bytes -> %PDF- magic
+    validation (S2) -> xref walk + content-stream tokenization (S5/S6,
+    sources/pdfparse) -> margin strip / reading order / style tagging /
+    run merge / composition (rules.layout_document). Rows-only check: the
+    byte-level parse is not ANSI-SQL-expressible."""
+    from pdf_extract_spark.operators import layout as L
+    from pdf_extract_spark.sources import pdfgen
+
+    rows = [
+        {"doc_id": f"pdf{d:04d}", "content": bytearray(pdfgen.build_pdf(d, seed=21))}
+        for d in range(40)
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id string, content binary")
+    out = L.pdf_to_spans(df)
+    return (
+        out.select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+        .orderBy("doc_id", "offset")
+    )
+
+
+@query("layout_styled_extract")
+def layout_styled_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The styled layout path (S5/S6 + F1 + W3 + A3 + §2.7 tagging + W4)
+    over generated raw_blocks fixtures — parsed pages in, composed spans
+    out. Rows-only check."""
+    from pdf_extract_spark import generator
+    from pdf_extract_spark.operators.layout import layout_extract
+    from pdf_extract_spark.schemas import RAW_BLOCKS
+
+    rows = [r for d in range(40) for r in generator.make_raw_blocks_doc(d, seed=17)]
+    blocks = spark.createDataFrame(rows, schema=RAW_BLOCKS)
+    pages = blocks.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("page", "page_w", "page_h", "lines"))
+        ).alias("pages")
+    )
+    out = layout_extract(pages)
+    return (
+        out.select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+        .orderBy("doc_id", "offset")
+    )
 
 
 @query("extract_spans_flagship")

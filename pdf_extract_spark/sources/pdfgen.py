@@ -1,0 +1,232 @@
+"""Deterministic miniature-PDF writer (SURVEY.md §7.1 'synthetic PDF-like
+fixture format').
+
+Emits REAL PDF 1.4 syntax — header, numbered objects, page tree,
+uncompressed content streams with text-positioning/text-showing operators,
+image XObjects, a byte-exact xref table and trailer — so the parser in
+``pdfparse.py`` exercises genuine byte-level work (offset walk, object
+parse, content-stream tokenization) without any external corpus, and the
+expected line structure is computable exactly (``doc_lines`` below).
+
+The content model mirrors what the reference reads out of PyMuPDF
+(/root/reference/euaa_사례/pdf_to_json/layout_analyzer.py:73-114): lines
+with text, font size, bold flag, color, and bbox. Boldness is encoded the
+way real PDFs do it — a separate bold font resource (/F2) — and mapped
+back to the reference's flag bit 16 by the parser.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pdf_extract_spark.generator import HEADING_WORDS, _sentence
+from pdf_extract_spark.rules import FLAG_BOLD
+
+PAGE_W, PAGE_H = 595.0, 842.0
+BODY_SIZE = 10.0
+H3_COLOR = 3101846  # one of the reference's H3 colors (config.py:41-44)
+
+
+def _esc(t: str) -> str:
+    return t.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+# --------------------------------------------------------------------------
+# document model -> PDF bytes
+# --------------------------------------------------------------------------
+
+def doc_lines(doc_index: int, seed: int = 42) -> list[list[dict]]:
+    """The structural truth for one synthetic document: per page, a list of
+    {text, size, bold, color, x, y_top, media_ref} in EMISSION order
+    (which is not reading order — two-column pages interleave columns, so
+    the parser+layout stage must re-sort, exercising W3)."""
+    rng = random.Random((seed << 23) ^ doc_index)
+    n_pages = rng.randint(1, 3)
+    pages: list[list[dict]] = []
+    for page in range(1, n_pages + 1):
+        two_col = rng.random() < 0.5
+        lines: list[dict] = []
+        # margin boilerplate that F1 must strip
+        lines.append({"text": "CONFIDENTIAL DRAFT", "size": 8.0, "bold": False,
+                      "color": 0, "x": 200.0, "y_top": 15.0, "media_ref": ""})
+        lines.append({"text": f"- {page} -", "size": 8.0, "bold": False,
+                      "color": 0, "x": 280.0, "y_top": 825.0, "media_ref": ""})
+        cols = [60.0, 320.0] if two_col else [60.0]
+        y_at = {c: 60.0 for c in cols}
+        for _ in range(rng.randint(5, 14)):
+            c = rng.choice(cols)
+            y = y_at[c]
+            y_at[c] += rng.uniform(16.0, 24.0)
+            if y > 770.0:
+                continue
+            r = rng.random()
+            if r < 0.10:
+                lines.append({"text": " ".join(rng.choice(HEADING_WORDS)
+                                               for _ in range(2)).title(),
+                              "size": BODY_SIZE * 1.6, "bold": True, "color": 0,
+                              "x": c, "y_top": y, "media_ref": ""})
+            elif r < 0.18:
+                lines.append({"text": rng.choice(HEADING_WORDS).title(),
+                              "size": BODY_SIZE, "bold": True, "color": 0,
+                              "x": c, "y_top": y, "media_ref": ""})
+            elif r < 0.24:
+                lines.append({"text": rng.choice(HEADING_WORDS).title(),
+                              "size": BODY_SIZE, "bold": True, "color": H3_COLOR,
+                              "x": c, "y_top": y, "media_ref": ""})
+            elif r < 0.32:
+                lines.append({"text": "", "size": 0.0, "bold": False, "color": 0,
+                              "x": c, "y_top": y,
+                              "media_ref": f"img:p{page}:{int(y)}"})
+            else:
+                lines.append({"text": _sentence(rng, 3, 9), "size": BODY_SIZE,
+                              "bold": False, "color": 0,
+                              "x": c, "y_top": y, "media_ref": ""})
+        pages.append(lines)
+    return pages
+
+
+def _content_stream(lines: list[dict]) -> bytes:
+    """One page's content stream: rg color, Tf font select (F1 regular /
+    F2 bold), Tm positioning (PDF y-up coordinates), Tj text; images as
+    q/cm/Do/Q on named XObjects."""
+    ops: list[str] = []
+    img_i = 0
+    for ln in lines:
+        if ln["media_ref"]:
+            img_i += 1
+            y_pdf = PAGE_H - ln["y_top"] - 40.0
+            ops.append(f"q 80 0 0 40 {ln['x']:.1f} {y_pdf:.1f} cm /Im{img_i} Do Q")
+            continue
+        y_pdf = PAGE_H - ln["y_top"]
+        c = ln["color"]
+        r, g, b = (c >> 16) & 255, (c >> 8) & 255, c & 255
+        font = "/F2" if ln["bold"] else "/F1"
+        ops.append(
+            f"BT {r / 255:.4f} {g / 255:.4f} {b / 255:.4f} rg "
+            f"{font} {ln['size']:.1f} Tf "
+            f"1 0 0 1 {ln['x']:.1f} {y_pdf:.1f} Tm "
+            f"({_esc(ln['text'])}) Tj ET"
+        )
+    return ("\n".join(ops)).encode("latin-1", "replace")
+
+
+def build_pdf(doc_index: int, seed: int = 42) -> bytes:
+    """Assemble the full PDF file: catalog(1) pages(2) fonts(3,4) then per
+    page [page obj, content obj, image XObjects...], xref, trailer."""
+    pages = doc_lines(doc_index, seed)
+    objects: dict[int, bytes] = {}
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    objects[4] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>"
+
+    next_id = 5
+    page_ids: list[int] = []
+    for lines in pages:
+        imgs = [ln for ln in lines if ln["media_ref"]]
+        xobj_ids: list[int] = []
+        for k, ln in enumerate(imgs, 1):
+            xid = next_id
+            next_id += 1
+            payload = ln["media_ref"].encode()
+            objects[xid] = (
+                b"<< /Type /XObject /Subtype /Image /Width 80 /Height 40"
+                b" /ColorSpace /DeviceRGB /BitsPerComponent 8 /Name /"
+                + f"Im{k}".encode()
+                + b" /Length " + str(len(payload)).encode()
+                + b" >>\nstream\n" + payload + b"\nendstream"
+            )
+            xobj_ids.append(xid)
+        content = _content_stream(lines)
+        cid = next_id
+        next_id += 1
+        objects[cid] = (
+            b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"\nendstream"
+        )
+        pid = next_id
+        next_id += 1
+        xdict = b""
+        if xobj_ids:
+            xdict = (
+                b" /XObject << "
+                + b" ".join(
+                    f"/Im{k}".encode() + b" " + str(x).encode() + b" 0 R"
+                    for k, x in enumerate(xobj_ids, 1)
+                )
+                + b" >>"
+            )
+        objects[pid] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 "
+            + f"{PAGE_W:.0f} {PAGE_H:.0f}".encode()
+            + b"] /Resources << /Font << /F1 3 0 R /F2 4 0 R >>"
+            + xdict
+            + b" >> /Contents " + str(cid).encode() + b" 0 R >>"
+        )
+        page_ids.append(pid)
+
+    objects[2] = (
+        b"<< /Type /Pages /Kids ["
+        + b" ".join(str(p).encode() + b" 0 R" for p in page_ids)
+        + b"] /Count " + str(len(page_ids)).encode() + b" >>"
+    )
+
+    # serialize with byte-exact xref offsets
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for oid in sorted(objects):
+        offsets[oid] = len(out)
+        out += str(oid).encode() + b" 0 obj\n" + objects[oid] + b"\nendobj\n"
+    xref_at = len(out)
+    n = max(objects) + 1
+    out += b"xref\n0 " + str(n).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for oid in range(1, n):
+        out += f"{offsets[oid]:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(n).encode() + b" /Root 1 0 R >>\n"
+        b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# the structural truth in parser-output shape (for parity tests)
+# --------------------------------------------------------------------------
+
+def expected_pages(doc_index: int, seed: int = 42) -> list[dict]:
+    """What pdfparse.parse_pdf must return for build_pdf(doc_index):
+    the doc_lines model re-expressed as PARSED_PAGE dicts."""
+    pages = []
+    for p, lines in enumerate(doc_lines(doc_index, seed), 1):
+        out_lines = []
+        for ln in lines:
+            # coordinates round-trip through the writer's %.1f formatting —
+            # the expectation must see the same quantization the bytes carry
+            x = float(f"{ln['x']:.1f}")
+            if ln["media_ref"]:
+                y_pdf = float(f"{PAGE_H - ln['y_top'] - 40.0:.1f}")
+                y_top = PAGE_H - y_pdf - 40.0
+                out_lines.append({
+                    "text": "", "size": 0.0, "flags": 0, "font": "",
+                    "color": 0, "block_type": 1, "media_ref": ln["media_ref"],
+                    "bbox": {"x0": x, "y0": y_top,
+                             "x1": x + 80.0, "y1": y_top + 40.0},
+                })
+                continue
+            y_pdf = float(f"{PAGE_H - ln['y_top']:.1f}")
+            y_top = PAGE_H - y_pdf
+            size = float(f"{ln['size']:.1f}")
+            c = ln["color"]
+            rgb = ((((c >> 16) & 255) << 16) | (((c >> 8) & 255) << 8) | (c & 255))
+            out_lines.append({
+                "text": ln["text"], "size": size,
+                "flags": FLAG_BOLD if ln["bold"] else 0,
+                "font": "Helvetica-Bold" if ln["bold"] else "Helvetica",
+                "color": rgb, "block_type": 0, "media_ref": "",
+                "bbox": {"x0": x, "y0": y_top,
+                         "x1": x + 0.5 * size * max(len(ln["text"]), 1),
+                         "y1": y_top + size * 1.2},
+            })
+        pages.append({"page": p, "page_w": PAGE_W, "page_h": PAGE_H,
+                      "lines": out_lines})
+    return pages

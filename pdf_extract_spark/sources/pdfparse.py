@@ -1,0 +1,385 @@
+"""From-scratch PDF byte-stream parser (no PyMuPDF/pypdf anywhere).
+
+Implements the north star's parse stage: ``%PDF-`` magic validation
+(reference analog /root/reference/main.py:1716-1719), ``startxref`` →
+xref-table walk, indirect-object parsing (dicts, arrays, names, refs,
+literal/hex strings, streams), page-tree traversal, and content-stream
+tokenization (``Tf``/``Tm``/``rg``/``Tj``/``TJ``/``cm``+``Do``) with
+font→bold-flag mapping and PDF-y-up → layout-y-down conversion — emitting
+the same line structs the reference reads from PyMuPDF
+(euaa_사례/pdf_to_json/layout_analyzer.py:73-114).
+
+Pure Python over ``bytes``; called batched from an Arrow UDF
+(operators/layout.py) so the per-byte work is amortized per Arrow batch,
+never per Spark row round-trip.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pdf_extract_spark.rules import FLAG_BOLD
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+
+class PdfError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# object-level tokenizer / parser
+# --------------------------------------------------------------------------
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d = self.data
+        while self.pos < len(d):
+            c = d[self.pos : self.pos + 1]
+            if c in b"%":
+                nl = d.find(b"\n", self.pos)
+                self.pos = len(d) if nl < 0 else nl + 1
+            elif c in _WS:
+                self.pos += 1
+            else:
+                return
+
+    def peek_token(self) -> bytes:
+        p = self.pos
+        t = self.next_token()
+        self.pos = p
+        return t
+
+    def next_token(self) -> bytes:
+        self._skip_ws()
+        d = self.data
+        if self.pos >= len(d):
+            raise PdfError("unexpected EOF")
+        c = d[self.pos : self.pos + 1]
+        if c == b"<":
+            if d[self.pos + 1 : self.pos + 2] == b"<":
+                self.pos += 2
+                return b"<<"
+            # hex string
+            end = d.find(b">", self.pos)
+            tok = d[self.pos : end + 1]
+            self.pos = end + 1
+            return tok
+        if c == b">":
+            if d[self.pos + 1 : self.pos + 2] == b">":
+                self.pos += 2
+                return b">>"
+            raise PdfError("stray >")
+        if c in b"[]":
+            self.pos += 1
+            return c
+        if c == b"(":
+            return self._lex_string()
+        if c == b"/":
+            start = self.pos
+            self.pos += 1
+            while self.pos < len(d) and d[self.pos : self.pos + 1] not in _WS + _DELIM:
+                self.pos += 1
+            return d[start : self.pos]
+        # number / keyword
+        start = self.pos
+        while self.pos < len(d) and d[self.pos : self.pos + 1] not in _WS + _DELIM:
+            self.pos += 1
+        if self.pos == start:
+            raise PdfError(f"cannot lex at {start}")
+        return d[start : self.pos]
+
+    def _lex_string(self) -> bytes:
+        d = self.data
+        assert d[self.pos : self.pos + 1] == b"("
+        out = bytearray(b"(")
+        depth = 1
+        i = self.pos + 1
+        while i < len(d) and depth:
+            c = d[i : i + 1]
+            if c == b"\\":
+                out += d[i : i + 2]
+                i += 2
+                continue
+            if c == b"(":
+                depth += 1
+            elif c == b")":
+                depth -= 1
+                if depth == 0:
+                    out += b")"
+                    i += 1
+                    break
+            out += c
+            i += 1
+        self.pos = i
+        return bytes(out)
+
+
+def _unescape(raw: bytes) -> str:
+    """PDF literal string body (inside parens) -> str."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            n = raw[i + 1 : i + 2]
+            mapped = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+                      b"f": b"\x0c", b"(": b"(", b")": b")", b"\\": b"\\"}.get(n)
+            if mapped is not None:
+                out += mapped
+                i += 2
+                continue
+            if n.isdigit():  # octal escape \ddd
+                j = i + 1
+                oct_s = b""
+                while j < len(raw) and len(oct_s) < 3 and raw[j : j + 1].isdigit():
+                    oct_s += raw[j : j + 1]
+                    j += 1
+                out.append(int(oct_s, 8) & 0xFF)
+                i = j
+                continue
+        out += c
+        i += 1
+    return out.decode("latin-1")
+
+
+def parse_object(lex: _Lexer):
+    """Parse one PDF object (dict/array/name/number/string/ref/bool/null)."""
+    tok = lex.next_token()
+    if tok == b"<<":
+        d = {}
+        while True:
+            k = lex.next_token()
+            if k == b">>":
+                return d
+            if not k.startswith(b"/"):
+                raise PdfError(f"dict key {k!r}")
+            d[k[1:].decode("latin-1")] = parse_object(lex)
+    if tok == b"[":
+        arr = []
+        while lex.peek_token() != b"]":
+            arr.append(parse_object(lex))
+        lex.next_token()
+        return arr
+    if tok.startswith(b"/"):
+        return ("name", tok[1:].decode("latin-1"))
+    if tok.startswith(b"("):
+        return ("str", _unescape(tok[1:-1]))
+    if tok.startswith(b"<"):
+        h = tok[1:-1].replace(b" ", b"")
+        if len(h) % 2:
+            h += b"0"
+        return ("str", bytes.fromhex(h.decode("latin-1")).decode("latin-1"))
+    if tok in (b"true", b"false"):
+        return tok == b"true"
+    if tok == b"null":
+        return None
+    if _NUM_RE.fullmatch(tok):
+        # possible indirect reference: <int> <int> R
+        save = lex.pos
+        try:
+            t2 = lex.next_token()
+            t3 = lex.next_token()
+            if t3 == b"R" and t2.isdigit() and tok.isdigit():
+                return ("ref", int(tok))
+        except PdfError:
+            pass
+        lex.pos = save
+        s = tok.decode("latin-1")
+        return float(s) if ("." in s or "e" in s) else int(s)
+    raise PdfError(f"unexpected token {tok!r}")
+
+
+# --------------------------------------------------------------------------
+# file structure: header, xref, objects, streams
+# --------------------------------------------------------------------------
+
+def _parse_xref(data: bytes) -> dict[int, int]:
+    sx = data.rfind(b"startxref")
+    if sx < 0:
+        raise PdfError("no startxref")
+    m = _NUM_RE.search(data, sx + len(b"startxref"))
+    xref_at = int(m.group())
+    if data[xref_at : xref_at + 4] != b"xref":
+        raise PdfError("xref table not at startxref offset")
+    lex = _Lexer(data, xref_at + 4)
+    offsets: dict[int, int] = {}
+    while True:
+        tok = lex.peek_token()
+        if tok == b"trailer":
+            break
+        first = int(lex.next_token())
+        count = int(lex.next_token())
+        lex._skip_ws()
+        for k in range(count):
+            entry = data[lex.pos : lex.pos + 20]
+            off, _gen, kind = entry.split()[:3]
+            if kind == b"n":
+                offsets[first + k] = int(off)
+            lex.pos += 20
+    return offsets
+
+
+def _parse_trailer(data: bytes) -> dict:
+    t = data.rfind(b"trailer")
+    lex = _Lexer(data, t + len(b"trailer"))
+    return parse_object(lex)
+
+
+class PdfDocument:
+    """Parsed object store with lazy indirect-ref resolution."""
+
+    def __init__(self, data: bytes) -> None:
+        if data[:5] != b"%PDF-":
+            raise PdfError("missing %PDF- header")  # S2, main.py:1716-1719
+        self.data = data
+        self.offsets = _parse_xref(data)
+        self.trailer = _parse_trailer(data)
+        self._cache: dict[int, object] = {}
+
+    def obj(self, oid: int):
+        if oid in self._cache:
+            return self._cache[oid]
+        off = self.offsets[oid]
+        lex = _Lexer(self.data, off)
+        got_id = int(lex.next_token())
+        if got_id != oid:
+            raise PdfError(f"xref offset mismatch for obj {oid}")
+        lex.next_token()  # gen
+        if lex.next_token() != b"obj":
+            raise PdfError("obj keyword missing")
+        body = parse_object(lex)
+        # attach stream payload if present
+        lex._skip_ws()
+        if self.data[lex.pos : lex.pos + 6] == b"stream":
+            p = lex.pos + 6
+            if self.data[p : p + 2] == b"\r\n":
+                p += 2
+            elif self.data[p : p + 1] == b"\n":
+                p += 1
+            length = self.resolve(body.get("Length", 0)) if isinstance(body, dict) else 0
+            body = {"__dict__": body, "__stream__": self.data[p : p + int(length)]}
+        self._cache[oid] = body
+        return body
+
+    def resolve(self, v):
+        while isinstance(v, tuple) and v[0] == "ref":
+            v = self.obj(v[1])
+        return v
+
+
+# --------------------------------------------------------------------------
+# content-stream tokenization -> line structs
+# --------------------------------------------------------------------------
+
+def _tokenize_content(stream: bytes) -> list[tuple]:
+    """Content stream -> [(operator, [operands])] preserving order."""
+    lex = _Lexer(stream)
+    ops: list[tuple] = []
+    stack: list = []
+    while True:
+        lex._skip_ws()
+        if lex.pos >= len(stream):
+            break
+        c = stream[lex.pos : lex.pos + 1]
+        if c in b"/(<[" or c.isdigit() or c in b"+-.":
+            stack.append(parse_object(lex))
+            continue
+        tok = lex.next_token().decode("latin-1")
+        ops.append((tok, stack))
+        stack = []
+    return ops
+
+
+def _page_lines(doc: PdfDocument, page: dict, page_h: float) -> list[dict]:
+    res = doc.resolve(page.get("Resources", {})) or {}
+    fonts = {
+        name: doc.resolve(ref)
+        for name, ref in (doc.resolve(res.get("Font", {})) or {}).items()
+    }
+    xobjects = {
+        name: doc.resolve(ref)
+        for name, ref in (doc.resolve(res.get("XObject", {})) or {}).items()
+    }
+    contents = doc.resolve(page["Contents"])
+    stream = contents["__stream__"] if isinstance(contents, dict) and "__stream__" in contents else b""
+
+    lines: list[dict] = []
+    color = 0
+    font_name, size = "", 0.0
+    x = y_pdf = 0.0
+    ctm: list[float] | None = None
+    for op, args in _tokenize_content(stream):
+        if op == "rg" and len(args) == 3:
+            r, g, b = (round(float(a) * 255) for a in args)
+            color = (r << 16) | (g << 8) | b
+        elif op == "Tf" and len(args) == 2:
+            fobj = fonts.get(args[0][1] if isinstance(args[0], tuple) else args[0], {})
+            base = fobj.get("BaseFont") if isinstance(fobj, dict) else None
+            font_name = base[1] if isinstance(base, tuple) else ""
+            size = float(args[1])
+        elif op == "Tm" and len(args) == 6:
+            x, y_pdf = float(args[4]), float(args[5])
+        elif op == "Td" and len(args) == 2:
+            x += float(args[0])
+            y_pdf += float(args[1])
+        elif op == "cm" and len(args) == 6:
+            ctm = [float(a) for a in args]
+        elif op == "Do" and len(args) == 1:
+            name = args[0][1] if isinstance(args[0], tuple) else str(args[0])
+            xo = xobjects.get(name, {})
+            payload = xo.get("__stream__", b"") if isinstance(xo, dict) else b""
+            w = ctm[0] if ctm else 0.0
+            h = ctm[3] if ctm else 0.0
+            ix = ctm[4] if ctm else 0.0
+            iy = ctm[5] if ctm else 0.0
+            y_top = page_h - iy - h
+            lines.append({
+                "text": "", "size": 0.0, "flags": 0, "font": "", "color": 0,
+                "block_type": 1, "media_ref": payload.decode("latin-1"),
+                "bbox": {"x0": ix, "y0": y_top, "x1": ix + w, "y1": y_top + h},
+            })
+            ctm = None
+        elif op in ("Tj", "'") and len(args) == 1:
+            text = args[0][1] if isinstance(args[0], tuple) else str(args[0])
+            _emit_text(lines, text, x, y_pdf, size, font_name, color, page_h)
+        elif op == "TJ" and len(args) == 1 and isinstance(args[0], list):
+            text = "".join(a[1] for a in args[0] if isinstance(a, tuple) and a[0] == "str")
+            _emit_text(lines, text, x, y_pdf, size, font_name, color, page_h)
+    return lines
+
+
+def _emit_text(lines, text, x, y_pdf, size, font_name, color, page_h) -> None:
+    y_top = page_h - y_pdf
+    flags = FLAG_BOLD if "Bold" in font_name else 0
+    lines.append({
+        "text": text, "size": size, "flags": flags, "font": font_name,
+        "color": color, "block_type": 0, "media_ref": "",
+        "bbox": {"x0": x, "y0": y_top,
+                 "x1": x + 0.5 * size * max(len(text), 1),
+                 "y1": y_top + size * 1.2},
+    })
+
+
+def parse_pdf(data: bytes) -> list[dict]:
+    """bytes -> [PARSED_PAGE dict] (page, page_w, page_h, lines)."""
+    doc = PdfDocument(data)
+    root = doc.resolve(doc.trailer["Root"])
+    pages_node = doc.resolve(root["Pages"])
+    out = []
+    for i, kid in enumerate(pages_node["Kids"], 1):
+        page = doc.resolve(kid)
+        mb = [float(doc.resolve(v)) for v in page["MediaBox"]]
+        page_w, page_h = mb[2] - mb[0], mb[3] - mb[1]
+        out.append({
+            "page": i, "page_w": page_w, "page_h": page_h,
+            "lines": _page_lines(doc, page, page_h),
+        })
+    return out

@@ -1,0 +1,72 @@
+"""PDF byte path tests: writer->parser round trip, S2 validation,
+and distributed byte-stream extraction vs the golden oracle."""
+
+from __future__ import annotations
+
+from pdf_extract_spark import oracle
+from pdf_extract_spark.operators import layout
+from pdf_extract_spark.sources import pdfgen, pdfparse
+
+N_DOCS = 30
+SEED = 21
+
+
+def test_roundtrip_parse_exact():
+    for d in range(N_DOCS):
+        got = pdfparse.parse_pdf(pdfgen.build_pdf(d, seed=SEED))
+        assert got == pdfgen.expected_pages(d, seed=SEED), f"doc {d}"
+
+
+def test_header_validation_rejects_garbage():
+    import pytest
+
+    with pytest.raises(pdfparse.PdfError, match="%PDF-"):
+        pdfparse.parse_pdf(b"not a pdf at all")
+
+
+def test_tokenizer_string_escapes():
+    lex = pdfparse._Lexer(rb"(a \(nested\) \\ b)")
+    tok = lex.next_token()
+    assert pdfparse._unescape(tok[1:-1]) == r"a (nested) \ b"
+
+
+def test_spark_pdf_to_spans_matches_oracle(spark):
+    rows = [
+        {"doc_id": f"pdf{d:04d}", "content": bytearray(pdfgen.build_pdf(d, seed=SEED))}
+        for d in range(N_DOCS)
+    ]
+    # poison rows the S2 validation filter must drop before the parser
+    rows.append({"doc_id": "bad1", "content": bytearray(b"not a pdf")})
+    rows.append({"doc_id": "bad2", "content": bytearray(b"")})
+    df = spark.createDataFrame(rows, schema="doc_id string, content binary")
+
+    out = layout.pdf_to_spans(df, num_partitions=4)
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in out.collect()
+    }
+    assert "bad1" not in got and "bad2" not in got
+    assert len(got) == N_DOCS
+
+    for d in range(N_DOCS):
+        exp = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in oracle.expected_spans_from_layout(pdfgen.expected_pages(d, seed=SEED))
+        ]
+        assert got[f"pdf{d:04d}"] == exp, f"doc {d}"
+
+
+def test_layout_rules_applied(spark):
+    """Margin boilerplate must be stripped and media interleaved: no output
+    span may carry the running header/footer text; media spans survive."""
+    rows = [
+        {"doc_id": f"pdf{d:04d}", "content": bytearray(pdfgen.build_pdf(d, seed=SEED))}
+        for d in range(6)
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id string, content binary")
+    spans = [
+        s for r in layout.pdf_to_spans(df).collect() for s in r["spans"]
+    ]
+    texts = [s["text"] for s in spans]
+    assert all("CONFIDENTIAL DRAFT" not in t for t in texts)
+    assert any(s["kind"] == "media" and s["media_ref"].startswith("img:") for s in spans)

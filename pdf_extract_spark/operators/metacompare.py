@@ -1,0 +1,207 @@
+"""Pair-quality metadata operators (SURVEY.md §2.3 A9, §2.7 C12-C17).
+
+Re-expresses /root/reference/euaa_사례/sentences/metadata_generator.py's
+pandas ``.apply`` stages as Arrow-vectorized kernels:
+
+  * C12 punctuation extraction (:92-96) — terminal '.' plus occurrences
+    of the symbol class, as an ordered list;
+  * C13 numeric-token extraction (:125-159) — an ORDERED regex cascade
+    (thousands-separated, decimals, ranges, ordinals, bare ints) with
+    sequential match consumption: each pattern extracts then MASKS its
+    matches so later patterns can't re-match inside them (the reference
+    consumes via ``pat.sub``);
+  * C14 number-word mapping (:132-140, 162-203) — en number words /
+    ordinals / month names to digit strings, hyphen-split prefix match;
+  * A9 Counter algebra (:206-271) — MULTISET intersect/subtract (Spark's
+    array_intersect dedups, so this stays in the kernel);
+  * C16 special-symbol comparison (:353-372) with super/subscript digit
+    equivalence;
+  * C17 korean-presence pair classification (:383-421) — pure ``when()``
+    chain, no Python (see queries.pair_class for the Catalyst form).
+
+The kernel functions are pure Python on lists (usable by oracles/tests);
+``pair_metadata`` wires them into one Arrow-batched pandas UDF returning
+a struct column — one Python pass per batch, not per row.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+RE_PUNCT = re.compile(r"[!?:;%\"`~…]")
+RE_TERMINAL_DOT = re.compile(r"\.$")
+
+# C13 cascade — order is the contract (metadata_generator.py:125-131)
+NUM_PATTERNS = [
+    re.compile(r"\d{1,3}(?:,\d{3})+(?:\.\d+)?"),  # 1,234 / 12,345.6
+    re.compile(r"\d+\.\d+"),                      # 3.5
+    re.compile(r"\d+-\d+"),                       # 2-4 (ranges)
+    re.compile(r"\d+(?:st|nd|rd|th)\b"),          # 1st 2nd
+    re.compile(r"\d+"),                           # bare ints
+]
+
+# C14 (metadata_generator.py:132-140, 162-203)
+NUMBER_WORDS = {
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "ten": "10", "eleven": "11", "twelve": "12", "dozen": "12",
+    "first": "1", "second": "2", "third": "3", "fourth": "4", "fifth": "5",
+    "sixth": "6", "seventh": "7", "eighth": "8", "ninth": "9", "tenth": "10",
+    "jan": "1", "feb": "2", "mar": "3", "apr": "4", "may": "5", "jun": "6",
+    "jul": "7", "aug": "8", "sep": "9", "oct": "10", "nov": "11", "dec": "12",
+    "double": "2", "triple": "3", "half": "0.5",
+}
+
+SUPERSCRIPTS = str.maketrans("⁰¹²³⁴⁵⁶⁷⁸⁹₀₁₂₃₄₅₆₇₈₉", "01234567890123456789")
+
+# C16 allowlist: chars NOT treated as special symbols
+RE_PLAIN = re.compile(r"[A-Za-z0-9\s.,ㄱ-ㆎ가-힣]")
+
+RE_KOREAN = re.compile(r"[ㄱ-ㆎ가-힣]")
+
+
+# --------------------------------------------------------------------------
+# pure kernels (shared with tests/oracle)
+# --------------------------------------------------------------------------
+
+def extract_punct(t: str) -> list[str]:
+    """C12 — ordered punctuation occurrences + terminal dot."""
+    out = RE_PUNCT.findall(t or "")
+    if t and RE_TERMINAL_DOT.search(t.strip()):
+        out.append(".")
+    return out
+
+
+def extract_numbers(t: str) -> list[str]:
+    """C13 — ordered cascade with sequential consumption via masking."""
+    s = (t or "").translate(SUPERSCRIPTS)
+    found: list[tuple[int, str]] = []
+
+    def consume(m: re.Match) -> str:
+        found.append((m.start(), m.group()))
+        return "\x00" * len(m.group())
+
+    for pat in NUM_PATTERNS:
+        s = pat.sub(consume, s)
+    return [g for _, g in sorted(found)]
+
+
+def map_number_words(t: str) -> list[str]:
+    """C14 — number words to digit strings; hyphen compounds split."""
+    out: list[str] = []
+    for raw in (t or "").lower().split():
+        for piece in raw.split("-"):
+            w = piece.strip(".,;:!?()[]\"'")
+            if w in NUMBER_WORDS:
+                out.append(NUMBER_WORDS[w])
+            elif w[:3] in NUMBER_WORDS and w.endswith("."):  # "Jan." style
+                out.append(NUMBER_WORDS[w[:3]])
+    return out
+
+
+def counter_diff(a: list[str], b: list[str]) -> tuple[int, int, int]:
+    """A9 — multiset algebra: (matched, only_a, only_b) with multiplicity."""
+    ca, cb = Counter(a), Counter(b)
+    inter = ca & cb
+    return (
+        sum(inter.values()),
+        sum((ca - cb).values()),
+        sum((cb - ca).values()),
+    )
+
+
+def extract_symbols(t: str) -> list[str]:
+    """C16 — chars outside the allowlist, super/subscripts normalized."""
+    s = (t or "").translate(SUPERSCRIPTS)
+    return [c for c in s if not RE_PLAIN.match(c)]
+
+
+RE_ORDINAL_SUFFIX = re.compile(r"(?<=\d)(st|nd|rd|th)$")
+
+
+def canon_number(tok: str) -> str:
+    """Comparison canon: '2nd' == '2', '1,234' == '1234'."""
+    return RE_ORDINAL_SUFFIX.sub("", tok.replace(",", ""))
+
+
+def number_status(kr: str, en: str) -> str:
+    """A9 verdict for numbers: kr numbers+numberwords vs en side,
+    compared on canonicalized tokens (ordinal suffixes and thousands
+    separators stripped — '2번째' pairs with '2nd')."""
+    kn = [canon_number(t) for t in extract_numbers(kr) + map_number_words(kr)]
+    en_n = [canon_number(t) for t in extract_numbers(en) + map_number_words(en)]
+    if not kn and not en_n:
+        return "no_numbers"
+    matched, only_k, only_e = counter_diff(kn, en_n)
+    if only_k == 0 and only_e == 0:
+        return "all_match"
+    if matched > 0:
+        return "partial_match"
+    return "no_match"
+
+
+def pair_class(kr: str, en: str) -> str:
+    """C17 (metadata_generator.py:383-421) — pair-quality class."""
+    if kr is None or en is None:
+        return "invalid_input"
+    if not kr.strip() or not en.strip():
+        return "empty"
+    if not RE_KOREAN.search(kr):
+        return "no_korean_in_kor"
+    p_match, p_only_k, p_only_e = counter_diff(extract_punct(kr), extract_punct(en))
+    if p_only_k == 0 and p_only_e == 0:
+        return "all_match"
+    if p_match > 0:
+        return "partial_match"
+    return "valid_candidate"
+
+
+def compare_pair(kr: str, en: str) -> dict:
+    """The full per-pair metadata record (one row of the reference's
+    metadata workbook, metadata_generator.py:466-689)."""
+    pm, pk, pe = counter_diff(extract_punct(kr or ""), extract_punct(en or ""))
+    sm, sk, se = counter_diff(extract_symbols(kr or ""), extract_symbols(en or ""))
+    return {
+        "punct_match": pm, "punct_only_kr": pk, "punct_only_en": pe,
+        "symbol_match": sm, "symbol_only_kr": sk, "symbol_only_en": se,
+        "number_status": number_status(kr or "", en or ""),
+        "pair_class": pair_class(kr, en),
+        "kr_numbers": extract_numbers(kr or ""),
+        "en_numbers": extract_numbers(en or ""),
+    }
+
+
+# --------------------------------------------------------------------------
+# Spark surface
+# --------------------------------------------------------------------------
+
+META_STRUCT = T.StructType(
+    [
+        T.StructField("punct_match", T.IntegerType()),
+        T.StructField("punct_only_kr", T.IntegerType()),
+        T.StructField("punct_only_en", T.IntegerType()),
+        T.StructField("symbol_match", T.IntegerType()),
+        T.StructField("symbol_only_kr", T.IntegerType()),
+        T.StructField("symbol_only_en", T.IntegerType()),
+        T.StructField("number_status", T.StringType()),
+        T.StructField("pair_class", T.StringType()),
+        T.StructField("kr_numbers", T.ArrayType(T.StringType())),
+        T.StructField("en_numbers", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def pair_metadata(df: DataFrame, kr_col: str = "kr_text", en_col: str = "en_text") -> DataFrame:
+    """Append the metadata struct to a pair DataFrame — one vectorized
+    Arrow batch pass (pandas_udf), no per-row Spark round trips."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf(META_STRUCT)
+    def kernel(kr: pd.Series, en: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([compare_pair(k, e) for k, e in zip(kr, en)])
+
+    return df.withColumn("meta", kernel(F.col(kr_col), F.col(en_col)))

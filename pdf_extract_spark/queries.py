@@ -643,6 +643,82 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# pair-quality metadata (SURVEY.md A9, C12-C17)
+# =====================================================================
+
+@query(
+    "punct_stats",
+    r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[!?:;%"`~…]')) AS n_punct,
+       coalesce(list_aggregate(regexp_extract_all(text, '[!?:;%"`~…]'), 'string_agg', ''), '') AS punct_str,
+       (CASE WHEN regexp_matches(trim(text), '\.$') THEN 1 ELSE 0 END)::BIGINT AS ends_dot
+FROM documents
+""",
+)
+def punct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 — punctuation extraction as pure Catalyst regexp_extract_all
+    (metadata_generator.py:92-96)."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.regexp_extract_all(F.col("text"), F.lit('[!?:;%"`~…]'))
+    return d.select(
+        "doc_id",
+        F.size(arr).cast("long").alias("n_punct"),
+        F.concat_ws("", arr).alias("punct_str"),
+        F.when(F.trim(F.col("text")).rlike(r"\.$"), 1).otherwise(0).cast("long").alias("ends_dot"),
+    )
+
+
+@query("pair_metadata")
+def pair_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/C13-C17 — the full pair-quality metadata struct (multiset
+    Counter algebra, number cascade + word mapping, symbol comparison,
+    pair classification) over aligned fixture pairs. Rows-only check:
+    sequential regex consumption isn't ANSI-SQL-expressible."""
+    from pdf_extract_spark.operators import align, metacompare
+
+    kr_df, en_df = _alignment_fixture(spark)
+    pairs = align.align_pairs(kr_df, en_df)
+    joined = align.export_kr_anchored(kr_df, pairs, en_df).filter(
+        F.col("en_text").isNotNull()
+    )
+    out = metacompare.pair_metadata(joined)
+    return out.select(
+        "doc_id", "kr_idx", "en_idx",
+        F.col("meta.punct_match").alias("punct_match"),
+        F.col("meta.punct_only_kr").alias("punct_only_kr"),
+        F.col("meta.punct_only_en").alias("punct_only_en"),
+        F.col("meta.number_status").alias("number_status"),
+        F.col("meta.pair_class").alias("pair_class"),
+    ).orderBy("doc_id", "kr_idx", "en_idx")
+
+
+# =====================================================================
+# multimodal (binary payload columns + typed metadata)
+# =====================================================================
+
+@query("media_features")
+def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level media features (size / nibble histogram / entropy /
+    64-bit content hash) over Arrow-batched mapInPandas. Rows-only check:
+    the media corpus is generated, not a registered DuckDB table."""
+    from pdf_extract_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(M.make_media_corpus(120, seed=5), schema=M.MEDIA)
+    return M.media_features(df).drop("histogram").orderBy("media_ref")
+
+
+@query("media_frame_plan")
+def media_frame_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (sequence+explode, pure Catalyst) plus the
+    decode-stub image pass. Rows-only check."""
+    from pdf_extract_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(M.make_media_corpus(120, seed=5), schema=M.MEDIA)
+    return M.sample_frames(df, fps=2.0).orderBy("media_ref", "frame_idx")
+
+
+# =====================================================================
 # alignment suite (SURVEY.md §2.4 J5-J10)
 # =====================================================================
 

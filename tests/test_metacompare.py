@@ -1,0 +1,69 @@
+"""Metadata-comparison kernel tests (A9, C12-C17)."""
+
+from __future__ import annotations
+
+from pdf_extract_spark.operators import metacompare as MC
+
+
+def test_extract_punct():
+    assert MC.extract_punct("What? Yes: ok; 50% done.") == ["?", ":", ";", "%", "."]
+    assert MC.extract_punct("no punct here") == []
+
+
+def test_extract_numbers_cascade_order():
+    # thousands-sep captured whole, not re-matched by bare-int
+    assert MC.extract_numbers("costs 1,234.5 total") == ["1,234.5"]
+    assert MC.extract_numbers("3.5 and 2-4 and 1st and 7") == ["3.5", "2-4", "1st", "7"]
+    # superscript digits normalize before matching (en side, :143-159)
+    assert MC.extract_numbers("area m²") == ["2"]
+    # masking: '12' inside '12.5' must not double-count
+    assert MC.extract_numbers("12.5") == ["12.5"]
+
+
+def test_map_number_words():
+    assert MC.map_number_words("one dozen eggs") == ["1", "12"]
+    assert MC.map_number_words("twenty-one") == ["1"]  # hyphen parts map individually
+    assert MC.map_number_words("the third of Jan.") == ["3", "1"]
+    assert MC.map_number_words("double-hull tanker") == ["2"]
+
+
+def test_counter_multiset_semantics():
+    # array_intersect would dedup; Counter keeps multiplicity
+    assert MC.counter_diff(["a", "a", "b"], ["a", "b", "b"]) == (2, 1, 1)
+    assert MC.counter_diff([], ["x"]) == (0, 0, 1)
+
+
+def test_number_status():
+    assert MC.number_status("3개의 항목 중 2번째", "the 2nd of 3 items") == "all_match"
+    assert MC.number_status("5개", "five items") == "all_match"  # word mapping
+    assert MC.number_status("7개", "three items") == "no_match"
+    assert MC.number_status("항목", "items") == "no_numbers"
+    assert MC.number_status("1과 2", "1 and 5") == "partial_match"
+
+
+def test_pair_class():
+    assert MC.pair_class(None, "x") == "invalid_input"
+    assert MC.pair_class(" ", "x") == "empty"
+    assert MC.pair_class("no korean", "none") == "no_korean_in_kor"
+    assert MC.pair_class("좋다.", "Good.") == "all_match"
+    assert MC.pair_class("좋다? 네.", "Good.") == "partial_match"
+    assert MC.pair_class("좋다!", "Good?") == "valid_candidate"
+
+
+def test_symbols_superscript_equivalence():
+    assert MC.extract_symbols("m² × 3") == ["×"]  # ² normalizes to digit 2
+
+
+def test_spark_pair_metadata(spark):
+    rows = [
+        {"kr_text": "토지 면적은 1,234.5 m²이다.", "en_text": "The land area is 1,234.5 m²."},
+        {"kr_text": "두 번째 항목?", "en_text": "the second item?"},
+        {"kr_text": "plain english", "en_text": "plain english"},
+    ]
+    df = spark.createDataFrame(rows)
+    got = [r["meta"].asDict() for r in MC.pair_metadata(df).collect()]
+    exp = [MC.compare_pair(r["kr_text"], r["en_text"]) for r in rows]
+    for g, e in zip(got, exp):
+        assert g == e
+    assert got[0]["number_status"] == "all_match"
+    assert got[2]["pair_class"] == "no_korean_in_kor"

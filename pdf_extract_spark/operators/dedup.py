@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from pdf_extract_spark.operators.hashing import phash, phash_seeded, phash_seeded_sql, phash_sql
+from pdf_extract_spark.operators.hashing import phash, phash_sql
 from pdf_extract_spark.operators.textstats import tokens, tokens_sql
 
 # -------------------------------------------------------------- normalize
@@ -146,21 +146,25 @@ N_BANDS = 4  # 4 rows per band
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, mh_0..mh_{N-1}): minimum of the seeded portable hash over
-    the document's shingles, per hash function."""
+    """(doc_id, mh_0..mh_{N-1}): minimum over the document's shingles of
+    the classic 2-hash family h_i = (h1 + i*h2) mod p — ONE md5 digest per
+    shingle (h1/h2 are two halves of it, CSE'd), not N_HASHES digests."""
+    from pdf_extract_spark.operators.hashing import minhash_fn, phash2
+
     sh = df.select("doc_id", shingles(F.col(text_col)).alias("sh"))
-
-    def _mh_lambda(seed: int):
-        def fn(s):
-            return phash_seeded(s, seed)
-
-        return fn
-
+    hashed = sh.select(
+        "doc_id",
+        F.transform(F.col("sh"), lambda s: F.struct(
+            phash(s).alias("h1"), phash2(s).alias("h2")
+        )).alias("hs"),
+    )
     cols = [
-        F.array_min(F.transform(F.col("sh"), _mh_lambda(i))).alias(f"mh_{i}")
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: minhash_fn(h["h1"], h["h2"], i))
+        ).alias(f"mh_{i}")
         for i in range(N_HASHES)
     ]
-    return sh.select("doc_id", *cols)
+    return hashed.select("doc_id", *cols)
 
 
 def minhash_lsh_pairs(
@@ -179,11 +183,12 @@ def minhash_lsh_pairs(
         band_cols.append(
             F.concat_ws("_", F.lit(str(b)), *[p.cast("string") for p in parts]).alias(f"band_{b}")
         )
-    banded = sig.select("doc_id", *band_cols)
-    bands = None
-    for b in range(N_BANDS):
-        piece = banded.select("doc_id", F.col(f"band_{b}").alias("band_key"))
-        bands = piece if bands is None else bands.unionByName(piece)
+    # one pass: emit all band keys from a single signature computation
+    # (a per-band union would recompute the 16-hash signature N_BANDS times)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[c for c in band_cols])).alias("band_key"),
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     cand = (
@@ -212,9 +217,13 @@ def minhash_lsh_pairs(
 def minhash_lsh_pairs_sql(
     table: str = "documents", text_expr: str = "text", threshold: float = 0.5
 ) -> str:
+    from pdf_extract_spark.operators.hashing import minhash_fn_sql, phash2_sql
+
     rows_per_band = N_HASHES // N_BANDS
     mh_cols = ", ".join(
-        f"list_min(list_transform(sh, s -> {phash_seeded_sql('s', i)})) AS mh_{i}"
+        "list_min(list_transform(sh, s -> {f})) AS mh_{i}".format(
+            f=minhash_fn_sql(phash_sql("s"), phash2_sql("s"), i), i=i
+        )
         for i in range(N_HASHES)
     )
     band_rows = " UNION ALL ".join(

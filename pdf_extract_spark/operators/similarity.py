@@ -137,27 +137,30 @@ WHERE a.vec_id < b.vec_id AND round({cos}, 6) >= {threshold}
 
 # ------------------------------------------------- LSH-bucketed scale path
 
-def _plane_weight(plane: int, dim: Column) -> Column:
-    """Deterministic pseudo-random hyperplane weight in [-1, 1]:
-    derived from the portable hash of 'plane:dim'."""
-    from pdf_extract_spark.operators.hashing import phash
+def _plane_weight_py(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1]: derived
+    from the portable md5 hash of 'pl{plane}:{dim}' — the same value the
+    DuckDB oracle computes at query time (hashing.phash semantics)."""
+    import hashlib
 
-    h = phash(F.concat(F.lit(f"pl{plane}:"), dim.cast("string")))
+    h = int(hashlib.md5(f"pl{plane}:{dim}".encode()).hexdigest()[:15], 16)
     return (h % (2 * PLANE_RES + 1) - PLANE_RES) / float(PLANE_RES)
 
 
-def lsh_bucket_key(vec: Column) -> Column:
-    """Sign bits of N_PLANES random projections -> integer bucket id."""
-    def _proj_lambda(p: int):
-        def fn(x, i):
-            return x.cast("double") * _plane_weight(p, i)
+def lsh_bucket_key(vec: Column, dim: int) -> Column:
+    """Sign bits of N_PLANES random projections -> integer bucket id.
 
-        return fn
-
+    The hyperplane weights depend only on (plane, dim index), so they are
+    folded to LITERAL arrays at plan-build time — the runtime does one
+    zip_with multiply-accumulate per plane, no per-row hashing (the DuckDB
+    oracle recomputes the same md5-derived weights symbolically)."""
     bits = []
     for p in range(N_PLANES):
+        weights = F.array(
+            *[F.lit(_plane_weight_py(p, i)) for i in range(1, dim + 1)]
+        )
         proj = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(1), F.size(vec)), _proj_lambda(p)),
+            F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -196,9 +199,11 @@ def ann_lsh_topk(
     not |Q|x|N|."""
     from pyspark.sql import Window as W
 
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first else 0
     with_b = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-        lsh_bucket_key(F.col(vec_col)).alias("bucket"),
+        lsh_bucket_key(F.col(vec_col), dim).alias("bucket"),
     )
     q = with_b.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("q_id"), F.col("vec").alias("q_vec"), "bucket"

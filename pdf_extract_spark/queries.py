@@ -643,6 +643,136 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# scalar string/regex operators (SURVEY.md §2.7 C1/C19/C21/C22, F4, F6)
+# =====================================================================
+
+@query(
+    "filename_ops",
+    r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(
+           'a1b2c3d4-e5f6-a1b2-c3d4-e5f6a1b2c3d4_' || source || '_batch_00' ||
+             (doc_id % 7)::VARCHAR || '_pages_1-10_' ||
+             CASE WHEN doc_id % 2 = 0 THEN 'kr' ELSE 'en' END || '.pdf',
+           '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}_', ''),
+           '_batch_\d+_pages_\d+-\d+', '') AS original_name,
+       regexp_replace(regexp_replace(source || ':v|2*draft?', '[<>:"/\\|?*]', '', 'g'),
+                      '_+', '_', 'g') AS safe_name,
+       regexp_extract('data_' || source || '/file.pdf', 'data_([^/]+)', 1) AS suffix,
+       CASE WHEN doc_id % 2 = 0 THEN 'korean' ELSE 'english' END AS language
+FROM documents
+""",
+)
+def filename_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 original-filename recovery (main.py:204-226), C19 safe filename
+    (utils.py:257-266), C21 suffix extraction (main.py:55-65), F4
+    filename-based language detect (main.py:1454-1470) — all pure
+    regexp_replace/regexp_extract chains over a synthesized batch-file
+    name, value-exact on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    batch_name = F.concat(
+        F.lit("a1b2c3d4-e5f6-a1b2-c3d4-e5f6a1b2c3d4_"),
+        F.col("source"),
+        F.lit("_batch_00"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("_pages_1-10_"),
+        F.when(F.col("doc_id") % 2 == 0, "kr").otherwise("en"),
+        F.lit(".pdf"),
+    )
+    original = F.regexp_replace(
+        F.regexp_replace(
+            batch_name,
+            r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}_",
+            "",
+        ),
+        r"_batch_\d+_pages_\d+-\d+",
+        "",
+    )
+    safe = F.regexp_replace(
+        F.regexp_replace(
+            F.concat(F.col("source"), F.lit(':v|2*draft?')), r'[<>:"/\\|?*]', ""
+        ),
+        "_+",
+        "_",
+    )
+    return d.select(
+        "doc_id",
+        original.alias("original_name"),
+        safe.alias("safe_name"),
+        F.regexp_extract(
+            F.concat(F.lit("data_"), F.col("source"), F.lit("/file.pdf")),
+            r"data_([^/]+)",
+            1,
+        ).alias("suffix"),
+        F.when(F.col("doc_id") % 2 == 0, "korean").otherwise("english").alias("language"),
+    )
+
+
+@query(
+    "json_validity",
+    """
+WITH j AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN '{"n": ' || (doc_id % 97)::VARCHAR
+              ELSE '{"n": ' || (doc_id % 97)::VARCHAR || ', "s": "' || lang || '"}'
+         END AS payload
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN json_valid(payload) THEN 1 ELSE 0 END AS is_valid,
+       CASE WHEN json_valid(payload)
+            THEN json_extract(payload, '$.n')::BIGINT END AS n_field
+FROM j
+""",
+)
+def json_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 JSON completeness check + C23 tolerant parse (main.py:505-524,
+    526-599): corrupt payloads flag invalid instead of failing the job
+    (from_json null == quarantine-row semantics)."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit('{"n": '), (F.col("doc_id") % 97).cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit('{"n": '), (F.col("doc_id") % 97).cast("string"),
+            F.lit(', "s": "'), F.col("lang"), F.lit('"}'),
+        )
+    )
+    parsed = F.from_json(payload, "n bigint, s string")
+    return d.select(
+        "doc_id",
+        F.when(parsed.isNotNull() & parsed["n"].isNotNull(), 1).otherwise(0).alias("is_valid"),
+        F.when(parsed.isNotNull(), parsed["n"]).alias("n_field"),
+    )
+
+
+@query(
+    "earliest_anchor",
+    """
+SELECT user_id,
+       min_by(event_id, ts) AS first_event_id,
+       max_by(event_id, ts) AS last_event_id,
+       count(*) AS n
+FROM events
+GROUP BY 1
+""",
+)
+def earliest_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 — earliest/latest-anchor pick via min_by/max_by
+    (aligner.py:130-134, 367-369)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min_by("event_id", "ts").alias("first_event_id"),
+            F.max_by("event_id", "ts").alias("last_event_id"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# =====================================================================
 # pair-quality metadata (SURVEY.md A9, C12-C17)
 # =====================================================================
 

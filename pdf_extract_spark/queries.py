@@ -887,6 +887,51 @@ def zip_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "monotonic_prune",
+    """
+WITH seq AS (
+  SELECT user_id, event_id, ts, value,
+         max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM events)
+SELECT user_id, event_id, round(value, 2) AS value
+FROM seq WHERE prev_max IS NULL OR value > prev_max
+""",
+)
+def monotonic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — monotonic pruning as a running-max window filter: keep rows
+    whose value strictly exceeds every earlier value in the group (the
+    strictly-increasing en-index rule, aligner.py:166-211)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn("prev_max", F.max("value").over(w))
+    return seq.filter(
+        F.col("prev_max").isNull() | (F.col("value") > F.col("prev_max"))
+    ).select("user_id", "event_id", F.round("value", 2).alias("value"))
+
+
+@query("compression_ratio")
+def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — input-fragments vs composed-sentences compression ratio per
+    document, plus corpus aggregate (sentence_composer.py:611,553).
+    Rows-only: requires the extraction stage."""
+    from pdf_extract_spark.pipeline import run_extraction
+
+    docs = synth_spans(_t(spark, sf_dir, "documents"))
+    before = docs.select("doc_id", F.size("spans").alias("n_in"))
+    after = run_extraction(docs).select("doc_id", F.size("spans").alias("n_out"))
+    per_doc = before.join(after, "doc_id")
+    return per_doc.select(
+        "doc_id", "n_in", "n_out",
+        F.round(F.col("n_in") / F.greatest(F.col("n_out"), F.lit(1)), 6).alias("ratio"),
+    ).orderBy("doc_id")
+
+
 def _alignment_fixture(spark: SparkSession, n_docs: int = 25):
     from pdf_extract_spark import generator
     from pdf_extract_spark.schemas import FRAGMENTS_LANG

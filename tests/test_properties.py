@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the deterministic rule core.
+
+These pin the invariants that make the distributed execution safe:
+fragmentation-invariance is why section-boundary splitting of giant
+documents is exact (SURVEY.md §7.4.4), and offset-permutation invariance
+is why shuffle order can never leak into results.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from pdf_extract_spark import rules
+
+WORD = st.from_regex(r"[a-z]{1,8}", fullmatch=True)
+
+
+@st.composite
+def sentences(draw):
+    n = draw(st.integers(2, 12))
+    ws = [draw(WORD) for _ in range(n)]
+    return " ".join(ws).capitalize() + draw(st.sampled_from(".!?"))
+
+
+@st.composite
+def fragmentations(draw):
+    """A paragraph of complete sentences plus a random re-fragmentation of
+    it at word boundaries."""
+    sents = draw(st.lists(sentences(), min_size=1, max_size=5))
+    text = " ".join(sents)
+    words = text.split(" ")
+    cut_points = draw(
+        st.lists(st.integers(1, max(len(words) - 1, 1)), max_size=6, unique=True)
+    )
+    cuts = sorted(p for p in cut_points if p < len(words))
+    frags = []
+    prev = 0
+    for c in cuts + [len(words)]:
+        frags.append(" ".join(words[prev:c]))
+        prev = c
+    return sents, frags
+
+
+@given(fragmentations())
+@settings(max_examples=200, deadline=None)
+def test_composition_invariant_to_fragmentation(case):
+    """However a paragraph is split at word boundaries, the FSM must
+    recompose the same complete sentences (no brackets case)."""
+    sents, frags = case
+    composed = rules.compose_sentences(frags)
+    expected = [s for full in sents for s in rules.split_sentences(full)]
+    assert composed == [rules.tighten_brackets(rules.collapse_ws(s)) for s in expected]
+
+
+@given(st.lists(st.tuples(st.sampled_from(["text", "media"]), sentences()), min_size=1, max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_extract_document_invariant_to_offset_permutation(items):
+    """Input spans sorted by offset: shuffling the LIST order (keeping the
+    offset values) must not change the output."""
+    spans = [
+        {"kind": k, "text": t if k == "text" else "",
+         "media_ref": f"m{i}" if k == "media" else "", "offset": i}
+        for i, (k, t) in enumerate(items)
+    ]
+    out_sorted = rules.extract_document(spans)
+    out_reversed = rules.extract_document(list(reversed(spans)))
+    assert out_sorted == out_reversed
+
+
+@given(st.lists(sentences(), min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_split_then_join_roundtrip(sents):
+    """split_sentences of a joined paragraph finds exactly the sentence
+    boundaries (no bracket content)."""
+    text = " ".join(sents)
+    assert rules.split_sentences(text) == sents
+
+
+@given(st.text(alphabet=" abc().[]?! \t", max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_fsm_never_loses_nonspace_characters(t):
+    """Composition may re-segment but must never drop non-whitespace
+    content (residuals are kept, SURVEY.md §2.8)."""
+    out = rules.compose_sentences([t])
+    kept = re.sub(r"\s+", "", "".join(out))
+    original = re.sub(r"\s+", "", t)
+    assert kept == original
+
+
+@given(st.lists(st.tuples(st.sampled_from(["H1", "H2", "H3", "P", "media"]), WORD), max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_run_merge_preserves_order_and_nonheaders(frags_in):
+    frags = [
+        {"kind": k, "text": t, "media_ref": ""} for k, t in frags_in
+    ]
+    out = rules.merge_consecutive_tags(frags)
+    # non-header fragments survive 1:1 in order
+    assert [f["text"] for f in out if f["kind"] not in rules.HEADER_KINDS] == [
+        f["text"] for f in frags if f["kind"] not in rules.HEADER_KINDS
+    ]
+    # no two adjacent outputs share a header kind
+    for a, b in zip(out, out[1:]):
+        assert not (a["kind"] == b["kind"] and a["kind"] in rules.HEADER_KINDS)
+    # every input word is present in the output stream
+    assert " ".join(f["text"] for f in out).split() == [t for _, t in frags_in]

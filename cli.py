@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""CLI parity layer — the reference's entry points re-expressed
+(/root/reference/cli.py: single file, --folder, --batch-processing,
+--retry-*, --status), driving the Spark engine.
+
+  extract   one parquet documents table (input-hint shape) -> spans_out
+            with bucket-granular lineage (resume = rerun same lake+input)
+  folder    a directory of *.pdf files -> spans_out (byte path)
+  stream    incremental availableNow pass over an arriving documents dir
+  status    lineage/metrics summary for a lake (the reference's --status)
+
+Examples:
+  python cli.py extract --input /data/documents.parquet --lake /data/lake
+  python cli.py folder  --input /data/pdfs --output /data/spans
+  python cli.py status  --lake /data/lake
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("extract", help="documents parquet -> spans_out with lineage")
+    p.add_argument("--input", required=True)
+    p.add_argument("--lake", required=True)
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--group-size", type=int, default=8)
+
+    p = sub.add_parser("folder", help="directory of *.pdf -> spans_out parquet")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+
+    p = sub.add_parser("stream", help="incremental availableNow extraction")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", required=True)
+
+    p = sub.add_parser("status", help="lineage/metrics summary for a lake")
+    p.add_argument("--lake", required=True)
+
+    args = ap.parse_args()
+
+    from pdf_extract_spark.session import build_spark
+
+    spark = build_spark(app_name=f"pdf_extract_cli_{args.cmd}")
+
+    if args.cmd == "extract":
+        from pdf_extract_spark.lineage import Lake, run_extraction_with_lineage
+
+        lake = Lake(spark, args.lake)
+        docs = spark.read.parquet(args.input)
+        run_id = args.run_id or uuid.uuid4().hex[:12]
+        rep = run_extraction_with_lineage(
+            lake, docs, run_id=run_id,
+            n_buckets=args.buckets, group_size=args.group_size,
+        )
+        print(
+            f"run {rep.run_id}: {len(rep.buckets_processed)} buckets processed, "
+            f"{len(rep.buckets_skipped)} resumed-as-done, "
+            f"{rep.doc_count} docs, {rep.span_count} spans -> {lake.spans_out}"
+        )
+    elif args.cmd == "folder":
+        from pdf_extract_spark.sources.folder import extract_pdf_folder
+
+        out = extract_pdf_folder(spark, args.input)
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"extracted {spark.read.parquet(args.output).count()} documents -> {args.output}")
+    elif args.cmd == "stream":
+        from pdf_extract_spark.streaming import incremental_extraction
+
+        q = incremental_extraction(spark, args.input, args.output, args.checkpoint)
+        q.awaitTermination()
+        print(f"drained new files -> {args.output}")
+    elif args.cmd == "status":
+        from pdf_extract_spark.lineage import Lake
+
+        lake = Lake(spark, args.lake)
+        lin = lake.read_lineage()
+        if lin is None:
+            print("no lineage yet")
+            return
+        lin.groupBy("run_id", "status").count().orderBy("run_id", "status").show(50, False)
+        try:
+            spark.read.parquet(lake.metrics).orderBy("run_id").show(50, False)
+        except Exception:
+            pass
+
+
+if __name__ == "__main__":
+    main()

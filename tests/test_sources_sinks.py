@@ -1,0 +1,71 @@
+"""Folder (binaryFile) source and sink tests (S1/S2, S10/S12/S13)."""
+
+from __future__ import annotations
+
+import os
+
+from pdf_extract_spark import oracle, sinks
+from pdf_extract_spark.sources import pdfgen
+from pdf_extract_spark.sources.folder import extract_pdf_folder, scan_pdf_folder
+
+N = 8
+SEED = 44
+
+
+def _write_pdfs(tmp_path):
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    for i in range(N):
+        (d / f"doc_{i:03d}.pdf").write_bytes(pdfgen.build_pdf(i, seed=SEED))
+    (d / "notes.txt").write_text("ignored")          # glob filter must skip
+    (d / "broken.pdf").write_bytes(b"garbage bytes")  # S2 must drop
+    return str(d)
+
+
+def test_scan_pdf_folder(spark, tmp_path):
+    folder = _write_pdfs(tmp_path)
+    rows = scan_pdf_folder(spark, folder).collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == sorted([f"doc_{i:03d}" for i in range(N)] + ["broken"])
+    by_id = {r["doc_id"]: bytes(r["content"]) for r in rows}
+    assert by_id["doc_000"] == pdfgen.build_pdf(0, seed=SEED)
+
+
+def test_extract_pdf_folder_end_to_end(spark, tmp_path):
+    folder = _write_pdfs(tmp_path)
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in extract_pdf_folder(spark, folder).collect()
+    }
+    assert "broken" not in got  # magic-header filter dropped it pre-parse
+    assert len(got) == N
+    for i in range(N):
+        exp = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in oracle.expected_spans_from_layout(pdfgen.expected_pages(i, seed=SEED))
+        ]
+        assert got[f"doc_{i:03d}"] == exp
+
+
+def test_sentence_sink_shape(spark, tmp_path):
+    folder = _write_pdfs(tmp_path)
+    spans_out = extract_pdf_folder(spark, folder)
+    path = str(tmp_path / "sentences")
+    sinks.write_sentences(spans_out, path, run_id="r42")
+    rows = spark.read.parquet(path)
+    assert rows.columns == [
+        "sentence", "source_type", "sentence_index", "media_ref",
+        "original_filename", "batch_id",
+    ]
+    first = rows.filter("original_filename = 'doc_000'").orderBy("sentence_index").first()
+    assert first["sentence_index"] == 1 and first["batch_id"] == "r42"
+
+
+def test_csv_sink(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    out = str(tmp_path / "csv")
+    sinks.write_csv(df, out)
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert files
+    back = spark.read.option("header", True).csv(out)
+    assert sorted((r["k"], int(r["v"])) for r in back.collect()) == [("a", 1), ("b", 2)]

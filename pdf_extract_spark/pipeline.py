@@ -59,3 +59,19 @@ def run_extraction(
     """
     parted = partition_for_extraction(documents, num_partitions)
     return extract_documents(parted)
+
+
+def run_extraction_balanced(
+    documents: DataFrame,
+    num_partitions: int | None = None,
+    max_spans: int = 4096,
+) -> DataFrame:
+    """Skew-defused variant: documents above ``max_spans`` are chunked at
+    exact-safe boundaries and composed across tasks, so one 10^5-span
+    document cannot pin a task (SURVEY.md §7.4.4). Costs one extra
+    explode+regroup shuffle FOR THE GIANTS ONLY; byte-identical output
+    (tests/test_skew.py)."""
+    from pdf_extract_spark.operators.extract import extract_documents_balanced
+
+    parted = partition_for_extraction(documents, num_partitions)
+    return extract_documents_balanced(parted, max_spans)

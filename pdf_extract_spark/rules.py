@@ -335,6 +335,50 @@ def boilerplate_keys(texts: list[str]) -> set[str]:
 # the documents-path contract: spans in -> spans out
 # --------------------------------------------------------------------------
 
+def tag_fragments(spans: list[dict]) -> list[dict]:
+    """Stages 1-4 of extract_document: order by offset, boilerplate strip,
+    per-fragment cleanup + empty drop, text-heuristic tagging. Returns
+    pre-merge fragments {kind, text, media_ref}.
+
+    Exposed separately so the giant-document split path can chunk AFTER
+    tagging (safe split points are only knowable on tagged fragments) while
+    staying byte-identical to the single-pass path."""
+    ordered = sorted(spans, key=lambda s: s["offset"])
+    bp = boilerplate_keys([s["text"] or "" for s in ordered if s["kind"] == "text"])
+
+    frags: list[dict] = []
+    for s in ordered:
+        if s["kind"] == "media":
+            frags.append({"kind": "media", "text": "", "media_ref": s["media_ref"] or ""})
+            continue
+        raw = s["text"] or ""
+        if collapse_ws(raw) in bp:
+            continue
+        t = clean_fragment(raw)
+        if not t:
+            continue
+        frags.append({"kind": tag_by_text(t), "text": t, "media_ref": ""})
+    return frags
+
+
+def safe_split_points(frags: list[dict], target: int) -> list[int]:
+    """Chunk boundaries for giant documents that are EXACT under run-merge
+    + composition (SURVEY.md §7.4.4): position i may start a chunk only if
+    frags[i] is a header or media fragment AND frags[i-1] has a different
+    kind — a P-run always flushes before a non-P fragment, and a same-kind
+    header run is never severed, so processing chunks independently and
+    concatenating yields the single-pass result. Greedy: next safe point
+    at or after each multiple of ``target``."""
+    points = []
+    n = len(frags)
+    want = target
+    for i in range(1, n):
+        if i >= want and frags[i]["kind"] != "P" and frags[i]["kind"] != frags[i - 1]["kind"]:
+            points.append(i)
+            want = i + target
+    return points
+
+
 def extract_document(spans: list[dict]) -> list[dict]:
     """Full deterministic extraction for one document in ``input_hint``
     shape. Input spans: {kind: text|media, text, media_ref, offset}.
@@ -354,25 +398,7 @@ def extract_document(spans: list[dict]) -> list[dict]:
          is emitted at its reading-order position;
       7. renumber offsets 0..n-1.
     """
-    ordered = sorted(spans, key=lambda s: s["offset"])
-    bp = boilerplate_keys([s["text"] or "" for s in ordered if s["kind"] == "text"])
-
-    # stages 2-4: clean + tag
-    frags: list[dict] = []
-    for s in ordered:
-        if s["kind"] == "media":
-            frags.append({"kind": "media", "text": "", "media_ref": s["media_ref"] or ""})
-            continue
-        raw = s["text"] or ""
-        if collapse_ws(raw) in bp:
-            continue
-        t = clean_fragment(raw)
-        if not t:
-            continue
-        frags.append({"kind": tag_by_text(t), "text": t, "media_ref": ""})
-
-    # stages 5-7: run merge, composition, renumber
-    return compose_fragments(merge_consecutive_tags(frags))
+    return compose_fragments(merge_consecutive_tags(tag_fragments(spans)))
 
 
 # --------------------------------------------------------------------------

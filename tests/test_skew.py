@@ -1,0 +1,59 @@
+"""Giant-document skew defense: the chunked path must be byte-identical
+to the single-pass path / golden oracle (SURVEY.md §7.4.4)."""
+
+from __future__ import annotations
+
+from pdf_extract_spark import generator, oracle, rules
+from pdf_extract_spark.operators.extract import extract_documents_balanced
+from pdf_extract_spark.schemas import DOCUMENTS
+
+
+def test_safe_split_points_are_exact():
+    """Chunking at safe points + concat == single pass, on every generated
+    doc (including ones with long same-tag header runs)."""
+    for d in range(40):
+        doc = generator.make_document(d, seed=77)
+        frags = rules.tag_fragments(doc["spans"])
+        whole = rules.compose_fragments(rules.merge_consecutive_tags(frags))
+        for target in (5, 20, 100):
+            pts = rules.safe_split_points(frags, target)
+            bounds = [0] + pts + [len(frags)]
+            parts = []
+            for a, b in zip(bounds, bounds[1:]):
+                parts.extend(
+                    rules.compose_fragments(rules.merge_consecutive_tags(frags[a:b]))
+                )
+            renumbered = [
+                {**p, "offset": i} for i, p in enumerate(parts)
+            ]
+            assert renumbered == whole, f"doc {d} target {target}"
+
+
+def test_split_points_respect_header_runs():
+    frags = (
+        [{"kind": "P", "text": "a", "media_ref": ""}] * 3
+        + [{"kind": "H1", "text": "h1", "media_ref": ""}] * 3  # run must not sever
+        + [{"kind": "P", "text": "b", "media_ref": ""}] * 3
+        + [{"kind": "media", "text": "", "media_ref": "m"}]
+        + [{"kind": "P", "text": "c", "media_ref": ""}] * 3
+    )
+    pts = rules.safe_split_points(frags, 2)
+    for i in pts:
+        assert frags[i]["kind"] != "P"
+        assert frags[i]["kind"] != frags[i - 1]["kind"]
+    assert 4 not in pts and 5 not in pts  # inside the H1 run
+
+
+def test_balanced_extraction_matches_oracle(spark):
+    """Mixed corpus with forced giants through the balanced operator, low
+    max_spans so every giant actually chunks."""
+    docs = generator.make_corpus(40, seed=19)
+    giants = [d["doc_id"] for d in docs if len(d["spans"]) > 400]
+    assert giants, "corpus must contain giant docs for this test"
+    df = spark.createDataFrame(docs, schema=DOCUMENTS)
+    out = extract_documents_balanced(df, max_spans=400)
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in out.collect()
+    }
+    assert got == oracle.expected_corpus(docs)

@@ -79,6 +79,9 @@ RE_H3_COLON = re.compile(r"^[^.?!]{1,60}:$")  # "Scope:" style run-in header
 MAX_HEADER_WORDS = 12
 
 RE_SENT_BOUNDARY = re.compile(r"[.?!]+[\"')\]]*(?:\s+|$)")
+# fast path: text whose ONLY terminal punctuation is one trailing run and
+# which contains no brackets is exactly one sentence — skips the char walk
+RE_SINGLE_SENTENCE = re.compile(r"^[^.?!()\[\]]*[.?!]+[\"')\]]*$")
 
 RE_NUMBERS_ONLY = re.compile(r"^[\d\s,.]*$")  # F7, metadata_generator.py:430-432
 RE_KOREAN = re.compile(r"[ㄱ-ㆎ가-힣]")  # C17, metadata_generator.py:383-421
@@ -248,6 +251,9 @@ def split_sentences(t: str) -> list[str]:
     and never inside a number like '3.5' (the boundary regex requires
     trailing whitespace/EOS).
     """
+    if RE_SINGLE_SENTENCE.match(t):
+        s = t.strip()
+        return [s] if s else []
     out: list[str] = []
     depth = 0
     start = 0
@@ -285,6 +291,23 @@ def is_complete(t: str, open_depth: int) -> bool:
     return bool(s) and s[-1] in TERMINALS
 
 
+RE_NEEDS_COLLAPSE = re.compile(r"[^\S ]| {2,}")  # any non-space ws, or 2+ spaces
+
+
+def _finalize_sentence(s: str) -> str:
+    """Cleanup rule with cheap guards: collapse_ws is a no-op when the
+    accumulated text came from pre-collapsed fragments joined by single
+    spaces, and bracket tightening only applies when brackets exist —
+    skip the regex-sub passes unless their trigger characters are present."""
+    if RE_NEEDS_COLLAPSE.search(s):
+        s = collapse_ws(s)
+    else:
+        s = s.strip()
+    if "(" in s or "[" in s or ")" in s or "]" in s:
+        s = tighten_brackets(s)
+    return s
+
+
 def compose_sentences(p_texts: list[str]) -> list[str]:
     """The FSM replacing the reference's composition LLM call
     (prompt spec at sentence_composer.py:354-404).
@@ -309,14 +332,14 @@ def compose_sentences(p_texts: list[str]) -> list[str]:
             depth = 0
         if is_complete(buf, depth):
             for s in split_sentences(buf):
-                out.append(tighten_brackets(collapse_ws(s)))
+                out.append(_finalize_sentence(s))
             buf = ""
             depth = 0
     if buf:
         # residual: may still contain complete inner sentences followed by
         # an incomplete tail — split what we can.
         for s in split_sentences(buf):
-            out.append(tighten_brackets(collapse_ws(s)))
+            out.append(_finalize_sentence(s))
     return out
 
 

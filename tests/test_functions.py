@@ -1,0 +1,29 @@
+"""Column-function tests (C8 quote normalization, C11 NFKC)."""
+
+from __future__ import annotations
+
+import unicodedata
+
+from pyspark.sql import functions as F
+
+from pdf_extract_spark import functions as X
+from pdf_extract_spark.rules import nfkc as nfkc_scalar, normalize_quotes
+
+
+def test_quote_norm_matches_rule(spark):
+    rows = [("“quoted” and ‘single’ and `tick`",), ("„low‟ plain",), (None,)]
+    df = spark.createDataFrame(rows, ["t"])
+    got = [r["o"] for r in df.select(X.quote_norm(F.col("t")).alias("o")).collect()]
+    exp = [normalize_quotes(t) if t is not None else None for (t,) in rows]
+    assert got == exp
+
+
+def test_nfkc_matches_stdlib(spark):
+    rows = [("ﬁle ½ ㎡ Ａ",), ("x²y",), (None,), ("plain",)]
+    df = spark.createDataFrame(rows, ["t"])
+    got = [r["o"] for r in df.select(X.nfkc(F.col("t")).alias("o")).collect()]
+    exp = [
+        unicodedata.normalize("NFKC", t) if t is not None else None for (t,) in rows
+    ]
+    assert got == exp
+    assert got[0] == nfkc_scalar("ﬁle ½ ㎡ Ａ")  # same rule the oracle uses

@@ -1,0 +1,47 @@
+"""Property-based tests for the PDF writer/parser pair."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pdf_extract_spark.sources import pdfgen, pdfparse
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_string_escape_roundtrip(t):
+    """_esc -> lexer -> _unescape is the identity for printable ASCII
+    (including parens and backslashes)."""
+    encoded = f"({pdfgen._esc(t)})".encode("latin-1")
+    lex = pdfparse._Lexer(encoded)
+    tok = lex.next_token()
+    assert pdfparse._unescape(tok[1:-1]) == t
+
+
+@given(st.integers(0, 500), st.integers(1, 2**30))
+@settings(max_examples=30, deadline=None)
+def test_build_parse_roundtrip_any_seed(doc_index, seed):
+    """Writer/parser parity holds for arbitrary doc indices and seeds."""
+    data = pdfgen.build_pdf(doc_index, seed=seed)
+    assert data[:5] == b"%PDF-"
+    assert pdfparse.parse_pdf(data) == pdfgen.expected_pages(doc_index, seed=seed)
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_parser_rejects_arbitrary_bytes(blob):
+    """Garbage never parses silently: either the magic check or the xref
+    walk raises PdfError (no crashes with other exception types)."""
+    if blob.startswith(b"%PDF-"):
+        return
+    try:
+        pdfparse.parse_pdf(blob)
+        raise AssertionError("garbage parsed as PDF")
+    except pdfparse.PdfError:
+        pass
+
+
+def test_octal_escape():
+    lex = pdfparse._Lexer(rb"(a\101b\12)")
+    tok = lex.next_token()
+    assert pdfparse._unescape(tok[1:-1]) == "aAb\n"

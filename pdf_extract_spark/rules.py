@@ -125,6 +125,45 @@ def clean_fragment(t: str) -> str:
     return collapse_ws(strip_bullet(strip_dot_leaders(t)))
 
 
+def strip_code_refs(t: str) -> str:
+    """C6 — remove '(IGC Code 1.2)' / '(IBC Code 3.4)' references
+    (metadata_generator.py:527)."""
+    return RE_CODE_REF.sub("", t)
+
+
+def strip_edge_chars(t: str) -> str:
+    """C10 — strip leading/trailing ':;* ' runs (metadata_generator.py:538-540)."""
+    return RE_EDGE_CHARS.sub("", t)
+
+
+RE_MD_FENCE = re.compile(r"(?m)^```(?:json)?\s*$\n?")
+
+
+def strip_md_fences(t: str) -> str:
+    """C2 — remove markdown code-fence lines before JSON parsing
+    (main.py:546-551)."""
+    return RE_MD_FENCE.sub("", t)
+
+
+def strip_hyphen_runs(t: str) -> str:
+    """C9 — remove '--', '---', ... (metadata_generator.py:536)."""
+    return RE_HYPHEN_RUN.sub("", t)
+
+
+def normalize_for_pairing(t: str) -> str:
+    """The reference's pair-normalization chain
+    (metadata_generator.py:524-543): bullet strip, code-ref strip, quote
+    normalization, hyphen-run removal, edge-char strip, NFKC, whitespace
+    collapse — applied to both sides before text comparison."""
+    t = strip_bullet(t)
+    t = strip_code_refs(t)
+    t = normalize_quotes(t)
+    t = strip_hyphen_runs(t)
+    t = strip_edge_chars(t)
+    t = nfkc(t)
+    return collapse_ws(t)
+
+
 def tighten_brackets(t: str) -> str:
     """FSM cleanup rule — '( text )' -> '(text)' (sentence_composer.py:375-377)."""
     return RE_PAREN_CLOSE.sub(r"\1", RE_PAREN_OPEN.sub(r"\1", t))

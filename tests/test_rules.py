@@ -136,3 +136,36 @@ def test_extract_document_end_to_end():
         ("media", "", "m:d:1", 2),
         ("P", "Contents 5.", "", 3),
     ]
+
+
+def test_code_ref_strip():
+    from pdf_extract_spark.rules import strip_code_refs
+
+    assert strip_code_refs("Cargo tanks (IGC Code 4.2) shall") == "Cargo tanks shall"
+    assert strip_code_refs("see (IBC Code 15.13)") == "see"
+    assert strip_code_refs("(ABC Code 1.1) stays") == "(ABC Code 1.1) stays"
+
+
+def test_edge_char_strip():
+    from pdf_extract_spark.rules import strip_edge_chars
+
+    assert strip_edge_chars(":; *text*; : ") == "text"
+    assert strip_edge_chars("a *mid* b") == "a *mid* b"
+    assert strip_edge_chars("plain") == "plain"
+
+
+def test_md_fence_strip():
+    from pdf_extract_spark.rules import strip_md_fences
+
+    fenced = '```json\n{"a": 1}\n```\n'
+    assert strip_md_fences(fenced) == '{"a": 1}\n'
+    assert strip_md_fences("no fences") == "no fences"
+
+
+def test_normalize_for_pairing():
+    from pdf_extract_spark.rules import normalize_for_pairing
+
+    assert (
+        normalize_for_pairing("- “Cargo  tanks” (IGC Code 4.2) -- ﬁnal: ")
+        == '"Cargo tanks" final'
+    )

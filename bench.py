@@ -52,6 +52,12 @@ HEADLINE = [
     "lang_id",                  # text analysis
     "cosine_topk",              # similarity brute force
     "ann_lsh_topk",             # similarity scale path
+    "pdf_bytes_extract",        # byte path: xref walk + content-stream parse
+    "align_pairs",              # Hungarian/greedy alignment kernel
+    "pair_metadata",            # counter-algebra pair metadata
+    "monotonic_prune",          # W6 running-max window filter
+    "punct_stats",              # C12 regexp_extract_all
+    "media_features",           # multimodal byte features
 ]
 
 

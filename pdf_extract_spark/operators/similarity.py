@@ -218,6 +218,154 @@ def ann_lsh_topk(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ann_lsh_multiprobe_topk(
+    df: DataFrame, n_queries: int = 5, k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multiprobe LSH: each query also probes the N_PLANES buckets at
+    Hamming distance 1 from its own (flip one sign bit) — the standard
+    recall-recovery trick, still bounded work: candidate volume is
+    (1 + N_PLANES) bucket joins instead of a full cross join."""
+    from pyspark.sql import Window as W
+
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    with_b = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        lsh_bucket_key(F.col(vec_col), dim).alias("bucket"),
+    )
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)]
+    )
+    q = (
+        with_b.filter(F.col("vid") < n_queries)
+        .select(F.col("vid").alias("q_id"), F.col("vec").alias("q_vec"),
+                F.explode(probes).alias("bucket"))
+    )
+    c = with_b.select(F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"), "bucket")
+    sims = (
+        q.join(c, "bucket")
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"))
+        .dropDuplicates(["q_id", "cand_id"])
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_lsh_multiprobe_topk_sql(
+    table: str = "embeddings", n_queries: int = 5, k: int = 5
+) -> str:
+    bkey = lsh_bucket_key_sql("embedding")
+    cos = cosine_sql("q.q_vec", "c.c_vec")
+    probe_list = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(N_PLANES)])
+    return f"""
+WITH wb AS (SELECT vec_id AS vid, embedding AS vec, {bkey} AS bucket FROM {table}),
+q AS (SELECT vid AS q_id, vec AS q_vec, unnest([{probe_list}]) AS bucket
+      FROM wb WHERE vid < {n_queries}),
+c AS (SELECT vid AS cand_id, vec AS c_vec, bucket FROM wb),
+sims AS (
+  SELECT DISTINCT q_id, cand_id, round({cos}, 6) AS sim
+  FROM q JOIN c USING (bucket) WHERE q_id != cand_id),
+ranked AS (
+  SELECT q_id, cand_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id ASC) AS rank
+  FROM sims)
+SELECT * FROM ranked WHERE rank <= {k}
+"""
+
+
+# ------------------------------------------------------------- IVF variant
+
+IVF_CELLS = 8
+IVF_ITERS = 3
+IVF_PROBE = 2
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def ivf_train(
+    df: DataFrame, n_cells: int = IVF_CELLS, iters: int = IVF_ITERS,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd iterations: seeds = the ``n_cells`` lowest
+    vec_ids; each iteration is ONE distributed job (assign via literal
+    centroid expressions, update via posexplode + per-dimension avg); only
+    the k x dim centroid matrix ever reaches the driver."""
+    seeds = (
+        df.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    for _ in range(iters):
+        dists = F.array(*[_sq_dist(F.col(vec_col), _lit_vec(c)) for c in centroids])
+        cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        assigned = df.select(cell.alias("cell"), F.posexplode(vec_col).alias("pos", "x"))
+        means = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {(r["cell"], r["pos"]): r["m"] for r in means}
+        centroids = [
+            [new.get((ci, p), centroids[ci][p]) for p in range(len(centroids[ci]))]
+            for ci in range(len(centroids))
+        ]
+    return centroids
+
+
+def ann_ivf_topk(
+    df: DataFrame, n_queries: int = 5, k: int = 5,
+    n_cells: int = IVF_CELLS, n_probe: int = IVF_PROBE,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize with the trained centroids,
+    queries probe their ``n_probe`` nearest cells, rank within probed
+    cells. Iterative training => rows-only correctness check (the driver
+    records row/schema stability; determinism is tested in pytest)."""
+    from pyspark.sql import Window as W
+
+    centroids = ivf_train(df, n_cells, id_col=id_col, vec_col=vec_col)
+    dists = F.array(*[_sq_dist(F.col(vec_col), _lit_vec(c)) for c in centroids])
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    data = df.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"), cell.alias("cell")
+    )
+    # queries probe their n_probe closest cells
+    qd = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), dists.alias("dists")
+    )
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    ranked_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(F.col("dists"), idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+            ),
+            lambda s: s["i"],
+        ),
+        1,
+        n_probe,
+    )
+    q = qd.select("q_id", "q_vec", F.explode(ranked_cells).alias("cell"))
+    sims = (
+        q.join(data, "cell")
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"))
+        .dropDuplicates(["q_id", "cand_id"])
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ann_lsh_topk_sql(table: str = "embeddings", n_queries: int = 5, k: int = 5) -> str:
     bkey = lsh_bucket_key_sql("embedding")
     cos = cosine_sql("q.q_vec", "c.c_vec")

@@ -642,6 +642,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(_t(spark, sf_dir, "embeddings"))
 
 
+@query("ann_lsh_multiprobe", similarity.ann_lsh_multiprobe_topk_sql())
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH top-k: queries also probe Hamming-distance-1 buckets
+    (recall recovery at bounded candidate volume)."""
+    return similarity.ann_lsh_multiprobe_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic distributed Lloyd iterations
+    train the coarse quantizer; queries probe their nearest cells.
+    Rows-only check (iterative algorithm, per the driver contract)."""
+    return similarity.ann_ivf_topk(_t(spark, sf_dir, "embeddings")).orderBy(
+        "q_id", "rank"
+    )
+
+
 # =====================================================================
 # scalar string/regex operators (SURVEY.md §2.7 C1/C19/C21/C22, F4, F6)
 # =====================================================================

@@ -17,8 +17,12 @@ both batch and streaming — only the source/sink bindings differ.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, types as T
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupStateTimeout
 
 from pdf_extract_spark.operators.extract import extract_documents
 from pdf_extract_spark.schemas import DOCUMENTS
@@ -50,6 +54,88 @@ def incremental_extraction(
     out = extract_documents(docs)
     return (
         out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# --------------------------------------------------------------------------
+# custom stateful operator: streaming chunk assembler
+# --------------------------------------------------------------------------
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("n_chunks", T.IntegerType(), False),
+        T.StructField("payload", T.StringType(), False),  # JSON span list
+    ]
+)
+
+_ASSEMBLED = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans_json", T.StringType(), False),
+    ]
+)
+
+_STATE = T.StructType([T.StructField("chunks_json", T.StringType(), True)])
+
+
+def _assemble_fn(key, pdfs, state):
+    """applyInPandasWithState kernel: buffer span-chunks per doc_id across
+    micro-batches (arrival order arbitrary); once all n_chunks are
+    present, run the FULL deterministic extraction on the reassembled
+    document and emit one row, clearing the state.
+
+    State is a single JSON blob {chunk_idx: payload} — tiny (the spans of
+    ONE in-flight document), keyed per doc, dropped on completion."""
+    from pdf_extract_spark import rules
+
+    (doc_id,) = key
+    buffered = json.loads(state.get[0]) if state.exists else {}
+    expected = None
+    for pdf in pdfs:
+        for _, row in pdf.iterrows():
+            buffered[str(int(row["chunk_idx"]))] = row["payload"]
+            expected = int(row["n_chunks"])
+    if expected is not None and len(buffered) >= expected:
+        spans = []
+        for i in range(expected):
+            spans.extend(json.loads(buffered[str(i)]))
+        out = rules.extract_document(spans)
+        state.remove()
+        yield pd.DataFrame([{"doc_id": doc_id, "spans_json": json.dumps(out)}])
+    else:
+        state.update((json.dumps(buffered),))
+        yield pd.DataFrame([], columns=["doc_id", "spans_json"])
+
+
+def assemble_and_extract_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Chunked-arrival extraction: documents stream in as out-of-order
+    span-chunks (doc_id, chunk_idx, n_chunks, payload); a stateful
+    groupBy(doc_id).applyInPandasWithState operator assembles them and
+    emits each document's extracted spans exactly once, when complete.
+    The stateful analog of the reference's batch_progress accumulation
+    (/root/reference/database.py:76-93) as a true streaming operator."""
+    chunks = spark.readStream.schema(CHUNK_SCHEMA).parquet(input_dir)
+    assembled = chunks.groupBy("doc_id").applyInPandasWithState(
+        _assemble_fn,
+        outputStructType=_ASSEMBLED,
+        stateStructType=_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        assembled.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

@@ -34,3 +34,58 @@ def test_incremental_extraction_exactly_once(spark, tmp_path):
 
     assert len(got2) == 32  # no duplicates from re-reading batch1 files
     assert got2 == oracle.expected_corpus(batch1 + batch2)
+
+
+def test_stateful_chunk_assembler(spark, tmp_path):
+    """Out-of-order chunk arrival across two availableNow passes; each doc
+    emitted exactly once, output equal to the batch oracle."""
+    import json
+
+    from pdf_extract_spark.streaming import CHUNK_SCHEMA, assemble_and_extract_stream
+
+    docs = generator.make_corpus(8, seed=47)
+    rows = []
+    for d in docs:
+        spans = d["spans"]
+        n = 3
+        bounds = [0, len(spans) // 3, 2 * len(spans) // 3, len(spans)]
+        for ci in range(n):
+            rows.append({
+                "doc_id": d["doc_id"], "chunk_idx": ci, "n_chunks": n,
+                "payload": json.dumps(spans[bounds[ci]:bounds[ci + 1]]),
+            })
+
+    inp = str(tmp_path / "chunks")
+    outp, ckpt = str(tmp_path / "assembled"), str(tmp_path / "ck2")
+
+    # wave 1: chunks 2 and 0 (out of order); docs incomplete -> no output
+    wave1 = [r for r in rows if r["chunk_idx"] != 1]
+    spark.createDataFrame(wave1, schema=CHUNK_SCHEMA).write.mode("append").parquet(inp)
+    q = assemble_and_extract_stream(spark, inp, outp, ckpt)
+    q.awaitTermination(180)
+    import os
+    produced = (
+        spark.read.parquet(outp).count()
+        if any(f.endswith(".parquet") for f in os.listdir(outp))
+        else 0
+    )
+    assert produced == 0
+
+    # wave 2: the missing middle chunks -> every doc completes exactly once
+    wave2 = [r for r in rows if r["chunk_idx"] == 1]
+    spark.createDataFrame(wave2, schema=CHUNK_SCHEMA).write.mode("append").parquet(inp)
+    q2 = assemble_and_extract_stream(spark, inp, outp, ckpt)
+    q2.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: [tuple(s.values()) for s in json.loads(r["spans_json"])]
+        for r in spark.read.parquet(outp).collect()
+    }
+    exp = {
+        d["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in oracle.expected_spans(d)
+        ]
+        for d in docs
+    }
+    assert got == exp

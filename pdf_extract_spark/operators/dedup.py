@@ -285,6 +285,6 @@ bits AS (SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS w
          FROM th, (SELECT unnest(range(0, {SIMHASH_BITS})) AS b)),
 agg AS (SELECT doc_id, b, sum(w) AS s FROM bits GROUP BY 1, 2)
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       (sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
 FROM agg GROUP BY 1
 """

@@ -83,7 +83,7 @@ def cosine_topk(
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cand_id"))
-    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 
 
 def cosine_topk_sql(
@@ -215,7 +215,7 @@ def ann_lsh_topk(
         .select("q_id", "cand_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cand_id"))
-    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 
 
 def ann_lsh_multiprobe_topk(
@@ -250,7 +250,7 @@ def ann_lsh_multiprobe_topk(
         .dropDuplicates(["q_id", "cand_id"])
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cand_id"))
-    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 
 
 def ann_lsh_multiprobe_topk_sql(
@@ -363,7 +363,7 @@ def ann_ivf_topk(
         .dropDuplicates(["q_id", "cand_id"])
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cand_id"))
-    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 
 
 def ann_lsh_topk_sql(table: str = "embeddings", n_queries: int = 5, k: int = 5) -> str:

@@ -44,12 +44,12 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     (runs of letters / digits / single punctuation, C18 analog)."""
     return df.select(
         "doc_id",
-        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
         F.size(
             F.regexp_extract_all(
                 F.lower(F.col(text_col)), F.lit(r"[a-z]{1,4}|\d+|[^a-z\d\s]"), 0
             )
-        ).alias("n_subwords"),
+        ).cast("long").alias("n_subwords"),
     )
 
 
@@ -75,10 +75,10 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.select(
         "doc_id",
-        n_chars.alias("n_chars_m"),
-        n_tok.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars_m"),
+        n_tok.cast("long").alias("n_tokens"),
         F.round(stop_hits / n_tok, 6).alias("stopword_ratio"),
-        n_punct.alias("n_punct"),
+        n_punct.cast("long").alias("n_punct"),
         score.alias("quality"),
     )
 
@@ -123,7 +123,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.select(
         "doc_id",
         F.col("lang").alias("label_lang"),
-        best.alias("best_hits"),
+        best.cast("long").alias("best_hits"),
         pred.alias("pred_lang"),
     )
 

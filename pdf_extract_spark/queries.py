@@ -423,9 +423,9 @@ def run_length_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH sec AS (
   SELECT user_id, event_id, value,
-         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         (sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS section_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS section_id
   FROM events)
 SELECT user_id, section_id, count(*) AS n_events,
        round((sum(value::DECIMAL(18,2)))::DOUBLE, 2) AS section_value
@@ -551,7 +551,7 @@ def textclean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.select(
-        "doc_id", cleaned.alias("cleaned_prefix"), F.length(cleaned).alias("clean_len")
+        "doc_id", cleaned.alias("cleaned_prefix"), F.length(cleaned).cast("long").alias("clean_len")
     )
 
 

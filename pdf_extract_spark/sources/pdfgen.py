@@ -18,6 +18,7 @@ back to the reference's flag bit 16 by the parser.
 from __future__ import annotations
 
 import random
+import re
 
 from pdf_extract_spark.generator import HEADING_WORDS, _sentence
 from pdf_extract_spark.rules import FLAG_BOLD
@@ -110,9 +111,22 @@ def _content_stream(lines: list[dict]) -> bytes:
     return ("\n".join(ops)).encode("latin-1", "replace")
 
 
-def build_pdf(doc_index: int, seed: int = 42) -> bytes:
+def build_pdf(doc_index: int, seed: int = 42, variant: str = "classic") -> bytes:
     """Assemble the full PDF file: catalog(1) pages(2) fonts(3,4) then per
-    page [page obj, content obj, image XObjects...], xref, trailer."""
+    page [page obj, content obj, image XObjects...], xref, trailer.
+
+    Variants (all carrying identical content — ``expected_pages`` is the
+    single truth):
+      * ``classic``     — uncompressed objects, classic xref table;
+      * ``objstm``      — dictionary objects packed into a FlateDecode
+        /ObjStm object stream, content streams FlateDecode-compressed,
+        cross-reference STREAM (/Type /XRef, W-encoded binary entries,
+        type-2 pointers into the object stream) instead of a table —
+        the modern PDF 1.5+ layout the north star's 'object-stream walk'
+        refers to;
+      * ``incremental`` — classic objects split across TWO xref sections
+        chained by /Prev (an incrementally-updated file).
+    """
     pages = doc_lines(doc_index, seed)
     objects: dict[int, bytes] = {}
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
@@ -170,7 +184,14 @@ def build_pdf(doc_index: int, seed: int = 42) -> bytes:
         + b"] /Count " + str(len(page_ids)).encode() + b" >>"
     )
 
-    # serialize with byte-exact xref offsets
+    if variant == "objstm":
+        return _serialize_objstm(objects)
+    if variant == "incremental":
+        return _serialize_incremental(objects)
+    return _serialize_classic(objects)
+
+
+def _serialize_classic(objects: dict[int, bytes]) -> bytes:
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for oid in sorted(objects):
@@ -186,6 +207,125 @@ def build_pdf(doc_index: int, seed: int = 42) -> bytes:
         b"trailer\n<< /Size " + str(n).encode() + b" /Root 1 0 R >>\n"
         b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
     )
+    return bytes(out)
+
+
+def _serialize_incremental(objects: dict[int, bytes]) -> bytes:
+    """Two generations: low-id objects + xref in the 'original' file, the
+    rest appended with a /Prev-chained xref (newer section wins lookup)."""
+    oids = sorted(objects)
+    cut = max(1, len(oids) // 2)
+    gen1, gen2 = oids[:cut], oids[cut:]
+    n = max(objects) + 1
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for oid in gen1:
+        offsets[oid] = len(out)
+        out += str(oid).encode() + b" 0 obj\n" + objects[oid] + b"\nendobj\n"
+    xref1_at = len(out)
+    out += b"xref\n"
+    # per-object subsections (gen1 ids need not be contiguous)
+    out += b"0 1\n0000000000 65535 f \n"
+    for oid in gen1:
+        out += str(oid).encode() + b" 1\n" + f"{offsets[oid]:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(n).encode() + b" /Root 1 0 R >>\n"
+        b"startxref\n" + str(xref1_at).encode() + b"\n%%EOF\n"
+    )
+    # appended incremental section
+    for oid in gen2:
+        offsets[oid] = len(out)
+        out += str(oid).encode() + b" 0 obj\n" + objects[oid] + b"\nendobj\n"
+    xref2_at = len(out)
+    out += b"xref\n"
+    for oid in gen2:
+        out += str(oid).encode() + b" 1\n" + f"{offsets[oid]:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(n).encode() + b" /Root 1 0 R /Prev "
+        + str(xref1_at).encode() + b" >>\n"
+        b"startxref\n" + str(xref2_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def _serialize_objstm(objects: dict[int, bytes]) -> bytes:
+    """PDF 1.5+ layout: non-stream objects packed into one FlateDecode
+    /ObjStm; stream objects FlateDecode-compressed; cross-reference
+    STREAM with W [1 4 2] binary entries (type 1 = direct offset,
+    type 2 = (objstm, index))."""
+    import zlib
+
+    def is_stream(body: bytes) -> bool:
+        return b"\nstream\n" in body
+
+    dict_ids = [o for o in sorted(objects) if not is_stream(objects[o])]
+    stream_ids = [o for o in sorted(objects) if is_stream(objects[o])]
+    objstm_id = max(objects) + 1
+    xref_id = objstm_id + 1
+
+    # ---- the object stream: header "oid off oid off ..." then bodies
+    bodies = [objects[o] for o in dict_ids]
+    offs = []
+    pos = 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b) + 1
+    header = " ".join(f"{o} {off}" for o, off in zip(dict_ids, offs)).encode() + b"\n"
+    payload = header + b"\n".join(bodies) + b"\n"
+    compressed = zlib.compress(payload)
+    objstm_body = (
+        b"<< /Type /ObjStm /N " + str(len(dict_ids)).encode()
+        + b" /First " + str(len(header)).encode()
+        + b" /Filter /FlateDecode /Length " + str(len(compressed)).encode()
+        + b" >>\nstream\n" + compressed + b"\nendstream"
+    )
+
+    # ---- recompress regular stream objects with FlateDecode
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for oid in stream_ids:
+        body = objects[oid]
+        head, rest = body.split(b"\nstream\n", 1)
+        raw = rest.rsplit(b"\nendstream", 1)[0]
+        comp = zlib.compress(raw)
+        # rewrite /Length and add /Filter
+        head = re.sub(rb"/Length \d+", b"/Length " + str(len(comp)).encode(), head)
+        head = head[:-3] + b" /Filter /FlateDecode >>"
+        offsets[oid] = len(out)
+        out += (
+            str(oid).encode() + b" 0 obj\n" + head + b"\nstream\n" + comp
+            + b"\nendstream\nendobj\n"
+        )
+    offsets[objstm_id] = len(out)
+    out += str(objstm_id).encode() + b" 0 obj\n" + objstm_body + b"\nendobj\n"
+
+    # ---- cross-reference stream: W [1 4 2], one entry per id 0..xref_id
+    n = xref_id + 1
+    entries = bytearray()
+    for oid in range(n):
+        if oid == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif oid in offsets:
+            t, f2, f3 = 1, offsets[oid], 0
+        elif oid in dict_ids:
+            t, f2, f3 = 2, objstm_id, dict_ids.index(oid)
+        elif oid == xref_id:
+            t, f2, f3 = 1, 0, 0  # patched below
+        else:
+            t, f2, f3 = 0, 0, 0
+        entries += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    xref_at = len(out)
+    # patch the xref stream's own offset into its entry
+    idx = 7 * xref_id
+    entries[idx:idx + 7] = bytes([1]) + xref_at.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    xcomp = zlib.compress(bytes(entries))
+    out += (
+        str(xref_id).encode() + b" 0 obj\n<< /Type /XRef /Size " + str(n).encode()
+        + b" /W [1 4 2] /Root 1 0 R /Filter /FlateDecode /Length "
+        + str(len(xcomp)).encode() + b" >>\nstream\n" + xcomp + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
     return bytes(out)
 
 

@@ -201,16 +201,11 @@ def parse_object(lex: _Lexer):
 # file structure: header, xref, objects, streams
 # --------------------------------------------------------------------------
 
-def _parse_xref(data: bytes) -> dict[int, int]:
-    sx = data.rfind(b"startxref")
-    if sx < 0:
-        raise PdfError("no startxref")
-    m = _NUM_RE.search(data, sx + len(b"startxref"))
-    xref_at = int(m.group())
-    if data[xref_at : xref_at + 4] != b"xref":
-        raise PdfError("xref table not at startxref offset")
+def _parse_classic_section(data: bytes, xref_at: int, offsets: dict) -> dict:
+    """One classic xref table (possibly several subsections) + trailer.
+    Existing entries in ``offsets`` win (newer generations are parsed
+    first when following /Prev)."""
     lex = _Lexer(data, xref_at + 4)
-    offsets: dict[int, int] = {}
     while True:
         tok = lex.peek_token()
         if tok == b"trailer":
@@ -221,42 +216,110 @@ def _parse_xref(data: bytes) -> dict[int, int]:
         for k in range(count):
             entry = data[lex.pos : lex.pos + 20]
             off, _gen, kind = entry.split()[:3]
-            if kind == b"n":
-                offsets[first + k] = int(off)
+            if kind == b"n" and (first + k) not in offsets:
+                offsets[first + k] = ("d", int(off))
             lex.pos += 20
-    return offsets
-
-
-def _parse_trailer(data: bytes) -> dict:
-    t = data.rfind(b"trailer")
-    lex = _Lexer(data, t + len(b"trailer"))
+    lex.next_token()  # 'trailer'
     return parse_object(lex)
 
 
+def _inflate(payload: bytes, d: dict) -> bytes:
+    filt = d.get("Filter")
+    name = filt[1] if isinstance(filt, tuple) else None
+    if name == "FlateDecode":
+        import zlib
+
+        return zlib.decompress(payload)
+    if name is None:
+        return payload
+    raise PdfError(f"unsupported filter {name}")
+
+
 class PdfDocument:
-    """Parsed object store with lazy indirect-ref resolution."""
+    """Parsed object store with lazy indirect-ref resolution.
+
+    Understands both file layouts: classic xref tables (with /Prev
+    incremental-update chains) AND PDF 1.5+ cross-reference streams with
+    type-2 entries pointing into FlateDecode /ObjStm object streams —
+    the north star's 'xref/object-stream walk'.
+    """
 
     def __init__(self, data: bytes) -> None:
         if data[:5] != b"%PDF-":
             raise PdfError("missing %PDF- header")  # S2, main.py:1716-1719
         self.data = data
-        self.offsets = _parse_xref(data)
-        self.trailer = _parse_trailer(data)
         self._cache: dict[int, object] = {}
+        # offsets: oid -> ("d", byte_offset) | ("s", objstm_id, index)
+        self.offsets: dict[int, tuple] = {}
+        self.trailer: dict | None = None
 
-    def obj(self, oid: int):
-        if oid in self._cache:
-            return self._cache[oid]
-        off = self.offsets[oid]
+        sx = data.rfind(b"startxref")
+        if sx < 0:
+            raise PdfError("no startxref")
+        m = _NUM_RE.search(data, sx + len(b"startxref"))
+        at = int(m.group())
+        seen: set[int] = set()
+        while at is not None and at not in seen:
+            seen.add(at)
+            if data[at : at + 4] == b"xref":
+                trailer = _parse_classic_section(data, at, self.offsets)
+            else:
+                trailer = self._parse_xref_stream(at)
+            if self.trailer is None:
+                self.trailer = trailer
+            prev = trailer.get("Prev")
+            at = int(prev) if prev is not None else None
+        if self.trailer is None or "Root" not in self.trailer:
+            raise PdfError("no trailer/Root found")
+
+    def _parse_xref_stream(self, at: int) -> dict:
+        """A /Type /XRef cross-reference STREAM object: W-field-width
+        binary entries over the /Index ranges, FlateDecode payload."""
+        body = self._parse_object_at(at, expect_id=None)
+        if not (isinstance(body, dict) and "__stream__" in body):
+            raise PdfError("startxref does not point at xref table or stream")
+        d = body["__dict__"]
+        t = d.get("Type")
+        if not (isinstance(t, tuple) and t[1] == "XRef"):
+            raise PdfError("object at startxref is not /Type /XRef")
+        entries = body["__stream__"]  # already inflated
+        w = [int(x) for x in d["W"]]
+        size = int(d["Size"])
+        index = d.get("Index") or [0, size]
+        rowlen = sum(w)
+        pos = 0
+
+        def field(row: bytes, start: int, width: int, default: int) -> int:
+            if width == 0:
+                return default
+            return int.from_bytes(row[start : start + width], "big")
+
+        for r in range(0, len(index), 2):
+            first, count = int(index[r]), int(index[r + 1])
+            for k in range(count):
+                row = entries[pos : pos + rowlen]
+                pos += rowlen
+                oid = first + k
+                if oid in self.offsets:
+                    continue
+                typ = field(row, 0, w[0], 1)
+                f2 = field(row, w[0], w[1], 0)
+                f3 = field(row, w[0] + w[1], w[2], 0)
+                if typ == 1:
+                    self.offsets[oid] = ("d", f2)
+                elif typ == 2:
+                    self.offsets[oid] = ("s", f2, f3)
+        return d
+
+    def _parse_object_at(self, off: int, expect_id: int | None):
         lex = _Lexer(self.data, off)
         got_id = int(lex.next_token())
-        if got_id != oid:
-            raise PdfError(f"xref offset mismatch for obj {oid}")
+        if expect_id is not None and got_id != expect_id:
+            raise PdfError(f"xref offset mismatch for obj {expect_id}")
         lex.next_token()  # gen
         if lex.next_token() != b"obj":
             raise PdfError("obj keyword missing")
         body = parse_object(lex)
-        # attach stream payload if present
         lex._skip_ws()
         if self.data[lex.pos : lex.pos + 6] == b"stream":
             p = lex.pos + 6
@@ -265,7 +328,38 @@ class PdfDocument:
             elif self.data[p : p + 1] == b"\n":
                 p += 1
             length = self.resolve(body.get("Length", 0)) if isinstance(body, dict) else 0
-            body = {"__dict__": body, "__stream__": self.data[p : p + int(length)]}
+            payload = _inflate(self.data[p : p + int(length)], body)
+            body = {"__dict__": body, "__stream__": payload}
+        return body
+
+    def _load_from_objstm(self, stm_id: int, idx: int):
+        """Type-2 entry: object #idx inside object stream ``stm_id``
+        (header = N pairs of (oid, offset), bodies start at /First)."""
+        stm = self.obj(stm_id)
+        d = stm["__dict__"]
+        t = d.get("Type")
+        if not (isinstance(t, tuple) and t[1] == "ObjStm"):
+            raise PdfError(f"object {stm_id} is not /Type /ObjStm")
+        payload = stm["__stream__"]
+        first = int(self.resolve(d["First"]))
+        n = int(self.resolve(d["N"]))
+        hlex = _Lexer(payload[:first])
+        pairs = [(int(hlex.next_token()), int(hlex.next_token())) for _ in range(n)]
+        if idx >= len(pairs):
+            raise PdfError(f"objstm index {idx} out of range")
+        _oid, off = pairs[idx]
+        return parse_object(_Lexer(payload, first + off))
+
+    def obj(self, oid: int):
+        if oid in self._cache:
+            return self._cache[oid]
+        entry = self.offsets.get(oid)
+        if entry is None:
+            raise PdfError(f"object {oid} not in xref")
+        if entry[0] == "d":
+            body = self._parse_object_at(entry[1], expect_id=oid)
+        else:
+            body = self._load_from_objstm(entry[1], entry[2])
         self._cache[oid] = body
         return body
 

@@ -47,13 +47,3 @@ def phash2(col: Column) -> Column:
 
 def phash2_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 16, 15))::BIGINT)"
-
-
-def minhash_fn(h1: Column, h2: Column, i: int) -> Column:
-    """The classic 2-hash minhash family: h_i = (h1 + i*h2) mod p with the
-    inputs pre-reduced so nothing overflows int64."""
-    return (h1 % MOD + F.lit(i) * (h2 % MOD)) % MOD
-
-
-def minhash_fn_sql(h1: str, h2: str, i: int) -> str:
-    return f"((({h1}) % {MOD} + {i} * (({h2}) % {MOD})) % {MOD})"

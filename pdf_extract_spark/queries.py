@@ -1034,8 +1034,10 @@ def pdf_bytes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_extract_spark.operators import layout as L
     from pdf_extract_spark.sources import pdfgen
 
+    variants = ("classic", "incremental", "objstm")
     rows = [
-        {"doc_id": f"pdf{d:04d}", "content": bytearray(pdfgen.build_pdf(d, seed=21))}
+        {"doc_id": f"pdf{d:04d}",
+         "content": bytearray(pdfgen.build_pdf(d, seed=21, variant=variants[d % 3]))}
         for d in range(40)
     ]
     df = spark.createDataFrame(rows, schema="doc_id string, content binary")

@@ -11,10 +11,17 @@ N_DOCS = 30
 SEED = 21
 
 
-def test_roundtrip_parse_exact():
+import pytest
+
+
+@pytest.mark.parametrize("variant", ["classic", "incremental", "objstm"])
+def test_roundtrip_parse_exact(variant):
+    """All three file layouts — classic xref table, /Prev-chained
+    incremental update, and PDF 1.5+ xref stream + FlateDecode /ObjStm —
+    parse to the identical structural truth."""
     for d in range(N_DOCS):
-        got = pdfparse.parse_pdf(pdfgen.build_pdf(d, seed=SEED))
-        assert got == pdfgen.expected_pages(d, seed=SEED), f"doc {d}"
+        got = pdfparse.parse_pdf(pdfgen.build_pdf(d, seed=SEED, variant=variant))
+        assert got == pdfgen.expected_pages(d, seed=SEED), f"doc {d} ({variant})"
 
 
 def test_header_validation_rejects_garbage():
@@ -30,9 +37,14 @@ def test_tokenizer_string_escapes():
     assert pdfparse._unescape(tok[1:-1]) == r"a (nested) \ b"
 
 
+VARIANTS = ("classic", "incremental", "objstm")
+
+
 def test_spark_pdf_to_spans_matches_oracle(spark):
+    # mixed file layouts in one corpus — the parser dispatches per file
     rows = [
-        {"doc_id": f"pdf{d:04d}", "content": bytearray(pdfgen.build_pdf(d, seed=SEED))}
+        {"doc_id": f"pdf{d:04d}",
+         "content": bytearray(pdfgen.build_pdf(d, seed=SEED, variant=VARIANTS[d % 3]))}
         for d in range(N_DOCS)
     ]
     # poison rows the S2 validation filter must drop before the parser

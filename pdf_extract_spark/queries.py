@@ -324,6 +324,101 @@ def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "regional_revenue",
+    """
+SELECT r.r_name AS region, n.n_name AS nation,
+       round((sum(l.l_extendedprice::DECIMAL(18,2) * (1 - l.l_discount::DECIMAL(18,2))))::DOUBLE, 2) AS revenue,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY 1, 2
+""",
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table join tree (TPC-H Q5 shape): Catalyst reorders, the tiny
+    region/nation dims broadcast, the orders/lineitem join shuffles on the
+    key — the deep-join stress case for the optimizer."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+    )
+    return j.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.round(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double"), 2
+        ).alias("revenue"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "part_type_margins",
+    """
+SELECT p.p_type AS ptype,
+       count(*) AS n_lines,
+       round((sum(l.l_extendedprice::DECIMAL(18,2)
+                  - p.p_retailprice::DECIMAL(18,2) * l.l_quantity::DECIMAL(18,2)))::DOUBLE, 2) AS margin
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 20
+GROUP BY 1
+""",
+)
+def part_type_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension join with a pushed dim filter (p_size) —
+    partition-pruned scan + broadcast, decimal-exact margin arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_type").alias("ptype"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice") - _dec("p_retailprice") * _dec("l_quantity")
+                ).cast("double"),
+                2,
+            ).alias("margin"),
+        )
+    )
+
+
+@query("extract_spans_balanced")
+def extract_spans_balanced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-defused flagship (giant docs chunked at exact-safe
+    boundaries and recomposed in parallel). Output is byte-identical to
+    extract_spans_flagship — rows-only stability check here; equality is
+    asserted in tests/test_skew.py."""
+    from pdf_extract_spark.pipeline import run_extraction_balanced
+
+    docs = synth_spans(_t(spark, sf_dir, "documents"))
+    out = run_extraction_balanced(docs, max_spans=64)
+    return (
+        out.select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+        .orderBy("doc_id", "offset")
+    )
+
+
 # =====================================================================
 # windows / ordering (SURVEY.md §2.5)
 # =====================================================================

@@ -144,6 +144,55 @@ def number_status(kr: str, en: str) -> str:
     return "no_match"
 
 
+ROMAN = {"i": "1", "ii": "2", "iii": "3", "iv": "4", "v": "5",
+         "vi": "6", "vii": "7", "viii": "8", "ix": "9", "x": "10"}
+
+RE_LATIN_WORD = re.compile(r"[A-Za-z][A-Za-z\-]*")
+
+
+def _word_variants(w: str) -> set[str]:
+    """Comparison variants of one word: lowercase, de-pluralized,
+    hyphen-joined/split, roman numerals as digits
+    (metadata_generator.py:283-341)."""
+    w = w.lower()
+    out = {w}
+    if w in ROMAN:
+        out.add(ROMAN[w])
+    if w.endswith("ies") and len(w) > 3:
+        out.add(w[:-3] + "y")
+    if w.endswith("es") and len(w) > 2:
+        out.add(w[:-2])
+    if w.endswith("s") and len(w) > 1:
+        out.add(w[:-1])
+    if "-" in w:
+        out.add(w.replace("-", ""))
+        out.update(p for p in w.split("-") if p)
+    return out
+
+
+def word_status(kr: str, en: str) -> str:
+    """C15 (metadata_generator.py:283-341): every latin-script word
+    embedded in the kr sentence (untranslated terms, acronyms) must appear
+    in the en sentence, matching under plural/hyphen/roman variants."""
+    kr_words = RE_LATIN_WORD.findall(kr or "")
+    kr_words = [w for w in kr_words if w.lower() != "kr"]  # fixture marker
+    if not kr_words:
+        return "no_english_in_kr"
+    en_variants: set[str] = set()
+    for w in RE_LATIN_WORD.findall(en or ""):
+        en_variants |= _word_variants(w)
+    # digit tokens participate so roman numerals in kr match '3' in en
+    en_variants |= set(re.findall(r"\d+", en or ""))
+    missing = [
+        w for w in kr_words if not (_word_variants(w) & en_variants)
+    ]
+    if not missing:
+        return "all_match"
+    if len(missing) < len(kr_words):
+        return "partial_match"
+    return "no_match"
+
+
 def pair_class(kr: str, en: str) -> str:
     """C17 (metadata_generator.py:383-421) — pair-quality class."""
     if kr is None or en is None:
@@ -169,6 +218,7 @@ def compare_pair(kr: str, en: str) -> dict:
         "punct_match": pm, "punct_only_kr": pk, "punct_only_en": pe,
         "symbol_match": sm, "symbol_only_kr": sk, "symbol_only_en": se,
         "number_status": number_status(kr or "", en or ""),
+        "word_status": word_status(kr or "", en or ""),
         "pair_class": pair_class(kr, en),
         "kr_numbers": extract_numbers(kr or ""),
         "en_numbers": extract_numbers(en or ""),
@@ -188,6 +238,7 @@ META_STRUCT = T.StructType(
         T.StructField("symbol_only_kr", T.IntegerType()),
         T.StructField("symbol_only_en", T.IntegerType()),
         T.StructField("number_status", T.StringType()),
+        T.StructField("word_status", T.StringType()),
         T.StructField("pair_class", T.StringType()),
         T.StructField("kr_numbers", T.ArrayType(T.StringType())),
         T.StructField("en_numbers", T.ArrayType(T.StringType())),

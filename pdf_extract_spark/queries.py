@@ -931,6 +931,7 @@ def pair_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.punct_only_kr").alias("punct_only_kr"),
         F.col("meta.punct_only_en").alias("punct_only_en"),
         F.col("meta.number_status").alias("number_status"),
+        F.col("meta.word_status").alias("word_status"),
         F.col("meta.pair_class").alias("pair_class"),
     ).orderBy("doc_id", "kr_idx", "en_idx")
 

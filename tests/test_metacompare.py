@@ -67,3 +67,13 @@ def test_spark_pair_metadata(spark):
         assert g == e
     assert got[0]["number_status"] == "all_match"
     assert got[2]["pair_class"] == "no_korean_in_kor"
+
+
+def test_word_status_variants():
+    # untranslated latin terms in the kr side must appear in en
+    assert MC.word_status("IMO 규정에 따라 ballast-water 처리", "per IMO rules, treat ballast water") == "all_match"
+    assert MC.word_status("tanks 점검", "inspect the tank") == "all_match"  # plural variant
+    assert MC.word_status("제 iii 장", "chapter 3") == "all_match"  # roman numeral
+    assert MC.word_status("SOLAS 및 MARPOL", "per SOLAS only") == "partial_match"
+    assert MC.word_status("ABC 항목", "nothing relevant") == "no_match"
+    assert MC.word_status("한국어만", "english only") == "no_english_in_kr"

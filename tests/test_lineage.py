@@ -52,6 +52,25 @@ def test_full_run_matches_oracle(spark, docs_df, tmp_path):
     assert met.count() > 0 and met.agg({"doc_count": "sum"}).first()[0] == N_DOCS
 
 
+@pytest.mark.parametrize("kill_after", [0, 1, 3])
+def test_kill_at_any_point_resumes_exactly(spark, docs_df, tmp_path, kill_after):
+    """Whatever group the job dies before — including before the first
+    commit — resume completes the corpus identically."""
+    lake = Lake(spark, str(tmp_path / "lake"))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction_with_lineage(
+            lake, docs_df, run_id="r1", n_buckets=N_BUCKETS,
+            group_size=GROUP, fail_after_groups=kill_after,
+        )
+    done = lake.completed_buckets_df()
+    assert (done.count() if done is not None else 0) == kill_after * GROUP
+    run_extraction_with_lineage(
+        lake, docs_df, run_id="r2", n_buckets=N_BUCKETS, group_size=GROUP
+    )
+    golden = oracle.expected_corpus(generator.make_corpus(N_DOCS, seed=9))
+    assert _collect_spans(lake.read_spans_out()) == golden
+
+
 def test_kill_and_resume_no_reextraction(spark, docs_df, tmp_path):
     lake = Lake(spark, str(tmp_path / "lake"))
 

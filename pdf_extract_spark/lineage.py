@@ -140,7 +140,15 @@ def run_extraction_with_lineage(
     spark = lake.spark
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    docs = documents.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+    if "bucket" in documents.columns:
+        # input table already bucket-partitioned at ingest (the parquet
+        # analog of an Iceberg bucket(doc_id) partition transform): the
+        # per-group filter then PRUNES partitions instead of scanning the
+        # whole table once per group. Caller guarantees the column equals
+        # bucket_of(doc_id, n_buckets).
+        docs = documents
+    else:
+        docs = documents.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
 
     done_df = lake.completed_buckets_df()
     if done_df is not None:

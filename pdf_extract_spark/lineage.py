@@ -144,8 +144,21 @@ def run_extraction_with_lineage(
         # input table already bucket-partitioned at ingest (the parquet
         # analog of an Iceberg bucket(doc_id) partition transform): the
         # per-group filter then PRUNES partitions instead of scanning the
-        # whole table once per group. Caller guarantees the column equals
-        # bucket_of(doc_id, n_buckets).
+        # whole table once per group. The column MUST equal
+        # bucket_of(doc_id, n_buckets) — a mismatched or NULL bucket
+        # combined with dynamic partition overwrite would silently drop
+        # data, so validate up front (one cheap two-column scan) and fail
+        # loudly instead of trusting the caller.
+        bad = documents.filter(
+            F.col("bucket").isNull()
+            | (F.col("bucket") != bucket_of(F.col("doc_id"), n_buckets))
+        ).limit(1)
+        if bad.count() > 0:
+            raise ValueError(
+                "documents.bucket does not match bucket_of(doc_id, "
+                f"{n_buckets}) for at least one row (or is NULL); "
+                "re-ingest with the matching bucket count or drop the column"
+            )
         docs = documents
     else:
         docs = documents.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))

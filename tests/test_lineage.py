@@ -98,3 +98,32 @@ def test_kill_and_resume_no_reextraction(spark, docs_df, tmp_path):
     out = lake.read_spans_out()
     assert out.count() == N_DOCS
     assert out.select("doc_id").distinct().count() == N_DOCS
+
+
+def test_prebucketed_input_path(spark, docs_df, tmp_path):
+    """Bucket-partitioned ingest: a correct pre-existing bucket column is
+    reused (pruning path) and yields the identical golden corpus; a
+    mismatched bucket count fails loudly instead of silently dropping
+    data under dynamic partition overwrite."""
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.lineage import bucket_of
+
+    src = str(tmp_path / "documents")
+    docs_df.withColumn("bucket", bucket_of(F.col("doc_id"), N_BUCKETS)) \
+        .write.partitionBy("bucket").parquet(src)
+    bucketed = spark.read.parquet(src)
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    run_extraction_with_lineage(
+        lake, bucketed, run_id="r1", n_buckets=N_BUCKETS, group_size=GROUP
+    )
+    golden = oracle.expected_corpus(generator.make_corpus(N_DOCS, seed=9))
+    assert _collect_spans(lake.read_spans_out()) == golden
+
+    # wrong bucket count -> validation failure, nothing written
+    lake2 = Lake(spark, str(tmp_path / "lake2"))
+    with pytest.raises(ValueError, match="bucket_of"):
+        run_extraction_with_lineage(
+            lake2, bucketed, run_id="rX", n_buckets=N_BUCKETS * 2, group_size=GROUP
+        )

@@ -163,18 +163,13 @@ def run_extraction_with_lineage(
     else:
         docs = documents.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
 
+    # one distinct-bucket scan; the completed set is tiny (<= n_buckets
+    # lineage rows), so the anti-join semantics run driver-side
+    all_buckets = sorted(r["bucket"] for r in docs.select("bucket").distinct().collect())
     done_df = lake.completed_buckets_df()
-    if done_df is not None:
-        todo_df = docs.select("bucket").distinct().join(done_df, "bucket", "left_anti")
-        skipped = sorted(
-            r["bucket"] for r in docs.select("bucket").distinct().join(
-                done_df, "bucket", "left_semi"
-            ).collect()
-        )
-    else:
-        todo_df = docs.select("bucket").distinct()
-        skipped = []
-    todo = sorted(r["bucket"] for r in todo_df.collect())  # <= n_buckets rows
+    done = {r["bucket"] for r in done_df.collect()} if done_df is not None else set()
+    skipped = [b for b in all_buckets if b in done]
+    todo = [b for b in all_buckets if b not in done]
 
     report = RunReport(run_id=run_id, buckets_total=n_buckets, buckets_skipped=skipped)
 

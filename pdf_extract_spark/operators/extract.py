@@ -172,7 +172,9 @@ def extract_documents_balanced(df, max_spans: int = 4096):
     Small documents take the ordinary map-only path; only giants pay the
     extra explode + regroup shuffle. Results are byte-identical to
     extract_documents (tests/test_skew.py)."""
-    sized = df.withColumn("n_spans", F.size("spans"))
+    # NULL spans must not vanish: coalesce sends them down the small
+    # path, where extract_spans maps None -> None like the plain operator
+    sized = df.withColumn("n_spans", F.coalesce(F.size("spans"), F.lit(0)))
     small = sized.filter(F.col("n_spans") <= max_spans)
     giant = sized.filter(F.col("n_spans") > max_spans)
 

@@ -30,20 +30,4 @@ def phash_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
-def phash_seeded(col: Column, seed: int) -> Column:
-    """Seeded portable hash — the family used for minhash."""
-    return phash(F.concat(F.lit(f"{seed}:"), col))
 
-
-def phash_seeded_sql(expr: str, seed: int) -> str:
-    return phash_sql(f"'{seed}:' || {expr}")
-
-
-def phash2(col: Column) -> Column:
-    """Second independent portable hash: hex chars 16..30 of the same md5
-    (the optimizer CSEs the md5 call, so h1+h2 cost ONE digest)."""
-    return F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long")
-
-
-def phash2_sql(expr: str) -> str:
-    return f"(('0x' || substr(md5({expr}), 16, 15))::BIGINT)"

@@ -61,7 +61,7 @@ SUPERSCRIPTS = str.maketrans("â°Â¹Â²Â³â´âµâ¶â·â¸â¹â‚€â‚â‚‚â‚ƒâ‚„â‚…â‚†â‚
 # C16 allowlist: chars NOT treated as special symbols
 RE_PLAIN = re.compile(r"[A-Za-z0-9\s.,ã„±-ã†Žê°€-íž£]")
 
-RE_KOREAN = re.compile(r"[ã„±-ã†Žê°€-íž£]")
+from pdf_extract_spark.rules import RE_KOREAN  # C17 â€” single source of truth
 
 
 # --------------------------------------------------------------------------
@@ -90,15 +90,22 @@ def extract_numbers(t: str) -> list[str]:
     return [g for _, g in sorted(found)]
 
 
+MONTH_PREFIXES = frozenset(
+    ("jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep", "oct", "nov", "dec")
+)
+
+
 def map_number_words(t: str) -> list[str]:
-    """C14 â€” number words to digit strings; hyphen compounds split."""
+    """C14 â€” number words to digit strings; hyphen compounds split;
+    dotted month abbreviations ("Janu.", "Sept.") prefix-match."""
     out: list[str] = []
     for raw in (t or "").lower().split():
         for piece in raw.split("-"):
+            had_dot = piece.rstrip(',;:!?)]"\'').endswith(".")
             w = piece.strip(".,;:!?()[]\"'")
             if w in NUMBER_WORDS:
                 out.append(NUMBER_WORDS[w])
-            elif w[:3] in NUMBER_WORDS and w.endswith("."):  # "Jan." style
+            elif had_dot and len(w) > 3 and w[:3] in MONTH_PREFIXES:
                 out.append(NUMBER_WORDS[w[:3]])
     return out
 

@@ -80,7 +80,8 @@ def make_media_corpus(n: int, seed: int = 42) -> list[dict]:
     for i in range(n):
         h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
         kind = ("image", "audio", "video")[i % 3]
-        payload = (h * ((64 + i % 512) // len(h) + 1))[: 64 + (i * 37) % 2048]
+        target = 64 + (i * 37) % 2048
+        payload = (h * (target // len(h) + 1))[:target]
         meta = {
             "width": 64 + (i % 16) * 32 if kind != "audio" else None,
             "height": 64 + (i % 9) * 32 if kind != "audio" else None,

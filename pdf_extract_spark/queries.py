@@ -902,7 +902,7 @@ def punct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12 — punctuation extraction as pure Catalyst regexp_extract_all
     (metadata_generator.py:92-96)."""
     d = _t(spark, sf_dir, "documents")
-    arr = F.regexp_extract_all(F.col("text"), F.lit('[!?:;%"`~…]'))
+    arr = F.regexp_extract_all(F.col("text"), F.lit('[!?:;%"`~…]'), 0)
     return d.select(
         "doc_id",
         F.size(arr).cast("long").alias("n_punct"),

@@ -42,12 +42,28 @@ def write_sentences(spans_out: DataFrame, path: str, run_id: str) -> None:
     rows.write.mode("append").parquet(path)
 
 
-def write_csv(df: DataFrame, path: str, bom: bool = True) -> None:
-    """S12 — header CSV export; ``bom`` mirrors the reference's utf-8-sig."""
-    w = df.write.option("header", True).mode("overwrite")
+def write_csv(df: DataFrame, path: str, bom: bool = False) -> None:
+    """S12 — header CSV export.
+
+    The reference writes ``utf-8-sig`` (BOM) for Excel compatibility
+    (create_csv.py:41,115,193,309); Spark's CSV writer emits plain UTF-8.
+    With ``bom=True`` the part files are rewritten with the BOM prepended
+    after the distributed write — a driver-side pass over the part files,
+    fine for exports, wrong for petabyte outputs (leave it off there and
+    let the consumer handle encoding)."""
+    df.write.option("header", True).mode("overwrite").csv(path)
     if bom:
-        w = w.option("encoding", "UTF-8").option("charToEscapeQuoteEscaping", "\\")
-    w.csv(path)
+        import os
+
+        for name in os.listdir(path):
+            if not name.endswith(".csv"):
+                continue
+            full = os.path.join(path, name)
+            with open(full, "rb") as f:
+                data = f.read()
+            if not data.startswith(b"\xef\xbb\xbf"):
+                with open(full, "wb") as f:
+                    f.write(b"\xef\xbb\xbf" + data)
 
 
 def write_two_sheet(text_df: DataFrame, table_df: DataFrame, root: str) -> None:

@@ -77,3 +77,10 @@ def test_word_status_variants():
     assert MC.word_status("SOLAS 및 MARPOL", "per SOLAS only") == "partial_match"
     assert MC.word_status("ABC 항목", "nothing relevant") == "no_match"
     assert MC.word_status("한국어만", "english only") == "no_english_in_kr"
+
+
+def test_month_prefix_abbreviations():
+    # dotted month abbreviations prefix-match; undotted long forms do not
+    assert MC.map_number_words("due Janu. next")[:1] == ["1"]
+    assert MC.map_number_words("the mayor spoke") == []  # no false 'may' prefix
+    assert MC.map_number_words("Sept. meeting")[:1] == ["9"]

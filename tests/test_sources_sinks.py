@@ -69,3 +69,13 @@ def test_csv_sink(spark, tmp_path):
     assert files
     back = spark.read.option("header", True).csv(out)
     assert sorted((r["k"], int(r["v"])) for r in back.collect()) == [("a", 1), ("b", 2)]
+
+
+def test_csv_bom(spark, tmp_path):
+    df = spark.createDataFrame([("x", 1)], ["k", "v"])
+    out = str(tmp_path / "bomcsv")
+    sinks.write_csv(df, out, bom=True)
+    parts = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert parts
+    for f in parts:
+        assert open(os.path.join(out, f), "rb").read(3) == b"\xef\xbb\xbf"

@@ -57,3 +57,29 @@ def test_balanced_extraction_matches_oracle(spark):
         for r in out.collect()
     }
     assert got == oracle.expected_corpus(docs)
+
+
+def test_balanced_preserves_null_spans_rows(spark):
+    """A row with spans=NULL must not vanish from the balanced path (it
+    flows down the small path and maps to NULL, same as extract_documents)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(T.StructType([
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("media_ref", T.StringType(), True),
+            T.StructField("offset", T.IntegerType(), False),
+        ])), True),
+    ])
+    rows = [
+        ("d1", [{"kind": "text", "text": "One sentence here.", "media_ref": "", "offset": 0}]),
+        ("d2", None),
+        ("d3", []),
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    got = {r["doc_id"]: r["spans"] for r in extract_documents_balanced(df, max_spans=4).collect()}
+    assert set(got) == {"d1", "d2", "d3"}
+    assert got["d2"] is None
+    assert got["d3"] == []

@@ -37,9 +37,11 @@ def colocated_join(
 ) -> DataFrame:
     """Join two bucketed tables on their bucket keys. With equal bucket
     counts the plan is SortMergeJoin with no Exchange on either side
-    (asserted in tests/test_bucketing.py)."""
+    (asserted in tests/test_bucketing.py). The two sides are aliased so
+    the condition stays unambiguous when both tables use the same key
+    column name (the common case)."""
     from pyspark.sql import functions as F
 
-    left = spark.table(left_table)
-    right = spark.table(right_table)
-    return left.join(right, F.col(left_key) == F.col(right_key), how)
+    left = spark.table(left_table).alias("l")
+    right = spark.table(right_table).alias("r")
+    return left.join(right, F.col(f"l.{left_key}") == F.col(f"r.{right_key}"), how)

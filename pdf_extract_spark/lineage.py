@@ -137,9 +137,6 @@ def run_extraction_with_lineage(
     ``fail_after_groups`` injects a crash after N committed groups (the
     kill/resume test hook — SURVEY.md §5.2 'resume test').
     """
-    spark = lake.spark
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
     if "bucket" in documents.columns:
         # input table already bucket-partitioned at ingest (the parquet
         # analog of an Iceberg bucket(doc_id) partition transform): the
@@ -184,7 +181,16 @@ def run_extraction_with_lineage(
         # extract_documents projects (doc_id, spans); re-derive the bucket
         # column (deterministic function of doc_id) for partitioned commit.
         out = out.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
-        out.write.partitionBy("bucket").mode("overwrite").parquet(lake.spans_out)
+        # dynamic partition overwrite is set PER WRITE (not session-wide):
+        # only this group's bucket partitions are replaced, and later
+        # static partitioned overwrites in the same session keep their
+        # default semantics
+        (
+            out.write.partitionBy("bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(lake.spans_out)
+        )
 
         stats = (
             lake.spark.read.parquet(lake.spans_out)

@@ -150,7 +150,11 @@ def _chunk_fragments_udf(frags: pd.Series, target: pd.Series) -> pd.Series:
     def chunk(f, t):
         pts = rules.safe_split_points(f, int(t))
         bounds = [0] + pts + [len(f)]
-        return [f[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+        # a giant doc whose fragments ALL dropped during tagging must not
+        # vanish: emit one empty chunk so posexplode keeps the doc_id and
+        # the reassembled output carries an empty spans array, exactly
+        # like the single-pass path
+        return [f[a:b] for a, b in zip(bounds, bounds[1:]) if b > a] or [[]]
 
     return pd.Series([chunk(f, t) if f is not None else None
                       for f, t in zip(frags, target)])
@@ -160,7 +164,7 @@ def _chunk_fragments_udf(frags: pd.Series, target: pd.Series) -> pd.Series:
 def _compose_chunk_udf(chunk: pd.Series) -> pd.Series:
     return chunk.map(
         lambda f: rules.compose_fragments(rules.merge_consecutive_tags(f))
-        if f is not None else None
+        if f is not None else []
     )
 
 

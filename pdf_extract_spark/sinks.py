@@ -50,11 +50,21 @@ def write_csv(df: DataFrame, path: str, bom: bool = False) -> None:
     With ``bom=True`` the part files are rewritten with the BOM prepended
     after the distributed write — a driver-side pass over the part files,
     fine for exports, wrong for petabyte outputs (leave it off there and
-    let the consumer handle encoding)."""
+    let the consumer handle encoding). The rewrite reads the output
+    directory through the local filesystem, so ``bom=True`` requires a
+    driver-local path — a remote scheme (hdfs://, s3a://, ...) raises
+    up front instead of failing after the distributed write succeeded."""
+    if bom and "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"write_csv(bom=True) requires a driver-local path, got {path!r}; "
+            "write without the BOM and prepend it via the target filesystem's API"
+        )
     df.write.option("header", True).mode("overwrite").csv(path)
     if bom:
         import os
 
+        if path.startswith("file://"):
+            path = path[len("file://"):]
         for name in os.listdir(path):
             if not name.endswith(".csv"):
                 continue

@@ -79,6 +79,7 @@ _ASSEMBLED = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
         T.StructField("spans_json", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),  # ok | malformed
     ]
 )
 
@@ -87,31 +88,65 @@ _STATE = T.StructType([T.StructField("chunks_json", T.StringType(), True)])
 
 def _assemble_fn(key, pdfs, state):
     """applyInPandasWithState kernel: buffer span-chunks per doc_id across
-    micro-batches (arrival order arbitrary); once all n_chunks are
-    present, run the FULL deterministic extraction on the reassembled
-    document and emit one row, clearing the state.
+    micro-batches (arrival order arbitrary); once chunk indices 0..n-1 are
+    ALL present, run the full deterministic extraction on the reassembled
+    document and emit one ``status='ok'`` row, clearing the state.
 
-    State is a single JSON blob {chunk_idx: payload} — tiny (the spans of
-    ONE in-flight document), keyed per doc, dropped on completion."""
+    Malformed inputs never raise inside the stateful kernel (that would
+    fail the whole streaming query): an out-of-range chunk_idx, an
+    n_chunks that contradicts earlier chunks of the same doc, or a
+    duplicate chunk_idx with a DIFFERENT payload quarantines the document
+    as one ``status='malformed'`` row (benign redelivery of an identical
+    chunk is accepted silently).
+
+    State is a single JSON blob {"expected": n, "chunks": {idx: payload}}
+    — tiny (the spans of ONE in-flight document), keyed per doc, dropped
+    on completion or quarantine."""
     from pdf_extract_spark import rules
 
     (doc_id,) = key
-    buffered = json.loads(state.get[0]) if state.exists else {}
-    expected = None
+    st = json.loads(state.get[0]) if state.exists else {}
+    buffered: dict = st.get("chunks", {})
+    expected = st.get("expected")
+    error = None
     for pdf in pdfs:
-        for _, row in pdf.iterrows():
-            buffered[str(int(row["chunk_idx"]))] = row["payload"]
-            expected = int(row["n_chunks"])
-    if expected is not None and len(buffered) >= expected:
+        for ci, nc, payload in zip(
+            pdf["chunk_idx"].tolist(), pdf["n_chunks"].tolist(), pdf["payload"].tolist()
+        ):
+            ci, nc = int(ci), int(nc)
+            if expected is None:
+                expected = nc
+            if nc != expected or nc <= 0:
+                error = f"inconsistent n_chunks: {nc} vs {expected}"
+                break
+            if not (0 <= ci < expected):
+                error = f"chunk_idx {ci} out of range [0, {expected})"
+                break
+            prev = buffered.get(str(ci))
+            if prev is not None and prev != payload:
+                error = f"conflicting duplicate for chunk_idx {ci}"
+                break
+            buffered[str(ci)] = payload
+        if error:
+            break
+    if error is not None:
+        state.remove()
+        yield pd.DataFrame(
+            [{"doc_id": doc_id, "spans_json": json.dumps({"error": error}),
+              "status": "malformed"}]
+        )
+    elif expected is not None and set(buffered) >= {str(i) for i in range(expected)}:
         spans = []
         for i in range(expected):
             spans.extend(json.loads(buffered[str(i)]))
         out = rules.extract_document(spans)
         state.remove()
-        yield pd.DataFrame([{"doc_id": doc_id, "spans_json": json.dumps(out)}])
+        yield pd.DataFrame(
+            [{"doc_id": doc_id, "spans_json": json.dumps(out), "status": "ok"}]
+        )
     else:
-        state.update((json.dumps(buffered),))
-        yield pd.DataFrame([], columns=["doc_id", "spans_json"])
+        state.update((json.dumps({"expected": expected, "chunks": buffered}),))
+        yield pd.DataFrame([], columns=["doc_id", "spans_json", "status"])
 
 
 def assemble_and_extract_stream(

@@ -39,3 +39,23 @@ def test_colocated_join_no_exchange(spark, bucketed_tables):
         assert j.count() == plain
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_colocated_join_same_key_name(spark, bucketed_tables):
+    """Both sides bucketed on a column with the SAME name must not raise
+    an ambiguous-reference AnalysisException (the aliased condition)."""
+    o = spark.table("orders_b").withColumnRenamed("o_orderkey", "orderkey")
+    li = spark.table("lineitem_b").withColumnRenamed("l_orderkey", "orderkey")
+    bucketing.write_bucketed(o, "orders_same", "orderkey", buckets=8)
+    bucketing.write_bucketed(li, "lineitem_same", "orderkey", buckets=8)
+    try:
+        j = bucketing.colocated_join(
+            spark, "orders_same", "lineitem_same", "orderkey", "orderkey"
+        )
+        assert j.count() == spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            spark.table("orders_b").o_orderkey == spark.table("lineitem_b").l_orderkey,
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_same")
+        spark.sql("DROP TABLE IF EXISTS lineitem_same")

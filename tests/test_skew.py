@@ -83,3 +83,46 @@ def test_balanced_preserves_null_spans_rows(spark):
     assert set(got) == {"d1", "d2", "d3"}
     assert got["d2"] is None
     assert got["d3"] == []
+
+
+def test_balanced_giant_with_all_dropped_fragments(spark):
+    """A GIANT doc whose fragments all drop during tagging (every text
+    span is boilerplate) must still appear in the balanced output with an
+    empty spans array — same as extract_documents — instead of vanishing
+    through an empty posexplode."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(T.StructType([
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("media_ref", T.StringType(), True),
+            T.StructField("offset", T.IntegerType(), False),
+        ])), True),
+    ])
+    # 10 identical short lines -> all boilerplate (>= 3 repeats), doc is
+    # "giant" under max_spans=4 so it takes the chunked path
+    giant = [
+        {"kind": "text", "text": "Running header", "media_ref": "", "offset": i}
+        for i in range(10)
+    ]
+    rows = [
+        ("g_empty", giant),
+        ("normal", [{"kind": "text", "text": "One sentence here.", "media_ref": "", "offset": 0}]),
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in extract_documents_balanced(df, max_spans=4).collect()
+    }
+    assert set(got) == {"g_empty", "normal"}
+    assert got["g_empty"] == []
+    # parity with the single-pass operator
+    from pdf_extract_spark.operators.extract import extract_documents
+
+    single = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in extract_documents(df).collect()
+    }
+    assert got == single

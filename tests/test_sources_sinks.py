@@ -79,3 +79,15 @@ def test_csv_bom(spark, tmp_path):
     assert parts
     for f in parts:
         assert open(os.path.join(out, f), "rb").read(3) == b"\xef\xbb\xbf"
+
+
+def test_csv_bom_rejects_remote_path(spark):
+    """bom=True only works on driver-local paths; a remote scheme must
+    fail fast, BEFORE the distributed write."""
+    import pytest as _pytest
+
+    from pdf_extract_spark import sinks
+
+    df = spark.range(1).selectExpr("id AS a")
+    with _pytest.raises(ValueError, match="driver-local"):
+        sinks.write_csv(df, "s3a://bucket/export", bom=True)

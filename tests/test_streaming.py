@@ -80,6 +80,7 @@ def test_stateful_chunk_assembler(spark, tmp_path):
     got = {
         r["doc_id"]: [tuple(s.values()) for s in json.loads(r["spans_json"])]
         for r in spark.read.parquet(outp).collect()
+        if r["status"] == "ok"
     }
     exp = {
         d["doc_id"]: [
@@ -89,3 +90,42 @@ def test_stateful_chunk_assembler(spark, tmp_path):
         for d in docs
     }
     assert got == exp
+
+
+def test_stateful_assembler_quarantines_malformed(spark, tmp_path):
+    """Malformed chunk streams (inconsistent n_chunks, out-of-range index)
+    must quarantine the affected doc as status='malformed' without failing
+    the query; well-formed docs in the same batch complete normally."""
+    import json
+
+    from pdf_extract_spark.streaming import CHUNK_SCHEMA, assemble_and_extract_stream
+
+    good = generator.make_document(0, seed=47)
+    spans = good["spans"]
+    rows = [
+        {"doc_id": "good", "chunk_idx": 0, "n_chunks": 2,
+         "payload": json.dumps(spans[: len(spans) // 2])},
+        {"doc_id": "good", "chunk_idx": 1, "n_chunks": 2,
+         "payload": json.dumps(spans[len(spans) // 2:])},
+        # inconsistent n_chunks across chunks of the same doc
+        {"doc_id": "bad_n", "chunk_idx": 0, "n_chunks": 2, "payload": "[]"},
+        {"doc_id": "bad_n", "chunk_idx": 1, "n_chunks": 3, "payload": "[]"},
+        # chunk_idx outside [0, n_chunks)
+        {"doc_id": "bad_idx", "chunk_idx": 5, "n_chunks": 2, "payload": "[]"},
+    ]
+    inp = str(tmp_path / "chunks")
+    outp, ckpt = str(tmp_path / "assembled"), str(tmp_path / "ck")
+    spark.createDataFrame(rows, schema=CHUNK_SCHEMA).write.mode("append").parquet(inp)
+    q = assemble_and_extract_stream(spark, inp, outp, ckpt)
+    q.awaitTermination(180)
+
+    out = {r["doc_id"]: r for r in spark.read.parquet(outp).collect()}
+    assert out["good"]["status"] == "ok"
+    assert [
+        (s["kind"], s["text"], s["media_ref"], s["offset"])
+        for s in json.loads(out["good"]["spans_json"])
+    ] == [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in oracle.expected_spans(good)]
+    assert out["bad_n"]["status"] == "malformed"
+    assert "inconsistent n_chunks" in json.loads(out["bad_n"]["spans_json"])["error"]
+    assert out["bad_idx"]["status"] == "malformed"
+    assert "out of range" in json.loads(out["bad_idx"]["spans_json"])["error"]

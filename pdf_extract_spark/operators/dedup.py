@@ -215,47 +215,84 @@ def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame, text_col: str = "text", threshold: float = 0.5
-) -> DataFrame:
-    """Banded-LSH candidate pairs + exact Jaccard verification over hashed
-    shingles.
-
-    Bands of N_HASHES/N_BANDS rows; a pair is a candidate if any band's
-    signature slice matches; candidates verified with exact Jaccard over
-    the (distinct) shingle-hash sets. Single pass: the shingle array is
-    CARRIED through the band join, so verification re-scans nothing.
-    Returns (id_a, id_b, jaccard)."""
+def _band_keys_over(sh_col) -> list:
     rows_per_band = N_HASHES // N_BANDS
-    hashed = df.select("doc_id", shingle_hashes(F.col(text_col)).alias("sh"))
-    mh = [_mh_i(F.col("sh"), i) for i in range(N_HASHES)]
-    band_keys = [
+    mh = [_mh_i(sh_col, i) for i in range(N_HASHES)]
+    return [
         F.concat_ws(
             "_", F.lit(str(b)),
             *[mh[b * rows_per_band + r].cast("string") for r in range(rows_per_band)],
         )
         for b in range(N_BANDS)
     ]
-    banded = hashed.select(
-        "doc_id", "sh", F.explode(F.array(*band_keys)).alias("band_key")
+
+
+def lsh_band_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Band-bucket occupancy (band_key, n_docs) — the skew diagnostic for
+    ``minhash_lsh_pairs(max_bucket=...)``: run it to see WHICH buckets a
+    cap would drop before silently accepting reduced recall."""
+    hashed = df.select("doc_id", shingle_hashes(F.col(text_col)).alias("sh"))
+    bands = hashed.select(
+        "doc_id", F.explode(F.array(*_band_keys_over(F.col("sh")))).alias("band_key")
     )
-    a = banded.alias("a")
-    b_ = banded.alias("b")
-    pairs = (
+    return bands.groupBy("band_key").agg(F.count("*").alias("n_docs"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Banded-LSH candidate pairs + exact Jaccard verification over hashed
+    shingles.
+
+    Bands of N_HASHES/N_BANDS rows; a pair is a candidate if any band's
+    signature slice matches; candidates verified with exact Jaccard over
+    the (distinct) shingle-hash sets.
+
+    Shuffle discipline (the 100 TB shape): the band self-join carries ONLY
+    (band_key, doc_id) — the shingle arrays never ride the band exchange.
+    The (much smaller) deduplicated candidate set then joins back to the
+    shingle table twice for the verify; both verify joins shuffle the
+    shingle table by doc_id with identical subplans, so Spark's exchange
+    reuse computes/shuffles it once. Total shuffle volume drops from
+    O(bands x shingles) to O(shingles + candidates).
+
+    ``max_bucket`` is the degenerate-bucket guard: boilerplate/near-empty
+    corpora put thousands of docs into ONE band bucket, degrading the band
+    join to the all-pairs quadratic it exists to avoid. With the cap set,
+    buckets holding more than ``max_bucket`` docs are EXCLUDED from
+    candidate generation (pairs may still surface via the pair's other
+    bands). This is a recall cap, not a silent one — use
+    ``lsh_band_stats`` to record which buckets were dropped.
+    Returns (id_a, id_b, jaccard)."""
+    hashed = df.select("doc_id", shingle_hashes(F.col(text_col)).alias("sh"))
+    bands = hashed.select(
+        "doc_id", F.explode(F.array(*_band_keys_over(F.col("sh")))).alias("band_key")
+    )
+    if max_bucket is not None:
+        sizes = bands.groupBy("band_key").agg(F.count("*").alias("n_docs"))
+        bands = bands.join(
+            F.broadcast(sizes.filter(F.col("n_docs") <= max_bucket).select("band_key")),
+            "band_key",
+        )
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    cand = (
         a.join(b_, (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])  # same pair may share several bands
     )
+    ha = hashed.alias("ha")
+    hb = hashed.alias("hb")
     return (
-        pairs.select(
+        cand.join(ha, F.col("id_a") == F.col("ha.doc_id"))
+        .join(hb, F.col("id_b") == F.col("hb.doc_id"))
+        .select(
             "id_a", "id_b",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.size(F.array_intersect("ha.sh", "hb.sh"))
+                / F.size(F.array_union("ha.sh", "hb.sh")),
                 6,
             ).alias("jaccard"),
         )

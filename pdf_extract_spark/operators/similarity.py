@@ -14,7 +14,7 @@ no RNG, no state to ship.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from pdf_extract_spark.operators.hashing import phash_sql
 
@@ -171,6 +171,52 @@ def lsh_bucket_key(vec: Column, dim: int) -> Column:
     return out
 
 
+# above this dimensionality the 8 x dim literal weight arrays stop being
+# harmless plan constants and start bloating the plan string / codegen;
+# switch to a broadcast one-row weights relation instead
+LSH_LITERAL_MAX_DIM = 256
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str, dim: int, out_col: str = "bucket"
+) -> DataFrame:
+    """Append the LSH bucket id for ``vec_col``.
+
+    dim < LSH_LITERAL_MAX_DIM: the hyperplane weights fold to literal
+    arrays in the plan (zero joins, constant-folded).
+    dim >= LSH_LITERAL_MAX_DIM: the same weights ship as ONE broadcast
+    row (planes array<array<double>>) cross-joined in — the plan stays
+    small at dim 768+ and the arithmetic is identical (asserted in
+    tests/test_similarity_ann.py)."""
+    if dim < LSH_LITERAL_MAX_DIM:
+        return df.withColumn(out_col, lsh_bucket_key(F.col(vec_col), dim))
+    spark = df.sparkSession
+    planes = [
+        [_plane_weight_py(p, i) for i in range(1, dim + 1)] for p in range(N_PLANES)
+    ]
+    w_df = spark.createDataFrame(
+        [(planes,)],
+        T.StructType([T.StructField(
+            "__lsh_planes", T.ArrayType(T.ArrayType(T.DoubleType())), False)]),
+    )
+    joined = df.crossJoin(F.broadcast(w_df))
+    bits = []
+    for p in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), F.col("__lsh_planes")[p],
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return joined.withColumn(out_col, out).drop("__lsh_planes")
+
+
 def _plane_weight_sql(plane: int, dim_expr: str) -> str:
     h = phash_sql(f"'pl{plane}:' || ({dim_expr})::VARCHAR")
     return f"(({h} % {2 * PLANE_RES + 1} - {PLANE_RES}) / {PLANE_RES}.0)"
@@ -189,9 +235,48 @@ def lsh_bucket_key_sql(vec: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+def _resolve_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Pass ``dim`` explicitly in production — the fallback probes one row
+    (a tiny driver action, fine interactively, a needless job per call in
+    a pipeline)."""
+    if dim is not None:
+        return dim
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(first["d"]) if first else 0
+
+
+def _cap_buckets(with_b: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Degenerate-bucket guard (same defense as minhash_lsh_pairs): drop
+    candidate rows in buckets holding more than ``max_bucket`` vectors —
+    a hot bucket (duplicate/zero embeddings) would otherwise degrade the
+    bucket join to all-pairs. Not silent: ``lsh_bucket_stats`` reports
+    occupancy."""
+    if max_bucket is None:
+        return with_b
+    sizes = with_b.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
+    return with_b.join(
+        F.broadcast(sizes.filter(F.col("n_vecs") <= max_bucket).select("bucket")),
+        "bucket",
+    )
+
+
+def lsh_bucket_stats(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Bucket occupancy (bucket, n_vecs) — run before choosing a
+    ``max_bucket`` cap for the ANN functions."""
+    dim = _resolve_dim(df, vec_col, dim)
+    with_b = with_lsh_bucket(
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")), "vec", dim
+    )
+    return with_b.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
+
+
 def ann_lsh_topk(
     df: DataFrame, n_queries: int = 5, k: int = 5, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", dim: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
     Returns (q_id, cand_id, sim, rank) — approximate recall, bounded work:
@@ -199,16 +284,17 @@ def ann_lsh_topk(
     not |Q|x|N|."""
     from pyspark.sql import Window as W
 
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"]) if first else 0
-    with_b = df.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-        lsh_bucket_key(F.col(vec_col), dim).alias("bucket"),
+    dim = _resolve_dim(df, vec_col, dim)
+    with_b = with_lsh_bucket(
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")), "vec", dim
     )
     q = with_b.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("q_id"), F.col("vec").alias("q_vec"), "bucket"
     )
-    c = with_b.select(F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"), "bucket")
+    # the cap applies to the CANDIDATE side only — queries keep probing
+    c = _cap_buckets(with_b, max_bucket).select(
+        F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"), "bucket"
+    )
     sims = (
         q.join(c, "bucket")
         .filter(F.col("q_id") != F.col("cand_id"))
@@ -220,7 +306,8 @@ def ann_lsh_topk(
 
 def ann_lsh_multiprobe_topk(
     df: DataFrame, n_queries: int = 5, k: int = 5, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", dim: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Multiprobe LSH: each query also probes the N_PLANES buckets at
     Hamming distance 1 from its own (flip one sign bit) — the standard
@@ -228,11 +315,9 @@ def ann_lsh_multiprobe_topk(
     (1 + N_PLANES) bucket joins instead of a full cross join."""
     from pyspark.sql import Window as W
 
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"]) if first else 0
-    with_b = df.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-        lsh_bucket_key(F.col(vec_col), dim).alias("bucket"),
+    dim = _resolve_dim(df, vec_col, dim)
+    with_b = with_lsh_bucket(
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")), "vec", dim
     )
     probes = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)]
@@ -242,7 +327,10 @@ def ann_lsh_multiprobe_topk(
         .select(F.col("vid").alias("q_id"), F.col("vec").alias("q_vec"),
                 F.explode(probes).alias("bucket"))
     )
-    c = with_b.select(F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"), "bucket")
+    # the cap applies to the CANDIDATE side only — queries keep probing
+    c = _cap_buckets(with_b, max_bucket).select(
+        F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"), "bucket"
+    )
     sims = (
         q.join(c, "bucket")
         .filter(F.col("q_id") != F.col("cand_id"))

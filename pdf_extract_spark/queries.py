@@ -734,14 +734,14 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_lsh_topk", similarity.ann_lsh_topk_sql())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection LSH-bucketed approximate top-k (scale path)."""
-    return similarity.ann_lsh_topk(_t(spark, sf_dir, "embeddings"))
+    return similarity.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), dim=64)
 
 
 @query("ann_lsh_multiprobe", similarity.ann_lsh_multiprobe_topk_sql())
 def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiprobe LSH top-k: queries also probe Hamming-distance-1 buckets
     (recall recovery at bounded candidate volume)."""
-    return similarity.ann_lsh_multiprobe_topk(_t(spark, sf_dir, "embeddings"))
+    return similarity.ann_lsh_multiprobe_topk(_t(spark, sf_dir, "embeddings"), dim=64)
 
 
 @query("ann_ivf_topk")

@@ -63,3 +63,94 @@ def test_ivf_train_shapes(spark):
         for r in emb.orderBy("vec_id").limit(4).collect()
     ]
     assert cents != seeds
+
+
+def test_lsh_bucket_broadcast_path_matches_literal(spark):
+    """with_lsh_bucket must produce IDENTICAL bucket ids through the
+    literal-weights path and the broadcast-weights path (same md5-derived
+    weights, same fold order)."""
+    import pyspark.sql.functions as F
+
+    dim = S.LSH_LITERAL_MAX_DIM + 44  # forces the broadcast path
+    rows = [
+        (i, [((i * 31 + j * 7) % 17 - 8) / 8.0 for j in range(dim)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    lit_df = df.withColumn("bucket", S.lsh_bucket_key(F.col("embedding"), dim))
+    bro_df = S.with_lsh_bucket(df, "embedding", dim)
+    lit = {r["vec_id"]: r["bucket"] for r in lit_df.collect()}
+    bro = {r["vec_id"]: r["bucket"] for r in bro_df.collect()}
+    assert lit == bro and len(set(lit.values())) > 1
+
+    # and the plan stays small: no 8 x dim literal arrays inlined
+    bro_plan = bro_df._jdf.queryExecution().executedPlan().toString()
+    lit_plan = lit_df._jdf.queryExecution().executedPlan().toString()
+    assert len(bro_plan) < len(lit_plan) / 2
+    assert "BroadcastNestedLoopJoin" in bro_plan or "BroadcastExchange" in bro_plan
+
+
+def test_ann_hot_bucket_cap(spark):
+    """1k identical vectors collapse into one LSH bucket; max_bucket must
+    keep the bucket join from going quadratic while normal vectors still
+    rank. Queries keep probing — only the candidate side is capped."""
+    hot = [(i, [1.0] * 8) for i in range(10, 1010)]
+    normal = [
+        (i, [1.0 if j == i else 0.1 for j in range(8)]) for i in range(5)
+    ] + [(i + 5, [1.0 if j == i else 0.12 for j in range(8)]) for i in range(5)]
+    df = spark.createDataFrame(normal + hot, "vec_id int, embedding array<double>")
+    out = S.ann_lsh_topk(df, n_queries=5, k=3, dim=8, max_bucket=100).collect()
+    assert out  # normal queries still produce ranked neighbours
+    # no candidate from the capped hot bucket appears
+    hot_ids = set(range(10, 1010))
+    assert not (hot_ids & {r["cand_id"] for r in out})
+    # the diagnostic surface identifies the hot bucket
+    stats = {r["bucket"]: r["n_vecs"] for r in S.lsh_bucket_stats(df, dim=8).collect()}
+    assert max(stats.values()) >= 1000
+
+
+def test_minhash_hot_bucket_cap_and_plan(spark):
+    """Degenerate corpus: 1k near-identical short docs share every band
+    bucket. With max_bucket the band join must not go quadratic, and the
+    candidate set crossing the band-join exchange must carry ONLY id
+    pairs (no shingle arrays)."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from pdf_extract_spark.operators import dedup as D
+
+    hot = [(f"h{i:04d}", "running header line") for i in range(1000)]
+    real = [
+        ("a0", "the quick brown fox jumps over the lazy dog today"),
+        ("a1", "the quick brown fox jumps over the lazy dog tonight"),
+        ("b0", "completely different content about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(hot + real, "doc_id string, text string")
+
+    capped = D.minhash_lsh_pairs(df, threshold=0.5, max_bucket=50)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rows = capped.collect()
+        plan = capped._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert ("a0", "a1") in got          # real near-dups survive the cap
+    assert not any(a.startswith("h") for a, _ in got)  # hot bucket dropped
+
+    # candidates leaving the band join are bare id pairs: the projection
+    # after the band join and the dedup aggregate hold exactly id_a/id_b
+    assert re.search(
+        r"HashAggregate\(keys=\[id_a#\d+L?, id_b#\d+L?\], functions=\[\], "
+        r"output=\[id_a#\d+L?, id_b#\d+L?\]\)",
+        plan,
+    ), plan
+    assert re.search(r"Project \[doc_id#\d+L? AS id_a#\d+L?, doc_id#\d+L? AS id_b#\d+L?\]", plan), plan
+
+    # the diagnostic stats surface the degenerate buckets
+    stats = D.lsh_band_stats(df)
+    hot_buckets = stats.filter(F.col("n_docs") > 50).count()
+    assert hot_buckets >= 1

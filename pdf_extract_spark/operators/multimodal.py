@@ -96,6 +96,39 @@ def make_media_corpus(n: int, seed: int = 42) -> list[dict]:
     return rows
 
 
+def media_corpus_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic MEDIA-shaped corpus FROM the registered
+    ``documents`` table (pure Catalyst, no Python): payload bytes are the
+    md5 hex of the text repeated to a doc_id-dependent length, unhexed to
+    binary. Because every step (md5 / repeat / substring / unhex) exists
+    identically in DuckDB, the media feature queries get real value-exact
+    oracles instead of rows-only checks."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    is_audio = F.col("doc_id") % 3 == 1
+    is_image = F.col("doc_id") % 3 == 0
+    return docs.select(
+        F.concat(F.lit("m:"), F.col("doc_id").cast("string")).alias("media_ref"),
+        kind.alias("kind"),
+        F.expr(
+            "unhex(substring(repeat(md5(text), 132), 1, "
+            "2 * (64 + (doc_id * 37) % 2048)))"
+        ).alias("content"),
+        F.struct(
+            F.when(~is_audio, (64 + (F.col("doc_id") % 16) * 32).cast("int")).alias("width"),
+            F.when(~is_audio, (64 + (F.col("doc_id") % 9) * 32).cast("int")).alias("height"),
+            F.when(~is_image, (1000 + (F.col("doc_id") % 30) * 500).cast("int")).alias("duration_ms"),
+            F.when(is_audio, F.lit(16000)).cast("int").alias("sample_rate"),
+            F.when(is_image, F.lit("fakejpg"))
+            .when(is_audio, F.lit("fakewav"))
+            .otherwise(F.lit("fakemp4")).alias("format"),
+        ).alias("meta"),
+    )
+
+
 # --------------------------------------------------------------------------
 # feature extraction (REAL byte-level computation, no codec needed)
 # --------------------------------------------------------------------------
@@ -117,7 +150,11 @@ def _batch_features(pdf: pd.DataFrame) -> pd.DataFrame:
         nz = p[p > 0]
         entropy[i] = float(-(nz * np.log2(nz)).sum())
         hists.append((p.round(6)).tolist())
-        digest = hashlib.md5(bytes(b)).digest()
+        # content hash over the UPPERCASE HEX of the payload, not the raw
+        # bytes: engine-portable (DuckDB's md5 takes VARCHAR only, and
+        # hex(unhex(x)) = upper(x) on both engines), equally collision-
+        # resistant as a near-dup key
+        digest = hashlib.md5(bytes(b).hex().upper().encode()).digest()
         phash[i] = int.from_bytes(digest[:8], "big", signed=True)
     return pd.DataFrame(
         {

@@ -49,6 +49,88 @@ def _dec(col, scale: int = 2):
     return F.col(col).cast(f"decimal(18,{scale})")
 
 
+# ---------------------------------------------------------------------
+# The extraction oracle: a DuckDB mirror of synth_spans + the rule core
+# for the registered documents corpus.
+#
+# The synthetic corpus contains NO terminal punctuation, digits, colons,
+# brackets or uppercase runs (every fragment tags P and every P-run
+# composes to one joined sentence-residual), so the full pipeline -
+# fragmenting, boilerplate strip, cleanup chain, the tag_by_text CASE
+# precedence, run grouping, media interleaving and offset renumbering -
+# is exactly expressible as set-based SQL. The FSM's merge/split paths
+# that SQL cannot express (bracket-depth splitting, completion flushes)
+# are exercised by the golden pytest corpora instead
+# (tests/test_pipeline_golden.py) where fragments DO carry punctuation.
+# ---------------------------------------------------------------------
+
+EXTRACT_CTE = r"""
+base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+fr0 AS (
+  SELECT doc_id, toks,
+         unnest(range(0, cast(ceil(len(toks) / 8.0) AS BIGINT))) AS i
+  FROM base),
+tf AS (
+  SELECT doc_id::VARCHAR AS doc_id, i::INT AS off, 'text' AS kind,
+         array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS raw, '' AS media_ref
+  FROM fr0),
+md AS (
+  SELECT doc_id::VARCHAR AS doc_id, cast(ceil(len(toks) / 8.0) AS INT) AS off,
+         'media' AS kind, '' AS raw, 'm:' || doc_id::VARCHAR AS media_ref
+  FROM base WHERE doc_id % 5 = 0),
+spans AS (SELECT * FROM tf UNION ALL SELECT * FROM md),
+cleaned AS (
+  SELECT *,
+         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              raw, '\.{5,}', '', 'g'), '^[-‐–—−·•○:.]\s*', ''),
+              '\*+', ' ', 'g'), '\s+', ' ', 'g')) AS txt,
+         trim(regexp_replace(raw, '\s+', ' ', 'g')) AS cw
+  FROM spans),
+bp AS (
+  SELECT doc_id, cw FROM cleaned
+  WHERE kind = 'text' AND raw != '' AND length(raw) <= 80
+  GROUP BY doc_id, cw HAVING cw != '' AND count(*) >= 3),
+kept AS (
+  SELECT c.doc_id, c.off, c.kind, c.media_ref, c.txt
+  FROM cleaned c LEFT JOIN bp ON bp.doc_id = c.doc_id AND bp.cw = c.cw
+  WHERE c.kind = 'media' OR (bp.cw IS NULL AND c.txt != '')),
+tagged AS (
+  SELECT doc_id, off, media_ref, txt,
+         CASE WHEN kind = 'media' THEN 'media'
+              WHEN regexp_matches(txt, '^[^.?!]{1,60}:$') THEN 'H3'
+              WHEN regexp_matches(txt, '[.?!]$') THEN 'P'
+              WHEN len(string_split(txt, ' ')) > 12 THEN 'P'
+              WHEN regexp_matches(txt, '^[0-9]+\.[0-9]+(\.[0-9]+)*\.?\s+\S') THEN 'H2'
+              WHEN regexp_matches(txt, '^[0-9]+\.?\s+\S')
+                   OR regexp_matches(txt, concat('^[A-Z][A-Z0-9 ,', chr(39), '&-]{2,}$')) THEN 'H1'
+              ELSE 'P' END AS kind
+  FROM kept),
+runs AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY doc_id ORDER BY off) AS rn,
+         row_number() OVER (PARTITION BY doc_id ORDER BY off)
+           - row_number() OVER (PARTITION BY doc_id, kind ORDER BY off) AS grp
+  FROM tagged),
+agg AS (
+  SELECT doc_id, kind,
+         min(rn) AS ord,
+         string_agg(txt, ' ' ORDER BY off) AS text,
+         max(media_ref) AS media_ref
+  FROM runs
+  GROUP BY doc_id, kind, CASE WHEN kind = 'media' THEN rn ELSE grp END)
+"""
+
+EXTRACT_ORACLE_SQL = f"""
+WITH {EXTRACT_CTE}
+SELECT doc_id, kind, coalesce(text, '') AS text, media_ref,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1)::INT AS "offset"
+FROM agg
+"""
+
+
+
+
 # =====================================================================
 # aggregations (SURVEY.md §2.3)
 # =====================================================================
@@ -396,12 +478,13 @@ def part_type_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("extract_spans_balanced")
+@query("extract_spans_balanced", EXTRACT_ORACLE_SQL)
 def extract_spans_balanced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-defused flagship (giant docs chunked at exact-safe
     boundaries and recomposed in parallel). Output is byte-identical to
-    extract_spans_flagship — rows-only stability check here; equality is
-    asserted in tests/test_skew.py."""
+    extract_spans_flagship, so it shares the extraction SQL oracle
+    (EXTRACT_ORACLE_SQL); cross-path equality is also asserted in
+    tests/test_skew.py."""
     from pdf_extract_spark.pipeline import run_extraction_balanced
 
     docs = synth_spans(_t(spark, sf_dir, "documents"))
@@ -940,24 +1023,86 @@ def pair_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal (binary payload columns + typed metadata)
 # =====================================================================
 
-@query("media_features")
+# the 16 hex digits, ascending — the nibble-histogram domain
+_HEXD = "['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f']"
+
+# DuckDB mirror of the documents-derived media corpus
+# (multimodal.media_corpus_from_documents): payload hex = md5(text)
+# repeated, truncated to 2 x n_bytes chars
+_MEDIA_CTE = """
+m AS (
+  SELECT 'm:' || doc_id::VARCHAR AS media_ref,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         (64 + (doc_id * 37) % 2048)::BIGINT AS n_bytes,
+         substring(repeat(md5(text), 132), 1,
+                   (2 * (64 + (doc_id * 37) % 2048))::INT) AS hx
+  FROM documents)
+"""
+
+
+@query(
+    "media_features",
+    f"""
+WITH {_MEDIA_CTE},
+hn AS (
+  SELECT *, list_transform(range(1, n_bytes + 1),
+                           p -> substring(hx, (2*p - 1)::INT, 1)) AS nibs
+  FROM m),
+pr AS (
+  SELECT *, list_filter(
+      list_transform({_HEXD},
+                     d -> len(list_filter(nibs, c -> c = d)) * 1.0 / n_bytes),
+      p -> p > 0) AS probs
+  FROM hn),
+ph AS (
+  SELECT *, (('0x' || substring(md5(upper(hx)), 1, 16))::UBIGINT)::HUGEINT AS u
+  FROM pr)
+SELECT media_ref, kind, n_bytes,
+       round(-list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(probs, p -> p * log2(p))), (a, b) -> a + b), 6)
+         AS byte_entropy,
+       CASE WHEN u >= 9223372036854775808 THEN (u - 18446744073709551616)::BIGINT
+            ELSE u::BIGINT END AS phash64
+FROM ph
+""",
+)
 def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level media features (size / nibble histogram / entropy /
-    64-bit content hash) over Arrow-batched mapInPandas. Rows-only check:
-    the media corpus is generated, not a registered DuckDB table."""
+    64-bit content hash) over Arrow-batched mapInPandas. The corpus is
+    derived from the registered ``documents`` table with engine-portable
+    expressions, so the byte statistics the kernel computes from the RAW
+    PAYLOAD are re-derived by DuckDB from the payload's hex form
+    (high nibble of byte i == hex char 2i-1) — a true value oracle for
+    the binary-column path."""
     from pdf_extract_spark.operators import multimodal as M
 
-    df = spark.createDataFrame(M.make_media_corpus(120, seed=5), schema=M.MEDIA)
-    return M.media_features(df).drop("histogram").orderBy("media_ref")
+    df = M.media_corpus_from_documents(_t(spark, sf_dir, "documents"))
+    return (
+        M.media_features(df)
+        .drop("histogram")
+        .orderBy("media_ref")
+    )
 
 
-@query("media_frame_plan")
+@query(
+    "media_frame_plan",
+    """
+WITH v AS (
+  SELECT 'm:' || doc_id::VARCHAR AS media_ref,
+         1000 + (doc_id % 30) * 500 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2),
+f AS (SELECT media_ref, unnest(range(0, duration_ms, 500)) AS ts FROM v)
+SELECT media_ref, (ts // 500)::INT AS frame_idx, ts::INT AS ts_ms FROM f
+""",
+)
 def media_frame_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plan (sequence+explode, pure Catalyst) plus the
-    decode-stub image pass. Rows-only check."""
+    """Video frame-sampling plan (sequence+explode, pure Catalyst) over
+    the documents-derived media corpus — duration_ms is a deterministic
+    function of doc_id, so the plan is SQL-mirrorable row for row."""
     from pdf_extract_spark.operators import multimodal as M
 
-    df = spark.createDataFrame(M.make_media_corpus(120, seed=5), schema=M.MEDIA)
+    df = M.media_corpus_from_documents(_t(spark, sf_dir, "documents"))
     return M.sample_frames(df, fps=2.0).orderBy("media_ref", "frame_idx")
 
 
@@ -1028,16 +1173,30 @@ def monotonic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", F.round("value", 2).alias("value"))
 
 
-@query("compression_ratio")
+@query(
+    "compression_ratio",
+    f"""
+WITH {EXTRACT_CTE},
+n_out AS (SELECT doc_id, count(*) AS n_out FROM agg GROUP BY 1),
+n_in AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         cast(ceil(len(toks) / 8.0) AS BIGINT)
+           + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS n_in
+  FROM base)
+SELECT i.doc_id, i.n_in, coalesce(o.n_out, 0) AS n_out,
+       round(i.n_in * 1.0 / greatest(coalesce(o.n_out, 0), 1), 6) AS ratio
+FROM n_in i LEFT JOIN n_out o ON o.doc_id = i.doc_id
+""",
+)
 def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 — input-fragments vs composed-sentences compression ratio per
-    document, plus corpus aggregate (sentence_composer.py:611,553).
-    Rows-only: requires the extraction stage."""
+    document (sentence_composer.py:611,553), oracle-checked through the
+    extraction-pipeline SQL mirror (EXTRACT_CTE)."""
     from pdf_extract_spark.pipeline import run_extraction
 
     docs = synth_spans(_t(spark, sf_dir, "documents"))
-    before = docs.select("doc_id", F.size("spans").alias("n_in"))
-    after = run_extraction(docs).select("doc_id", F.size("spans").alias("n_out"))
+    before = docs.select("doc_id", F.size("spans").cast("long").alias("n_in"))
+    after = run_extraction(docs).select("doc_id", F.size("spans").cast("long").alias("n_out"))
     per_doc = before.join(after, "doc_id")
     return per_doc.select(
         "doc_id", "n_in", "n_out",
@@ -1076,7 +1235,10 @@ def align_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("align_full_outer")
 def align_full_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 over real alignment output — kr-anchored rows plus unmatched en
-    rows via a true full outer join (create_csv.py:202-319)."""
+    rows via a true full outer join (create_csv.py:202-319). Rows-only
+    check: the input pairs come from the Hungarian-assignment kernel
+    (not SQL-expressible); the join semantics themselves are verified by
+    the full_outer_nation_counts oracle and tests/test_align.py."""
     from pdf_extract_spark.operators import align
 
     kr_df, en_df = _alignment_fixture(spark)
@@ -1155,7 +1317,10 @@ def pdf_bytes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def layout_styled_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The styled layout path (S5/S6 + F1 + W3 + A3 + §2.7 tagging + W4)
     over generated raw_blocks fixtures — parsed pages in, composed spans
-    out. Rows-only check."""
+    out. Rows-only check: body-size mode + style tagging + the
+    composition FSM over geometry fixtures is not ANSI-SQL-expressible;
+    value parity is asserted against the shared rule core in
+    tests/test_layout_styled.py."""
     from pdf_extract_spark import generator
     from pdf_extract_spark.operators.layout import layout_extract
     from pdf_extract_spark.schemas import RAW_BLOCKS
@@ -1181,7 +1346,7 @@ def layout_styled_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("extract_spans_flagship")
+@query("extract_spans_flagship", EXTRACT_ORACLE_SQL)
 def extract_spans_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship: documents -> interleaved extracted spans, exploded to
     one row per output span (kind, text, media_ref, offset)."""

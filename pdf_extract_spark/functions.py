@@ -29,3 +29,22 @@ def quote_norm(col: Column) -> Column:
 def nfkc(s: pd.Series) -> pd.Series:
     """C11 — NFKC normalization, vectorized over the Arrow batch."""
     return s.map(lambda t: unicodedata.normalize("NFKC", t) if t is not None else None)
+
+
+def remove_numbering_col(col: Column, context: str = "text") -> Column:
+    """C7 as pure Catalyst — the ``when(rlike).regexp_replace`` chain form
+    of rules.remove_numbering (metadata_generator.py:44-74): ordered
+    patterns, FIRST match only (the when-chain short-circuits exactly like
+    the reference's ``break``), matched prefix replaced by a space, then
+    ltrim. Every pattern is ^-anchored, so regexp_replace rewrites at most
+    one site and equals the reference's ``sub(count=1)``."""
+    from pdf_extract_spark import rules
+
+    patterns = [f"(?i){p.pattern}" for p in rules.COMMON_NUMBERING_PATTERNS]
+    if context == "text":
+        patterns += [p.pattern for p in rules.TEXT_ONLY_NUMBERING_PATTERNS]
+    out = None
+    for pat in patterns:
+        branch = F.regexp_replace(col, pat, " ")
+        out = F.when(col.rlike(pat), branch) if out is None else out.when(col.rlike(pat), branch)
+    return F.ltrim(out.otherwise(col))

@@ -733,6 +733,69 @@ def textclean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _remove_numbering_sql_expr(col: str, context: str) -> str:
+    """DuckDB CASE-chain mirror of rules.remove_numbering, generated from
+    the SAME pattern lists (single source of truth)."""
+    from pdf_extract_spark import rules
+
+    pats = ["(?i)" + p.pattern for p in rules.COMMON_NUMBERING_PATTERNS]
+    if context == "text":
+        pats += [p.pattern for p in rules.TEXT_ONLY_NUMBERING_PATTERNS]
+    cases = " ".join(
+        f"WHEN regexp_matches({col}, '{p}') THEN regexp_replace({col}, '{p}', ' ')"
+        for p in pats
+    )
+    return f"ltrim(CASE {cases} ELSE {col} END)"
+
+
+@query(
+    "remove_numbering",
+    f"""
+WITH numbered AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN (doc_id % 9 + 1)::VARCHAR || '. '
+           WHEN 1 THEN '(' || (doc_id % 7)::VARCHAR || ') '
+           WHEN 2 THEN '2.1.4 '
+           WHEN 3 THEN 'iv. '
+           WHEN 4 THEN 'B. '
+           ELSE '' END || text AS numbered
+  FROM documents)
+SELECT doc_id, numbered,
+       {_remove_numbering_sql_expr('numbered', 'text')} AS text_ctx,
+       {_remove_numbering_sql_expr('numbered', 'table')} AS table_ctx
+FROM numbered
+""",
+)
+def remove_numbering_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — config-driven leading-numbering removal as a pure Catalyst
+    when(rlike)/regexp_replace chain with FIRST-MATCH-ONLY semantics
+    (metadata_generator.py:44-74): deterministic numbering prefixes are
+    synthesized onto the documents corpus, then stripped under both the
+    'text' context (common + text-only patterns) and the 'table' context
+    (common patterns only — '12. ' survives there), value-exact against
+    the DuckDB mirror generated from the same pattern lists."""
+    from pdf_extract_spark.functions import remove_numbering_col
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    pre = (
+        F.when(doc % 6 == 0, F.concat((doc % 9 + 1).cast("string"), F.lit(". ")))
+        .when(doc % 6 == 1, F.concat(F.lit("("), (doc % 7).cast("string"), F.lit(") ")))
+        .when(doc % 6 == 2, F.lit("2.1.4 "))
+        .when(doc % 6 == 3, F.lit("iv. "))
+        .when(doc % 6 == 4, F.lit("B. "))
+        .otherwise(F.lit(""))
+    )
+    numbered = F.concat(pre, F.col("text"))
+    return d.select(
+        "doc_id",
+        numbered.alias("numbered"),
+        remove_numbering_col(numbered, "text").alias("text_ctx"),
+        remove_numbering_col(numbered, "table").alias("table_ctx"),
+    )
+
+
 # =====================================================================
 # text analysis / training-data ops
 # =====================================================================

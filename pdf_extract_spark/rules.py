@@ -150,13 +150,61 @@ def strip_hyphen_runs(t: str) -> str:
     return RE_HYPHEN_RUN.sub("", t)
 
 
-def normalize_for_pairing(t: str) -> str:
+# C7 — config-driven leading-numbering removal (metadata_generator.py:44-74).
+# The reference compiles two ordered pattern lists from a JSON config file
+# ('config_1-10_규칙.json', named by utils.get_default_config_path but NOT
+# checked into the repo), so the exact pattern strings are unrecoverable;
+# the MECHANISM is reproduced faithfully: common patterns compiled
+# IGNORECASE and applied in every context, text-only ("dangerous") patterns
+# appended AFTER them in 'text' context, first-match-only (`break` after
+# the first pattern that matches), removal via sub(' ', count=1) followed
+# by lstrip. The default lists below are documented stand-ins, overridable
+# exactly like the reference's config.
+
+COMMON_NUMBERING_PATTERNS = [
+    re.compile(r"^\s*\(\d+(?:\.\d+)*\)\s+", re.IGNORECASE),  # "(1) ", "(1.2) "
+    re.compile(r"^\s*\d+(?:\.\d+)+\.?\s+", re.IGNORECASE),   # "1.2 ", "1.2.3. "
+    re.compile(r"^\s*[IVXLCDM]+\.\s+", re.IGNORECASE),       # "IV. ", "iv. "
+    re.compile(r"^\s*[A-Z]\.\s+", re.IGNORECASE),            # "B. ", "b. "
+]
+TEXT_ONLY_NUMBERING_PATTERNS = [
+    re.compile(r"^\s*\d+\.\s+"),  # "1. "  — risky in tables (row numbers)
+    re.compile(r"^\s*\d+\)\s+"),  # "1) "
+]
+
+
+def remove_numbering(
+    sentence: str, context: str = "text",
+    common: list | None = None, text_only: list | None = None,
+) -> str:
+    """C7 — strip ONE leading numbering prefix (metadata_generator.py:44-74):
+    ordered pattern scan, first match wins and stops the scan, matched
+    span replaced by a space, then lstrip. In 'table' context only the
+    common patterns apply (a leading bare number may be table data)."""
+    if not sentence or not isinstance(sentence, str):
+        return sentence
+    patterns = list(common if common is not None else COMMON_NUMBERING_PATTERNS)
+    if context == "text":
+        patterns += list(
+            text_only if text_only is not None else TEXT_ONLY_NUMBERING_PATTERNS
+        )
+    out = sentence
+    for pat in patterns:
+        if pat.match(out):
+            out = pat.sub(" ", out, count=1)
+            break
+    return out.lstrip()
+
+
+def normalize_for_pairing(t: str, context: str = "text") -> str:
     """The reference's pair-normalization chain
-    (metadata_generator.py:524-543): bullet strip, code-ref strip, quote
-    normalization, hyphen-run removal, edge-char strip, NFKC, whitespace
-    collapse — applied to both sides before text comparison."""
+    (metadata_generator.py:524-543): bullet strip, code-ref strip,
+    numbering removal (C7, context-dependent), quote normalization,
+    hyphen-run removal, edge-char strip, NFKC, whitespace collapse —
+    applied to both sides before text comparison."""
     t = strip_bullet(t)
     t = strip_code_refs(t)
+    t = remove_numbering(t, context)
     t = normalize_quotes(t)
     t = strip_hyphen_runs(t)
     t = strip_edge_chars(t)

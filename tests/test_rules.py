@@ -169,3 +169,47 @@ def test_normalize_for_pairing():
         normalize_for_pairing("- “Cargo  tanks” (IGC Code 4.2) -- ﬁnal: ")
         == '"Cargo tanks" final'
     )
+
+
+def test_remove_numbering_first_match_only():
+    """C7 truth table (metadata_generator.py:44-74): ordered scan, first
+    match wins and STOPS — a second numbering layer survives; sub(' ') +
+    lstrip; table context excludes the text-only patterns."""
+    from pdf_extract_spark.rules import remove_numbering
+
+    cases_text = [
+        ("(1) 2.3 follows", "2.3 follows"),     # paren matches first; break
+        ("1.2.3 title", "title"),               # dotted chain (common)
+        ("1.2.3. title", "title"),              # trailing dot variant
+        ("IV. heading", "heading"),             # roman (common)
+        ("iv. heading", "heading"),             # roman IGNORECASE
+        ("B. item", "item"),                    # letter (common)
+        ("12. item", "item"),                   # bare number (text-only)
+        ("7) item", "item"),                    # paren-less (text-only)
+        ("no numbering here", "no numbering here"),
+        ("", ""),
+        (None, None),
+        ("  3. indented", "indented"),          # leading ws consumed by \s*
+    ]
+    for inp, want in cases_text:
+        assert remove_numbering(inp, "text") == want, (inp, want)
+
+    cases_table = [
+        ("12. row value", "12. row value"),     # text-only pattern NOT applied
+        ("7) row value", "7) row value"),
+        ("(1) row value", "row value"),         # common still applies
+        ("1.2 row value", "row value"),
+        ("B. row value", "row value"),
+    ]
+    for inp, want in cases_table:
+        assert remove_numbering(inp, "table") == want, (inp, want)
+
+
+def test_normalize_for_pairing_strips_numbering():
+    """C7 wired into the pair-normalization chain: a leading '1.2.3 '
+    no longer poisons the comparison; table context keeps bare numbers."""
+    from pdf_extract_spark.rules import normalize_for_pairing
+
+    assert normalize_for_pairing("1.2.3 Cargo tanks.") == "Cargo tanks."
+    assert normalize_for_pairing("12. Cargo tanks.", context="table") == "12. Cargo tanks."
+    assert normalize_for_pairing("12. Cargo tanks.", context="text") == "Cargo tanks."

@@ -94,6 +94,22 @@ MONTH_PREFIXES = frozenset(
     ("jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep", "oct", "nov", "dec")
 )
 
+# C14 Korean side (metadata_generator.py:132-140): the reference's
+# kor_mappings is exactly {'2': ['이중', '더블']}; matching is an
+# alternation FINDALL over the raw text (no tokenization — hangul
+# compounds like '이중화' still match on their prefix), each hit mapped
+# to its digit string with multiplicity.
+KOR_NUMBER_WORDS = {"이중": "2", "더블": "2"}
+RE_KOR_NUMWORD = re.compile("|".join(map(re.escape, KOR_NUMBER_WORDS)))
+
+
+def map_korean_number_words(t: str) -> list[str]:
+    """C14 (kr) — Korean number-word occurrences to digit strings
+    (metadata_generator.py:162-167: pattern.findall then map)."""
+    if not t:
+        return []
+    return [KOR_NUMBER_WORDS[m] for m in RE_KOR_NUMWORD.findall(t)]
+
 
 def map_number_words(t: str) -> list[str]:
     """C14 — number words to digit strings; hyphen compounds split;
@@ -136,10 +152,15 @@ def canon_number(tok: str) -> str:
 
 
 def number_status(kr: str, en: str) -> str:
-    """A9 verdict for numbers: kr numbers+numberwords vs en side,
+    """A9 verdict for numbers: kr numbers + kr number-words (이중/더블,
+    metadata_generator.py:132-140) vs en numbers + en number-words,
     compared on canonicalized tokens (ordinal suffixes and thousands
-    separators stripped — '2번째' pairs with '2nd')."""
-    kn = [canon_number(t) for t in extract_numbers(kr) + map_number_words(kr)]
+    separators stripped — '2번째' pairs with '2nd', '이중' with
+    'double')."""
+    kn = [
+        canon_number(t)
+        for t in extract_numbers(kr) + map_number_words(kr) + map_korean_number_words(kr)
+    ]
     en_n = [canon_number(t) for t in extract_numbers(en) + map_number_words(en)]
     if not kn and not en_n:
         return "no_numbers"

@@ -84,3 +84,25 @@ def test_month_prefix_abbreviations():
     assert MC.map_number_words("due Janu. next")[:1] == ["1"]
     assert MC.map_number_words("the mayor spoke") == []  # no false 'may' prefix
     assert MC.map_number_words("Sept. meeting")[:1] == ["9"]
+
+
+def test_korean_number_words():
+    """C14 kr side (metadata_generator.py:132-140): 이중/더블 -> '2',
+    findall semantics (multiplicity, prefix hits inside compounds)."""
+    from pdf_extract_spark.operators.metacompare import map_korean_number_words
+
+    assert map_korean_number_words("이중 배관") == ["2"]
+    assert map_korean_number_words("더블 체크 후 이중 잠금") == ["2", "2"]
+    assert map_korean_number_words("이중화된 시스템") == ["2"]  # compound prefix
+    assert map_korean_number_words("배관 점검") == []
+    assert map_korean_number_words("") == []
+
+
+def test_number_status_korean_words_pair_with_english():
+    """'이중' on the kr side must pair with 'double' on the en side."""
+    from pdf_extract_spark.operators.metacompare import number_status
+
+    assert number_status("이중 격벽 구조", "double hull structure") == "all_match"
+    assert number_status("이중 격벽과 3개의 탱크", "double hull and three tanks") == "all_match"
+    assert number_status("이중 격벽", "single hull") == "no_match"
+    assert number_status("격벽 구조", "hull structure") == "no_numbers"

@@ -82,24 +82,70 @@ class RunReport:
 
 
 class Lake:
-    """A parquet data lake directory with documents/spans_out/lineage/metrics."""
+    """The extraction lake: documents/spans_out/lineage/metrics.
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    ``table_format`` selects the storage dispatch:
+      * ``"parquet"`` (default) — ``root`` is a directory; the per-group
+        commit is a dynamic partition overwrite of parquet bucket
+        partitions, appends are parquet appends;
+      * ``"iceberg"`` — ``root`` is a catalog namespace (e.g.
+        ``ice.db``); the per-group commit is the real Iceberg
+        ``writeTo(tbl).overwritePartitions()`` (atomic snapshot replace
+        of exactly the written bucket partitions), appends are
+        ``writeTo(tbl).append()``, reads are ``spark.table``. The first
+        commit creates the table ``PARTITIONED BY (bucket)``.
+    Both branches commit the SAME dataframe graph; only the sink verbs
+    differ (the seam asserted both ways in tests/test_lineage.py)."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 table_format: str = "parquet") -> None:
+        if table_format not in ("parquet", "iceberg"):
+            raise ValueError(f"unsupported table_format: {table_format!r}")
         self.spark = spark
+        self.table_format = table_format
+        sep = "." if table_format == "iceberg" else "/"
         self.root = root.rstrip("/")
-        self.spans_out = f"{self.root}/spans_out"
-        self.lineage = f"{self.root}/lineage"
-        self.metrics = f"{self.root}/metrics"
+        self.spans_out = f"{self.root}{sep}spans_out"
+        self.lineage = f"{self.root}{sep}lineage"
+        self.metrics = f"{self.root}{sep}metrics"
 
-    # ----------------------------------------------------------- lineage io
+    # ------------------------------------------------------------- sinks
 
-    def _append(self, rows: list, schema: T.StructType, path: str) -> None:
-        self.spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
-            "append"
-        ).parquet(path)
+    def commit_spans(self, out: DataFrame) -> None:
+        """Atomically (re)place the written bucket partitions."""
+        if self.table_format == "iceberg":
+            if self.spark.catalog.tableExists(self.spans_out):
+                out.writeTo(self.spans_out).overwritePartitions()
+            else:  # first commit creates the bucket-partitioned table
+                out.writeTo(self.spans_out).partitionedBy(F.col("bucket")).create()
+        else:
+            # dynamic partition overwrite is set PER WRITE (not
+            # session-wide): only this group's bucket partitions are
+            # replaced, and later static partitioned overwrites in the
+            # same session keep their default semantics
+            (
+                out.write.partitionBy("bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(self.spans_out)
+            )
+
+    def _append(self, rows: list, schema: T.StructType, target: str) -> None:
+        df = self.spark.createDataFrame(rows, schema=schema).coalesce(1)
+        if self.table_format == "iceberg":
+            if self.spark.catalog.tableExists(target):
+                df.writeTo(target).append()
+            else:
+                df.writeTo(target).create()
+        else:
+            df.write.mode("append").parquet(target)
+
+    # ------------------------------------------------------------- reads
 
     def read_lineage(self) -> DataFrame | None:
         try:
+            if self.table_format == "iceberg":
+                return self.spark.table(self.lineage)
             return self.spark.read.parquet(self.lineage)
         except Exception:
             return None  # first run: no lineage yet
@@ -116,6 +162,8 @@ class Lake:
         return latest.filter(F.col("status") == COMPLETED).select("bucket")
 
     def read_spans_out(self) -> DataFrame:
+        if self.table_format == "iceberg":
+            return self.spark.table(self.spans_out)
         return self.spark.read.parquet(self.spans_out)
 
 
@@ -181,19 +229,10 @@ def run_extraction_with_lineage(
         # extract_documents projects (doc_id, spans); re-derive the bucket
         # column (deterministic function of doc_id) for partitioned commit.
         out = out.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
-        # dynamic partition overwrite is set PER WRITE (not session-wide):
-        # only this group's bucket partitions are replaced, and later
-        # static partitioned overwrites in the same session keep their
-        # default semantics
-        (
-            out.write.partitionBy("bucket")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(lake.spans_out)
-        )
+        lake.commit_spans(out)
 
         stats = (
-            lake.spark.read.parquet(lake.spans_out)
+            lake.read_spans_out()
             .filter(F.col("bucket").isin([int(b) for b in group]))
             .groupBy("bucket")
             .agg(F.count("*").alias("docs"), F.sum(F.size("spans")).alias("spans"))

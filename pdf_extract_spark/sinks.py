@@ -35,11 +35,24 @@ def spans_to_sentence_rows(spans_out: DataFrame, run_id: str) -> DataFrame:
     )
 
 
-def write_sentences(spans_out: DataFrame, path: str, run_id: str) -> None:
-    """S10 — the sentences sink, partitioned for pruning by document
-    prefix (on Iceberg: ``writeTo(...).append()``)."""
+def write_sentences(
+    spans_out: DataFrame, path: str, run_id: str, table_format: str = "parquet"
+) -> None:
+    """S10 — the sentences sink.
+
+    ``table_format="parquet"``: ``path`` is a directory, append parquet.
+    ``table_format="iceberg"``: ``path`` is a catalog table name; the
+    append is the real Iceberg ``writeTo(tbl).append()`` (snapshot
+    commit), creating the table on first write. Same dataframe, only the
+    sink verb dispatches (seam tested in tests/test_sources_sinks.py)."""
     rows = spans_to_sentence_rows(spans_out, run_id)
-    rows.write.mode("append").parquet(path)
+    if table_format == "iceberg":
+        if rows.sparkSession.catalog.tableExists(path):
+            rows.writeTo(path).append()
+        else:
+            rows.writeTo(path).create()
+    else:
+        rows.write.mode("append").parquet(path)
 
 
 def write_csv(df: DataFrame, path: str, bom: bool = False) -> None:

@@ -91,3 +91,31 @@ def test_csv_bom_rejects_remote_path(spark):
     df = spark.range(1).selectExpr("id AS a")
     with _pytest.raises(ValueError, match="driver-local"):
         sinks.write_csv(df, "s3a://bucket/export", bom=True)
+
+
+def test_write_sentences_iceberg_seam(spark, monkeypatch):
+    """write_sentences(table_format='iceberg') issues writeTo().create()
+    then append() instead of parquet appends."""
+    try:  # pyspark 4: the concrete class is classic.dataframe.DataFrame
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover
+        from pyspark.sql import DataFrame
+
+    from pdf_extract_spark import sinks
+    from tests.test_lineage import _FakeV2Writer
+
+    log, existing = [], set()
+    monkeypatch.setattr(DataFrame, "writeTo", lambda self, tbl: _FakeV2Writer(log, tbl))
+    monkeypatch.setattr(
+        type(spark.catalog), "tableExists", lambda self, name: name in existing
+    )
+    spans = spark.createDataFrame(
+        [("d1", [{"kind": "P", "text": "x.", "media_ref": "", "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    sinks.write_sentences(spans, "cat.db.sentences", "run1", table_format="iceberg")
+    assert log == [("create", "cat.db.sentences")]
+    existing.add("cat.db.sentences")
+    log.clear()
+    sinks.write_sentences(spans, "cat.db.sentences", "run1", table_format="iceberg")
+    assert log == [("append", "cat.db.sentences")]

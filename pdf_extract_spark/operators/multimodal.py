@@ -216,15 +216,20 @@ def decode_images(df: DataFrame) -> DataFrame:
 
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"]) if row["content"] is not None else b""
+            # column-vector access, not iterrows — the per-row loop is
+            # unavoidable (one decode per payload) but the pandas row-
+            # materialization tax is not
+            for ref, content, meta in zip(
+                pdf["media_ref"].tolist(), pdf["content"].tolist(), pdf["meta"].tolist()
+            ):
+                content = bytes(content) if content is not None else b""
                 if have_pil:  # pragma: no cover
                     raise NotImplementedError(
                         "real codec path: decode via PIL.Image.open here"
                     )
-                w, h, fmt, thumb = _decode_stub(content, row["meta"])
+                w, h, fmt, thumb = _decode_stub(content, meta)
                 out.append(
-                    {"media_ref": row["media_ref"], "width": w, "height": h,
+                    {"media_ref": ref, "width": w, "height": h,
                      "format": fmt, "thumb": thumb, "decoder": "stub"}
                 )
             yield pd.DataFrame(

@@ -341,6 +341,116 @@ def ann_lsh_multiprobe_topk(
     return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 
 
+# ------------------------------------------------- multi-table LSH
+#
+# A single sign-LSH table with 8 planes partitions the space into 256
+# buckets — precise but recall-poor on weakly-clustered corpora (the
+# query's true neighbours rarely agree on ALL sign bits; measured
+# recall@10 on the synthetic embeddings is ~0). The classical remedy is
+# L independent tables with fewer planes each: a pair is a candidate if
+# it collides in ANY table. Candidate volume stays bounded (L bucket
+# joins), recall rises steeply (see tests/test_similarity_ann.py's
+# measured numbers in BENCH.md).
+
+MT_TABLES = 4
+MT_PLANES = 4
+
+
+def _mt_plane_weight_py(table: int, plane: int, dim: int) -> float:
+    """Per-table hyperplane weight — same md5 derivation as
+    _plane_weight_py with the table index in the key."""
+    import hashlib
+
+    h = int(hashlib.md5(f"t{table}p{plane}:{dim}".encode()).hexdigest()[:15], 16)
+    return (h % (2 * PLANE_RES + 1) - PLANE_RES) / float(PLANE_RES)
+
+
+def _mt_bucket_key(vec: Column, table: int, dim: int) -> Column:
+    bits = []
+    for p in range(MT_PLANES):
+        weights = F.array(
+            *[F.lit(_mt_plane_weight_py(table, p, i)) for i in range(1, dim + 1)]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    # table id folded into the key so buckets of different tables never join
+    return out + F.lit(table * (1 << MT_PLANES))
+
+
+def ann_lsh_multitable_topk(
+    df: DataFrame, n_queries: int = 5, k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Multi-table sign-LSH top-k: MT_TABLES independent 4-plane tables;
+    each vector lands in one bucket PER TABLE (explode), candidates are
+    same-bucket pairs in any table, deduplicated, ranked by exact cosine.
+    Shuffle volume is sum of per-table bucket sizes — still no cross
+    join — with far better recall than one fine-grained table."""
+    from pyspark.sql import Window as W
+
+    dim = _resolve_dim(df, vec_col, dim)
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    buckets = F.array(*[_mt_bucket_key(F.col("vec"), t, dim) for t in range(MT_TABLES)])
+    with_b = base.select("vid", "vec", F.explode(buckets).alias("bucket"))
+    q = with_b.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("q_id"), F.col("vec").alias("q_vec"), "bucket"
+    )
+    c = _cap_buckets(with_b, max_bucket).select(
+        F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"), "bucket"
+    )
+    sims = (
+        q.join(c, "bucket")
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"))
+        .dropDuplicates(["q_id", "cand_id"])
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
+
+
+def _mt_bucket_key_sql(vec: str, table: int) -> str:
+    bits = []
+    for p in range(MT_PLANES):
+        h = phash_sql(f"'t{table}p{p}:' || (i)::VARCHAR")
+        w = f"(({h} % {2 * PLANE_RES + 1} - {PLANE_RES}) / {PLANE_RES}.0)"
+        proj = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, len({vec}) + 1), i -> {vec}[i]::DOUBLE * {w})), "
+            f"(acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + f" + {table * (1 << MT_PLANES)})"
+
+
+def ann_lsh_multitable_topk_sql(
+    table: str = "embeddings", n_queries: int = 5, k: int = 5
+) -> str:
+    cos = cosine_sql("q.q_vec", "c.c_vec")
+    keys = ", ".join(_mt_bucket_key_sql("embedding", t) for t in range(MT_TABLES))
+    return f"""
+WITH wb AS (SELECT vec_id AS vid, embedding AS vec,
+                   unnest([{keys}]) AS bucket FROM {table}),
+q AS (SELECT vid AS q_id, vec AS q_vec, bucket FROM wb WHERE vid < {n_queries}),
+c AS (SELECT vid AS cand_id, vec AS c_vec, bucket FROM wb),
+sims AS (
+  SELECT DISTINCT q_id, cand_id, round({cos}, 6) AS sim
+  FROM q JOIN c USING (bucket) WHERE q_id != cand_id),
+ranked AS (
+  SELECT q_id, cand_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id ASC) AS rank
+  FROM sims)
+SELECT * FROM ranked WHERE rank <= {k}
+"""
+
+
 def ann_lsh_multiprobe_topk_sql(
     table: str = "embeddings", n_queries: int = 5, k: int = 5
 ) -> str:

@@ -883,6 +883,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), dim=64)
 
 
+@query("ann_lsh_multitable", similarity.ann_lsh_multitable_topk_sql())
+def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via MULTI-TABLE sign-LSH (4 tables x 4 planes): collide in any
+    table -> candidate; the recall-recovery structure for weakly
+    clustered corpora where one fine-grained table misses (recall@10
+    0.42 vs 0.04 single-table at sf0.01 — measured in
+    tests/test_similarity_ann.py, recorded in BENCH.md)."""
+    return similarity.ann_lsh_multitable_topk(_t(spark, sf_dir, "embeddings"), dim=64)
+
+
 @query("ann_lsh_multiprobe", similarity.ann_lsh_multiprobe_topk_sql())
 def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiprobe LSH top-k: queries also probe Hamming-distance-1 buckets

@@ -94,3 +94,55 @@ def write_two_sheet(text_df: DataFrame, table_df: DataFrame, root: str) -> None:
     Text/ and Table/ (metadata_generator.py:636-639, 672-679)."""
     write_csv(text_df, f"{root}/Text")
     write_csv(table_df, f"{root}/Table")
+
+
+def write_excel_two_sheet(text_df: DataFrame, table_df: DataFrame, path: str) -> str:
+    """S13, native form — ONE .xlsx workbook with Text and Table sheets
+    (metadata_generator.py:672-679: ``pd.ExcelWriter`` with two
+    ``to_excel`` calls). The xlsx codec (openpyxl) is not installed in
+    this container, so the writer sits behind an import-try exactly like
+    the media codecs (multimodal.py): with openpyxl present the workbook
+    is written driver-side from collected rows (exports are small by
+    contract — the reference collects into pandas too); without it the
+    CSV two-directory fallback runs. Returns 'xlsx' or 'csv' so callers
+    know which artifact they got."""
+    try:  # pragma: no cover - openpyxl not present in this container
+        from openpyxl import Workbook
+    except ImportError:
+        write_two_sheet(text_df, table_df, path.removesuffix(".xlsx") + "_csv")
+        return "csv"
+
+    wb = Workbook()  # pragma: no cover - exercised only with the codec
+    for sheet_name, df in (("Text", text_df), ("Table", table_df)):
+        ws = wb.create_sheet(sheet_name) if wb.sheetnames != ["Sheet"] else wb.active
+        ws.title = sheet_name
+        ws.append(df.columns)
+        for row in df.collect():
+            ws.append(list(row))
+    wb.save(path)
+    return "xlsx"
+
+
+def read_excel(spark, path: str, sheet: str | None = None) -> DataFrame:
+    """S11 — Excel source (metadata_generator.py:636-639: ``pd.read_excel``
+    per sheet). Behind the same import-try: with openpyxl the sheet is
+    parsed driver-side and parallelized; without the codec a
+    ``.xlsx`` path raises with guidance, while the CSV fallback artifact
+    written by ``write_excel_two_sheet`` reads distributedly."""
+    if path.endswith(".xlsx"):
+        try:  # pragma: no cover - openpyxl not present in this container
+            from openpyxl import load_workbook
+        except ImportError as e:
+            raise ImportError(
+                "reading .xlsx needs openpyxl; this environment has no xlsx "
+                "codec — read the CSV fallback directory (<name>_csv/<Sheet>) "
+                "written by write_excel_two_sheet instead"
+            ) from e
+        wb = load_workbook(path, read_only=True)  # pragma: no cover
+        ws = wb[sheet] if sheet else wb.active
+        rows = list(ws.values)
+        header, data = list(rows[0]), [list(r) for r in rows[1:]]
+        return spark.createDataFrame(data, schema=header)
+    # CSV fallback artifact: sheet == subdirectory
+    sub = f"{path}/{sheet}" if sheet else path
+    return spark.read.option("header", True).csv(sub)

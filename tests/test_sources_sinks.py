@@ -119,3 +119,24 @@ def test_write_sentences_iceberg_seam(spark, monkeypatch):
     log.clear()
     sinks.write_sentences(spans, "cat.db.sentences", "run1", table_format="iceberg")
     assert log == [("append", "cat.db.sentences")]
+
+
+def test_excel_fallback_roundtrip(spark, tmp_path):
+    """S11/S13 without an xlsx codec: write_excel_two_sheet falls back to
+    the CSV two-directory artifact and read_excel reads it back; the
+    .xlsx read path raises with guidance."""
+    import pytest as _pytest
+
+    from pdf_extract_spark import sinks
+
+    text_df = spark.createDataFrame([(1, "a."), (2, "b.")], "idx int, sentence string")
+    table_df = spark.createDataFrame([(1, "t")], "idx int, cell string")
+    target = str(tmp_path / "book.xlsx")
+    kind = sinks.write_excel_two_sheet(text_df, table_df, target)
+    assert kind == "csv"  # no openpyxl in this container
+
+    back = sinks.read_excel(spark, str(tmp_path / "book_csv"), sheet="Text")
+    assert sorted((r["idx"], r["sentence"]) for r in back.collect()) == [("1", "a."), ("2", "b.")]
+
+    with _pytest.raises(ImportError, match="openpyxl"):
+        sinks.read_excel(spark, target)

@@ -52,11 +52,13 @@ HEADLINE = [
     "lang_id",                  # text analysis
     "cosine_topk",              # similarity brute force
     "ann_lsh_topk",             # similarity scale path
+    "ann_lsh_multitable",       # multi-table LSH (recall-recovering scale path)
     "pdf_bytes_extract",        # byte path: xref walk + content-stream parse
     "align_pairs",              # Hungarian/greedy alignment kernel
     "pair_metadata",            # counter-algebra pair metadata
     "monotonic_prune",          # W6 running-max window filter
     "punct_stats",              # C12 regexp_extract_all
+    "remove_numbering",         # C7 first-match-only numbering chain
     "media_features",           # multimodal byte features
 ]
 
@@ -236,6 +238,26 @@ def write_bench_md(result: dict) -> None:
         )
         lines.append("")
     lines += [
+        "## ANN accuracy/cost trade (recall@10 vs brute-force cosine)",
+        "",
+        "Measured on the sf0.01 embeddings (5 queries, k=10, dim 64; fully",
+        "deterministic — md5-derived hyperplanes/centroid seeds; reproduce",
+        "with tests/test_similarity_ann.py::test_ann_recall_measured):",
+        "",
+        "| variant | candidate structure | recall@10 |",
+        "|---|---|---|",
+        "| ann_lsh_topk | one 8-plane sign-LSH table (256 buckets) | 0.04 |",
+        "| ann_lsh_multiprobe | + Hamming-1 probes (9 buckets/query) | 0.14 |",
+        "| ann_lsh_multitable | 4 tables x 4 planes, any-collision | 0.42 |",
+        "| ann_ivf_topk | 8 Lloyd-trained cells, probe 2 | 0.90 |",
+        "| cosine_topk | exact cross join (the ground truth) | 1.00 |",
+        "",
+        "The synthetic embeddings are weakly clustered, the hardest regime",
+        "for sign-LSH (true neighbours rarely agree on many sign bits);",
+        "distance-trained IVF adapts to the data and dominates. All",
+        "variants bound shuffle volume by bucket/cell size — none cross",
+        "joins — so the recall column is the only cost of scale.",
+        "",
         "## Why the low-core pair is the cluster-representative one",
         "",
         "The extraction stage is one mandated range-repartition shuffle",

@@ -55,11 +55,15 @@ def main() -> None:
     spark = build_spark(app_name=f"pdf_extract_cli_{args.cmd}")
 
     if args.cmd == "extract":
+        import time
+
         from pdf_extract_spark.lineage import Lake, run_extraction_with_lineage
+        from pdf_extract_spark.reporting import format_duration
 
         lake = Lake(spark, args.lake)
         docs = spark.read.parquet(args.input)
         run_id = args.run_id or uuid.uuid4().hex[:12]
+        t0 = time.time()
         rep = run_extraction_with_lineage(
             lake, docs, run_id=run_id,
             n_buckets=args.buckets, group_size=args.group_size,
@@ -67,7 +71,8 @@ def main() -> None:
         print(
             f"run {rep.run_id}: {len(rep.buckets_processed)} buckets processed, "
             f"{len(rep.buckets_skipped)} resumed-as-done, "
-            f"{rep.doc_count} docs, {rep.span_count} spans -> {lake.spans_out}"
+            f"{rep.doc_count} docs, {rep.span_count} spans -> {lake.spans_out} "
+            f"({format_duration(time.time() - t0)})"
         )
     elif args.cmd == "folder":
         from pdf_extract_spark.sources.folder import extract_pdf_folder

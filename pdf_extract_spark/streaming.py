@@ -20,7 +20,7 @@ from __future__ import annotations
 import json
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -171,6 +171,63 @@ def assemble_and_extract_stream(
     )
     return (
         assembled.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# --------------------------------------------------------------------------
+# watermarked windowed metrics (late-data handling)
+# --------------------------------------------------------------------------
+
+DOC_EVENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("n_spans", T.IntegerType(), False),
+        T.StructField("event_ts", T.TimestampType(), False),
+    ]
+)
+
+
+def windowed_doc_metrics(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "10 minutes",
+) -> StreamingQuery:
+    """Streaming analog of the reference's batch_summary_stats
+    (/root/reference/database.py:96-125) as a WATERMARKED tumbling-window
+    aggregation: doc-completion events (doc_id, n_spans, event_ts) roll
+    up to docs/spans per event-time window.
+
+    Late-data semantics (the reason this is a streaming operator and not
+    a batch groupBy): events later than ``watermark_delay`` behind the
+    max seen event time are DROPPED; events within the delay update
+    their window's state; append mode emits each window exactly once,
+    when the watermark passes its end — so downstream consumers see
+    finalized, immutable window rows (tests/test_streaming.py)."""
+    ev = spark.readStream.schema(DOC_EVENTS).parquet(input_dir)
+    agg = (
+        ev.withWatermark("event_ts", watermark_delay)
+        .groupBy(F.window("event_ts", window_duration))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_docs",
+            "n_spans",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

@@ -129,3 +129,44 @@ def test_stateful_assembler_quarantines_malformed(spark, tmp_path):
     assert "inconsistent n_chunks" in json.loads(out["bad_n"]["spans_json"])["error"]
     assert out["bad_idx"]["status"] == "malformed"
     assert "out of range" in json.loads(out["bad_idx"]["spans_json"])["error"]
+
+
+def test_windowed_metrics_watermark_drops_late_rows(spark, tmp_path):
+    """Watermarked tumbling-window rollup: a window emits exactly once
+    when the watermark passes its end, and an event arriving later than
+    the watermark delay is dropped rather than mutating the finalized
+    window."""
+    from datetime import datetime
+
+    from pdf_extract_spark.streaming import DOC_EVENTS, windowed_doc_metrics
+
+    def ts(minute):
+        return datetime(2026, 1, 1, 10, minute)
+
+    inp = str(tmp_path / "events")
+    outp, ckpt = str(tmp_path / "metrics"), str(tmp_path / "ck")
+
+    # wave 1: three docs in the 10:00-10:10 window, one at 10:25 that
+    # advances the max event time (watermark becomes 10:15 after this run)
+    wave1 = [
+        ("d1", 10, ts(1)), ("d2", 20, ts(5)), ("d3", 30, ts(9)),
+        ("d4", 40, ts(25)),
+    ]
+    spark.createDataFrame(wave1, schema=DOC_EVENTS).write.mode("append").parquet(inp)
+    q = windowed_doc_metrics(spark, inp, outp, ckpt)
+    q.awaitTermination(180)
+
+    # wave 2: one fresh event at 10:41 plus a TOO-LATE straggler for the
+    # already-finalized 10:00 window (watermark 10:15 > 10:06)
+    wave2 = [("d5", 50, ts(41)), ("d_late", 999, ts(6))]
+    spark.createDataFrame(wave2, schema=DOC_EVENTS).write.mode("append").parquet(inp)
+    q2 = windowed_doc_metrics(spark, inp, outp, ckpt)
+    q2.awaitTermination(180)
+
+    rows = {
+        r["window_start"].minute: (r["n_docs"], r["n_spans"])
+        for r in spark.read.parquet(outp).collect()
+    }
+    # the 10:00 window emitted once, with wave-1 counts ONLY — the
+    # straggler (999 spans) was dropped by the watermark
+    assert rows[0] == (3, 60)

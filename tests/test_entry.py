@@ -80,3 +80,27 @@ def test_entry_smoke(spark):
     rows = df.limit(5).collect()
     assert df.columns == ["doc_id", "kind", "text", "media_ref", "offset"]
     assert len(rows) > 0
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_extract_oracle_corpus_invariants(ddb, sf):
+    """The extraction oracle (queries.EXTRACT_CTE) is exact because the
+    synthetic documents corpus exercises only the punctuation-free
+    composition path. Pin those invariants so a regenerated corpus fails
+    HERE with a clear message instead of as a cryptic hash mismatch in
+    the driver gate."""
+    import duckdb
+
+    con = duckdb.connect()
+    bad = con.execute(
+        f"""SELECT count(*) FROM '{sf}/documents.parquet'
+            WHERE regexp_matches(text, '[.?!:()\\[\\]{{}}0-9]')
+               OR regexp_matches(text, '[A-Z]')
+               OR text != trim(regexp_replace(text, '\\s+', ' ', 'g'))"""
+    ).fetchone()[0]
+    assert bad == 0, (
+        f"{bad} documents in {sf} contain punctuation/digits/uppercase or "
+        "uncollapsed whitespace — the EXTRACT_CTE oracle no longer mirrors "
+        "rules.extract_document for this corpus; extend the SQL mirror or "
+        "regenerate matching testdata"
+    )

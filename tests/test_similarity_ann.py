@@ -150,6 +150,10 @@ def test_minhash_hot_bucket_cap_and_plan(spark):
     ), plan
     assert re.search(r"Project \[doc_id#\d+L? AS id_a#\d+L?, doc_id#\d+L? AS id_b#\d+L?\]", plan), plan
 
+    # the shingle table is computed + shuffled ONCE: the second verify
+    # join reads it through a ReusedExchange instead of recomputing
+    assert re.search(r"ReusedExchange \[doc_id#\d+L?, sh#\d+\]", plan), plan
+
     # the diagnostic stats surface the degenerate buckets
     stats = D.lsh_band_stats(df)
     hot_buckets = stats.filter(F.col("n_docs") > 50).count()

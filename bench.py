@@ -278,8 +278,107 @@ def write_bench_md(result: dict) -> None:
         f"Raw: `{json.dumps(result)}`",
         "",
     ]
+    dur_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DURABILITY.json"
+    )
+    if os.path.exists(dur_path):
+        with open(dur_path) as f:
+            d = json.load(f)
+        lines += [
+            "## Durability run (64k docs, checkpointed end-to-end)",
+            "",
+            f"{d['n_docs']:,} generator documents ({d['n_spans']:,} output spans)".replace(",", " "),
+            "written bucket-partitioned (the parquet analog of Iceberg's",
+            "`bucket(doc_id)` transform), then extracted through the FULL",
+            f"lineage pipeline — {d['n_buckets']} hash buckets committed in",
+            f"{d['n_groups']} groups with per-group metrics and",
+            "dynamic-partition-overwrite output — in",
+            f"**{d['partitioned_sec']} s wall (~{d['docs_per_sec']} docs/s) at"
+            f" {d['cpus']} cores**, every document present exactly once.",
+            "Unlike the scaling table above (noop sink), this includes the",
+            "durable parquet write of the full span output and every",
+            "checkpoint commit. Input partition pruning matters: the same run",
+            f"over an UNPARTITIONED documents table takes {d['unpartitioned_sec']} s",
+            "(every bucket group re-scans the whole input) — at 10^12",
+            "documents, bucket-partitioned ingest is the difference between",
+            "O(groups x corpus) and O(corpus) total input IO.",
+            "",
+            f"Reproduce: `python bench.py --durability` (raw: `{json.dumps(d)}`)",
+            "",
+        ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
+
+
+def run_durability(n_docs: int = 64000, cpus: str = "32") -> dict:
+    """End-to-end durability measurement: full lineage pipeline over a
+    bucket-partitioned input vs the same input unpartitioned (pruning
+    cost visibility). Writes BENCH_DURABILITY.json for write_bench_md."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from pdf_extract_spark.lineage import Lake, bucket_of, run_extraction_with_lineage
+    from pdf_extract_spark.schemas import DOCUMENTS
+    from pdf_extract_spark.session import build_spark
+    from pyspark.sql import functions as F
+
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+    spark = build_spark(app_name="bench_durability")
+    n_buckets, group_size = 32, 8
+
+    def gen(batches):
+        from pdf_extract_spark import generator
+
+        for pdf in batches:
+            yield pd.DataFrame([generator.make_document(int(i), seed=42) for i in pdf["id"]])
+
+    work = tempfile.mkdtemp(prefix="bench_dur_")
+    try:
+        docs = (
+            spark.range(n_docs).repartition(int(cpus) * 4)
+            .mapInPandas(gen, schema=DOCUMENTS)
+            .withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+        )
+        docs.write.partitionBy("bucket").parquet(f"{work}/docs_bucketed")
+        docs.drop("bucket").write.parquet(f"{work}/docs_flat")
+
+        out = {}
+        for label, path in (("partitioned", f"{work}/docs_bucketed"),
+                            ("unpartitioned", f"{work}/docs_flat")):
+            lake = Lake(spark, f"{work}/lake_{label}")
+            inp = spark.read.parquet(path)
+            t0 = time.perf_counter()
+            run_extraction_with_lineage(
+                lake, inp, run_id=f"dur_{label}",
+                n_buckets=n_buckets, group_size=group_size,
+                num_partitions=int(cpus) * 3,
+            )
+            out[f"{label}_sec"] = round(time.perf_counter() - t0, 1)
+            if label == "partitioned":
+                stats = spark.read.parquet(lake.spans_out)
+                out["n_spans"] = int(
+                    stats.select(F.sum(F.size("spans"))).first()[0]
+                )
+                assert stats.count() == n_docs
+        result = {
+            "n_docs": n_docs,
+            "n_buckets": n_buckets,
+            "n_groups": (n_buckets + group_size - 1) // group_size,
+            "cpus": int(cpus),
+            "docs_per_sec": round(n_docs / out["partitioned_sec"], 1),
+            "partitioned_sec": out["partitioned_sec"],
+            "unpartitioned_sec": out["unpartitioned_sec"],
+            "n_spans": out["n_spans"],
+        }
+        with open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DURABILITY.json"
+        ), "w") as f:
+            json.dump(result, f)
+        return result
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def main() -> None:
@@ -287,6 +386,8 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR))
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--scaling", action="store_true", help="run the N->4N scaling evidence job")
+    ap.add_argument("--durability", action="store_true",
+                    help="run the 64k-doc end-to-end lineage durability measurement")
     ap.add_argument("--flagship-once", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--mult", type=int, default=24, help="input scale (x1000 docs) for --scaling")
     ap.add_argument(
@@ -297,6 +398,19 @@ def main() -> None:
 
     if args.flagship_once:
         print(json.dumps(run_flagship_once(args.sf_dir, args.cpus, args.mult)))
+        return
+    if args.durability:
+        dur = run_durability(cpus=args.cpus)
+        # fold the new durability artifact into BENCH.md, reusing the
+        # last scaling result embedded in its Raw: line
+        bench_md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+        if os.path.exists(bench_md):
+            import re as _re
+
+            m = _re.search(r"Raw: `(\{.*?\})`", open(bench_md).read())
+            if m:
+                write_bench_md(json.loads(m.group(1)))
+        print(json.dumps(dur))
         return
     if args.scaling:
         levels = [int(x) for x in args.levels.split(",")]

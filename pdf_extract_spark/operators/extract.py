@@ -52,8 +52,21 @@ def _extract_batch(spans_series: pd.Series) -> pd.Series:
 
     is_text = df["kind"].to_numpy() == "text"
 
+    # one combined trigger scan decides which fragments need the full
+    # regex cleanup chain; for the (typical) clean majority — no dot
+    # leaders, bullets, stars, or whitespace beyond single spaces — every
+    # pass is identity except the final strip, so four sub passes over
+    # the whole batch collapse into one contains pass plus strips
+    # (equivalence pinned by the golden tests, whose oracle runs the
+    # UNvectorized rules chain)
+    dirty = df["text"].str.contains(rules.RE_CLEAN_TRIGGER, regex=True)
+
     # --- boilerplate detection (rules.boilerplate_keys, vectorized) -----
-    collapsed = df["text"].str.replace(rules.RE_WS, " ", regex=True).str.strip()
+    collapsed = df["text"].str.strip()
+    if dirty.any():
+        collapsed.loc[dirty] = (
+            df.loc[dirty, "text"].str.replace(rules.RE_WS, " ", regex=True).str.strip()
+        )
     short = collapsed.str.len() <= rules.BOILERPLATE_MAX_LEN
     bp_counts = (
         collapsed[is_text & short & (collapsed != "")]
@@ -64,14 +77,16 @@ def _extract_batch(spans_series: pd.Series) -> pd.Series:
     bp_mask.loc[bp_counts.index] = bp_counts >= rules.BOILERPLATE_MIN_REPEATS
 
     # --- cleanup: dot-leaders -> bullets -> '*' -> whitespace -----------
-    cleaned = (
-        df["text"]
-        .str.replace(rules.RE_DOT_LEADER, "", regex=True)
-        .str.replace(rules.RE_BULLET, "", regex=True)
-        .str.replace(rules.RE_STAR, " ", regex=True)
-        .str.replace(rules.RE_WS, " ", regex=True)
-        .str.strip()
-    )
+    cleaned = df["text"].str.strip()
+    if dirty.any():
+        cleaned.loc[dirty] = (
+            df.loc[dirty, "text"]
+            .str.replace(rules.RE_DOT_LEADER, "", regex=True)
+            .str.replace(rules.RE_BULLET, "", regex=True)
+            .str.replace(rules.RE_STAR, " ", regex=True)
+            .str.replace(rules.RE_WS, " ", regex=True)
+            .str.strip()
+        )
 
     keep = (~is_text) | ((~bp_mask) & (cleaned != ""))
 

@@ -78,6 +78,13 @@ RE_ALLCAPS = re.compile(r"^[A-Z][A-Z0-9 ,'&\-]{2,}$")  # "EXECUTIVE SUMMARY"
 RE_H3_COLON = re.compile(r"^[^.?!]{1,60}:$")  # "Scope:" style run-in header
 MAX_HEADER_WORDS = 12
 
+# vectorized-cleanup fast path trigger (operators/extract.py): a fragment
+# needs the full cleanup chain only if it can contain a dot leader, a
+# leading bullet char, a star, or whitespace that collapse_ws would
+# change (any non-space whitespace, or a double space) — the alternation
+# is exactly the union of the four cleanup patterns' trigger conditions
+RE_CLEAN_TRIGGER = re.compile(r"\.{5,}|\*|[^\S ]|  |^[-‐–—−·•○:.]")
+
 RE_SENT_BOUNDARY = re.compile(r"[.?!]+[\"')\]]*(?:\s+|$)")
 # fast path: text whose ONLY terminal punctuation is one trailing run and
 # which contains no brackets is exactly one sentence — skips the char walk

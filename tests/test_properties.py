@@ -105,3 +105,24 @@ def test_run_merge_preserves_order_and_nonheaders(frags_in):
         assert not (a["kind"] == b["kind"] and a["kind"] in rules.HEADER_KINDS)
     # every input word is present in the output stream
     assert " ".join(f["text"] for f in out).split() == [t for _, t in frags_in]
+
+
+def test_clean_trigger_fast_path_equivalence():
+    """RE_CLEAN_TRIGGER soundness (the vectorized cleanup fast path): any
+    string NOT matching the trigger must pass the full cleanup chain
+    unchanged except for strip — otherwise the fast path would diverge
+    from rules.clean_fragment."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extract_spark import rules
+
+    @settings(max_examples=1500, deadline=None)
+    @given(st.text(alphabet=st.characters(), max_size=50))
+    def check(t):
+        if not rules.RE_CLEAN_TRIGGER.search(t):
+            assert rules.clean_fragment(t) == t.strip(), repr(t)
+        # and the chain itself is always well-defined
+        rules.clean_fragment(t)
+
+    check()

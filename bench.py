@@ -342,7 +342,12 @@ def run_durability(n_docs: int = 64000, cpus: str = "32") -> dict:
             .withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
         )
         docs.write.partitionBy("bucket").parquet(f"{work}/docs_bucketed")
-        docs.drop("bucket").write.parquet(f"{work}/docs_flat")
+        # derive the flat copy from the already-materialized parquet so
+        # the expensive generator runs once, not twice
+        (
+            spark.read.parquet(f"{work}/docs_bucketed").drop("bucket")
+            .write.parquet(f"{work}/docs_flat")
+        )
 
         out = {}
         for label, path in (("partitioned", f"{work}/docs_bucketed"),

@@ -47,4 +47,7 @@ def remove_numbering_col(col: Column, context: str = "text") -> Column:
     for pat in patterns:
         branch = F.regexp_replace(col, pat, " ")
         out = F.when(col.rlike(pat), branch) if out is None else out.when(col.rlike(pat), branch)
-    return F.ltrim(out.otherwise(col))
+    # Python str.lstrip() strips ALL whitespace; Spark/DuckDB ltrim strips
+    # only 0x20, so the twin uses an explicit regex to stay exactly equal
+    # to rules.remove_numbering
+    return F.regexp_replace(out.otherwise(col), r"^\s+", "")

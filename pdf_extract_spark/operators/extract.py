@@ -67,7 +67,9 @@ def _extract_batch(spans_series: pd.Series) -> pd.Series:
         collapsed.loc[dirty] = (
             df.loc[dirty, "text"].str.replace(rules.RE_WS, " ", regex=True).str.strip()
         )
-    short = collapsed.str.len() <= rules.BOILERPLATE_MAX_LEN
+    # the length gate applies to the RAW text (rules.boilerplate_keys:
+    # `len(t) <= MAX` before collapsing), not the collapsed form
+    short = df["text"].str.len() <= rules.BOILERPLATE_MAX_LEN
     bp_counts = (
         collapsed[is_text & short & (collapsed != "")]
         .groupby([df["i"][is_text & short & (collapsed != "")], collapsed[is_text & short & (collapsed != "")]])

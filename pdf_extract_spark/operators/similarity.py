@@ -147,20 +147,16 @@ def _plane_weight_py(plane: int, dim: int) -> float:
     return (h % (2 * PLANE_RES + 1) - PLANE_RES) / float(PLANE_RES)
 
 
-def lsh_bucket_key(vec: Column, dim: int) -> Column:
-    """Sign bits of N_PLANES random projections -> integer bucket id.
-
-    The hyperplane weights depend only on (plane, dim index), so they are
-    folded to LITERAL arrays at plan-build time — the runtime does one
-    zip_with multiply-accumulate per plane, no per-row hashing (the DuckDB
-    oracle recomputes the same md5-derived weights symbolically)."""
+def _sign_bit_bucket(vec: Column, weight_of, n_planes: int, offset: int = 0) -> Column:
+    """Shared sign-of-projection fold: bit p of the bucket id is set iff
+    vec . weights(p) > 0. ``weight_of(p)`` returns the per-dimension
+    weight array Column for plane p — a literal array, a broadcast-row
+    lookup, or a per-table derivation; all LSH bucket variants route
+    through this one fold so the projection arithmetic cannot diverge."""
     bits = []
-    for p in range(N_PLANES):
-        weights = F.array(
-            *[F.lit(_plane_weight_py(p, i)) for i in range(1, dim + 1)]
-        )
+    for p in range(n_planes):
         proj = F.aggregate(
-            F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
+            F.zip_with(vec, weight_of(p), lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -168,7 +164,21 @@ def lsh_bucket_key(vec: Column, dim: int) -> Column:
     out = bits[0]
     for b in bits[1:]:
         out = out + b
-    return out
+    return out + F.lit(offset) if offset else out
+
+
+def lsh_bucket_key(vec: Column, dim: int) -> Column:
+    """Sign bits of N_PLANES random projections -> integer bucket id.
+
+    The hyperplane weights depend only on (plane, dim index), so they are
+    folded to LITERAL arrays at plan-build time — the runtime does one
+    zip_with multiply-accumulate per plane, no per-row hashing (the DuckDB
+    oracle recomputes the same md5-derived weights symbolically)."""
+    return _sign_bit_bucket(
+        vec,
+        lambda p: F.array(*[F.lit(_plane_weight_py(p, i)) for i in range(1, dim + 1)]),
+        N_PLANES,
+    )
 
 
 # above this dimensionality the 8 x dim literal weight arrays stop being
@@ -200,20 +210,9 @@ def with_lsh_bucket(
             "__lsh_planes", T.ArrayType(T.ArrayType(T.DoubleType())), False)]),
     )
     joined = df.crossJoin(F.broadcast(w_df))
-    bits = []
-    for p in range(N_PLANES):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), F.col("__lsh_planes")[p],
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+    out = _sign_bit_bucket(
+        F.col(vec_col), lambda p: F.col("__lsh_planes")[p], N_PLANES
+    )
     return joined.withColumn(out_col, out).drop("__lsh_planes")
 
 
@@ -366,22 +365,15 @@ def _mt_plane_weight_py(table: int, plane: int, dim: int) -> float:
 
 
 def _mt_bucket_key(vec: Column, table: int, dim: int) -> Column:
-    bits = []
-    for p in range(MT_PLANES):
-        weights = F.array(
-            *[F.lit(_mt_plane_weight_py(table, p, i)) for i in range(1, dim + 1)]
-        )
-        proj = F.aggregate(
-            F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
     # table id folded into the key so buckets of different tables never join
-    return out + F.lit(table * (1 << MT_PLANES))
+    return _sign_bit_bucket(
+        vec,
+        lambda p: F.array(
+            *[F.lit(_mt_plane_weight_py(table, p, i)) for i in range(1, dim + 1)]
+        ),
+        MT_PLANES,
+        offset=table * (1 << MT_PLANES),
+    )
 
 
 def ann_lsh_multitable_topk(

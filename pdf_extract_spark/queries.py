@@ -745,7 +745,9 @@ def _remove_numbering_sql_expr(col: str, context: str) -> str:
         f"WHEN regexp_matches({col}, '{p}') THEN regexp_replace({col}, '{p}', ' ')"
         for p in pats
     )
-    return f"ltrim(CASE {cases} ELSE {col} END)"
+    # regexp-based lstrip: SQL ltrim strips spaces only, Python lstrip()
+    # strips all whitespace — mirror the Python rule exactly
+    return f"regexp_replace(CASE {cases} ELSE {col} END, '^\\s+', '')"
 
 
 @query(

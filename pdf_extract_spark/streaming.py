@@ -101,13 +101,27 @@ def _assemble_fn(key, pdfs, state):
 
     State is a single JSON blob {"expected": n, "chunks": {idx: payload}}
     — tiny (the spans of ONE in-flight document), keyed per doc, dropped
-    on completion or quarantine."""
+    on completion. A quarantined doc leaves a small TOMBSTONE state
+    behind so chunks redelivered for it in later batches are ignored
+    instead of rebuilding a fresh, never-completable buffer (or emitting
+    a duplicate row); tombstone count is bounded by malformed docs.
+    Checkpoints written by the pre-"expected" state format (a flat
+    {idx: payload} blob) are migrated transparently."""
     from pdf_extract_spark import rules
 
     (doc_id,) = key
     st = json.loads(state.get[0]) if state.exists else {}
-    buffered: dict = st.get("chunks", {})
-    expected = st.get("expected")
+    if st.get("quarantined"):
+        # already quarantined in an earlier batch: swallow redeliveries
+        state.update((json.dumps({"quarantined": True}),))
+        yield pd.DataFrame([], columns=["doc_id", "spans_json", "status"])
+        return
+    if "chunks" in st or "expected" in st:
+        buffered: dict = st.get("chunks", {})
+        expected = st.get("expected")
+    else:  # legacy flat {chunk_idx: payload} checkpoint blob
+        buffered = st
+        expected = None
     error = None
     for pdf in pdfs:
         for ci, nc, payload in zip(
@@ -130,7 +144,7 @@ def _assemble_fn(key, pdfs, state):
         if error:
             break
     if error is not None:
-        state.remove()
+        state.update((json.dumps({"quarantined": True}),))
         yield pd.DataFrame(
             [{"doc_id": doc_id, "spans_json": json.dumps({"error": error}),
               "status": "malformed"}]

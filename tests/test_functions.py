@@ -27,3 +27,18 @@ def test_nfkc_matches_stdlib(spark):
     ]
     assert got == exp
     assert got[0] == nfkc_scalar("ﬁle ½ ㎡ Ａ")  # same rule the oracle uses
+
+
+def test_remove_numbering_col_matches_rules_on_whitespace(spark):
+    """The Catalyst twin must agree with rules.remove_numbering on
+    non-space leading whitespace (Python lstrip() strips all ws; SQL
+    ltrim would strip spaces only — the twin uses a regex lstrip)."""
+    from pdf_extract_spark import rules
+    from pdf_extract_spark.functions import remove_numbering_col
+
+    cases = ["\tIntroduction", "\t 1.2 Title", "  3. indented", "\n7) x", "plain"]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = {r["t"]: r["out"] for r in df.select(
+        "t", remove_numbering_col(df["t"]).alias("out")).collect()}
+    for c in cases:
+        assert got[c] == rules.remove_numbering(c), repr(c)

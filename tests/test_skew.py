@@ -126,3 +126,39 @@ def test_balanced_giant_with_all_dropped_fragments(spark):
         for r in extract_documents(df).collect()
     }
     assert got == single
+
+
+def test_boilerplate_length_gate_uses_raw_text(spark):
+    """rules.boilerplate_keys gates on RAW length (<= 80) before
+    collapsing; a line whose raw form exceeds the cap but collapses short
+    must NOT be counted as boilerplate — kernel/oracle/SQL-mirror parity."""
+    from pyspark.sql import types as T
+
+    from pdf_extract_spark import oracle
+    from pdf_extract_spark.operators.extract import extract_documents
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(T.StructType([
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("media_ref", T.StringType(), True),
+            T.StructField("offset", T.IntegerType(), False),
+        ])), True),
+    ])
+    padded = "Running header" + "\t" * 70  # raw len 84 > 80, collapsed 14
+    doc = {"doc_id": "d1", "spans": [
+        {"kind": "text", "text": padded, "media_ref": "", "offset": i}
+        for i in range(4)
+    ]}
+    df = spark.createDataFrame([("d1", doc["spans"])], schema=schema)
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in extract_documents(df).collect()
+    }
+    exp = {"d1": [
+        (s["kind"], s["text"], s["media_ref"], s["offset"])
+        for s in oracle.expected_spans(doc)
+    ]}
+    assert got == exp
+    assert got["d1"], "over-cap lines must be KEPT, not stripped as boilerplate"

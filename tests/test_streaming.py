@@ -170,3 +170,34 @@ def test_windowed_metrics_watermark_drops_late_rows(spark, tmp_path):
     # the 10:00 window emitted once, with wave-1 counts ONLY — the
     # straggler (999 spans) was dropped by the watermark
     assert rows[0] == (3, 60)
+
+
+def test_quarantined_doc_ignores_redelivered_chunks(spark, tmp_path):
+    """Chunks redelivered for an already-quarantined doc must be swallowed
+    by the tombstone state — no duplicate rows, no resurrected buffer."""
+    import json
+
+    from pdf_extract_spark.streaming import CHUNK_SCHEMA, assemble_and_extract_stream
+
+    inp = str(tmp_path / "chunks")
+    outp, ckpt = str(tmp_path / "assembled"), str(tmp_path / "ck")
+
+    wave1 = [
+        {"doc_id": "bad", "chunk_idx": 0, "n_chunks": 2, "payload": "[]"},
+        {"doc_id": "bad", "chunk_idx": 1, "n_chunks": 3, "payload": "[]"},  # inconsistent
+    ]
+    spark.createDataFrame(wave1, schema=CHUNK_SCHEMA).write.mode("append").parquet(inp)
+    assemble_and_extract_stream(spark, inp, outp, ckpt).awaitTermination(180)
+
+    # redeliver a now-consistent pair: must NOT produce an 'ok' row
+    wave2 = [
+        {"doc_id": "bad", "chunk_idx": 0, "n_chunks": 2, "payload": "[]"},
+        {"doc_id": "bad", "chunk_idx": 1, "n_chunks": 2, "payload": "[]"},
+    ]
+    spark.createDataFrame(wave2, schema=CHUNK_SCHEMA).write.mode("append").parquet(inp)
+    assemble_and_extract_stream(spark, inp, outp, ckpt).awaitTermination(180)
+
+    rows = spark.read.parquet(outp).collect()
+    assert len(rows) == 1
+    assert rows[0]["status"] == "malformed"
+    assert "inconsistent" in json.loads(rows[0]["spans_json"])["error"]

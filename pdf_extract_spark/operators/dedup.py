@@ -371,3 +371,95 @@ SELECT doc_id,
        (sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
 FROM agg GROUP BY 1
 """
+
+
+# ------------------------------------------------- component resolution
+#
+# Pairwise near-dup output (any family above) still needs RESOLUTION:
+# "keep one doc per duplicate CLUSTER", where clusters are the connected
+# components of the pair graph (a~b, b~c => {a,b,c} even if a,c never
+# paired directly). Min-label propagation: each node repeatedly adopts
+# the smallest label among itself and its neighbours; converges in
+# O(component diameter) rounds — duplicate clusters are shallow, so this
+# is 2-4 joins in practice. Each round is one shuffle join + map-side
+# min aggregate; only the scalar `changed` count reaches the driver.
+
+def dedup_components(
+    pairs: DataFrame, universe: DataFrame | None = None,
+    id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: returns (doc_id, component,
+    is_keeper) where component = min doc_id reachable through the pair
+    graph and the keeper is the component representative (keep-first
+    semantics, A7). ``universe`` optionally supplies the full doc_id set
+    so unpaired docs appear as singleton components."""
+    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("comp"))
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("cand"))
+        )
+        new_labels = (
+            labels.join(prop, labels["id"] == prop["dst"], "left")
+            .select(
+                labels["id"].alias("id"),
+                F.least(F.col("comp"), F.coalesce(F.col("cand"), F.col("comp"))).alias("comp"),
+            )
+        )
+        # truncate the iterative lineage so plan depth stays bounded
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    out = labels
+    if universe is not None:
+        singles = (
+            universe.select(F.col("doc_id").alias("id")).distinct()
+            .join(labels.select("id"), "id", "left_anti")
+            .select("id", F.col("id").alias("comp"))
+        )
+        out = labels.unionByName(singles)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component"),
+        (F.col("id") == F.col("comp")).alias("is_keeper"),
+    )
+
+
+def dedup_components_sql(
+    pairs_cte: str, table: str = "documents"
+) -> str:
+    """DuckDB mirror via a recursive transitive-closure CTE over the same
+    pair set (``pairs_cte`` must define a CTE named ``pairs`` with
+    columns id_a, id_b)."""
+    return f"""
+WITH RECURSIVE {pairs_cte},
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+    SELECT src, src FROM edges
+  UNION
+    SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+allc AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM {table} d LEFT JOIN comp c ON c.id = d.doc_id)
+SELECT doc_id, component, doc_id = component AS is_keeper FROM allc
+"""

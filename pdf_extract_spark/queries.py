@@ -857,6 +857,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "dedup_components",
+    dedup.dedup_components_sql(
+        f"pairs AS ({dedup.minhash_lsh_pairs_sql()})", "documents"
+    ),
+)
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup RESOLUTION: connected components over the MinHash-LSH
+    pair graph (a~b, b~c => one cluster) via min-label propagation —
+    O(diameter) shuffle-join rounds, only the convergence counter on the
+    driver — every doc labeled with its component and keep-first keeper
+    flag. Oracle: DuckDB recursive transitive-closure CTE over the same
+    pairs."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d)
+    return dedup.dedup_components(pairs, universe=d).orderBy("doc_id")
+
+
 @query("dedup_simhash", dedup.simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document."""

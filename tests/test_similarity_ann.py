@@ -192,3 +192,23 @@ def test_ann_recall_measured(spark):
     assert recalls["multitable"] >= 0.25
     assert recalls["multitable"] > recalls["multiprobe"]
     assert recalls["ivf"] >= 0.5
+
+
+def test_dedup_components_transitive_chain(spark):
+    """a~b and b~c (no direct a~c pair) must land in ONE component with
+    the smallest id as keeper; singletons keep themselves."""
+    from pdf_extract_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (3, 4)], "id_a long, id_b long"
+    )
+    universe = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    got = {
+        r["doc_id"]: (r["component"], r["is_keeper"])
+        for r in D.dedup_components(pairs, universe=universe).collect()
+    }
+    assert got[1] == (1, True) and got[2] == (1, False)
+    assert got[3] == (1, False) and got[4] == (1, False)  # 3-hop chain
+    assert got[7] == (7, True) and got[9] == (7, False)
+    for s in (5, 6, 8, 10):
+        assert got[s] == (s, True)

@@ -297,11 +297,18 @@ def write_bench_md(result: dict) -> None:
             f" {d['cpus']} cores**, every document present exactly once.",
             "Unlike the scaling table above (noop sink), this includes the",
             "durable parquet write of the full span output and every",
-            "checkpoint commit. Input partition pruning matters: the same run",
-            f"over an UNPARTITIONED documents table takes {d['unpartitioned_sec']} s",
-            "(every bucket group re-scans the whole input) — at 10^12",
-            "documents, bucket-partitioned ingest is the difference between",
-            "O(groups x corpus) and O(corpus) total input IO.",
+            "checkpoint commit. The per-group filter reaches the scan as a",
+            f"PARTITION FILTER (plan-verified: {d.get('partition_filters_pushed')}),",
+            "so each commit group reads only its own buckets of the ingested",
+            "table. At THIS local scale the input is ~60 MB and largely",
+            "page-cached, so pruning shows only a modest wall-clock edge",
+            f"(unpartitioned control: {d['unpartitioned_sec']} s, "
+            f"+{round((d['unpartitioned_sec'] / d['partitioned_sec'] - 1) * 100)}%); "
+            "it pays at petabyte inputs,",
+            "where unpruned lineage IO is O(groups x corpus) instead of",
+            "O(corpus). (An earlier figure showing a large gap measured a",
+            "non-materialized generator input being recomputed per group —",
+            "a different, avoidable pathology.)",
             "",
             f"Reproduce: `python bench.py --durability` (raw: `{json.dumps(d)}`)",
             "",
@@ -350,6 +357,18 @@ def run_durability(n_docs: int = 64000, cpus: str = "32") -> dict:
         )
 
         out = {}
+        # plan-level proof that the per-group filter PRUNES bucket
+        # partitions of the ingested table (wall-clock is the wrong
+        # instrument locally: the 64k-doc input is ~60 MB and page-cached,
+        # so full scans are free here — pruning pays at petabyte inputs)
+        bucketed = spark.read.parquet(f"{work}/docs_bucketed")
+        plan = (
+            bucketed.filter(F.col("bucket").isin([0, 1]))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        pruned = "PartitionFilters: [" in plan and "bucket" in plan.split(
+            "PartitionFilters: ["
+        )[1].split("]")[0]
         for label, path in (("partitioned", f"{work}/docs_bucketed"),
                             ("unpartitioned", f"{work}/docs_flat")):
             lake = Lake(spark, f"{work}/lake_{label}")
@@ -375,6 +394,7 @@ def run_durability(n_docs: int = 64000, cpus: str = "32") -> dict:
             "docs_per_sec": round(n_docs / out["partitioned_sec"], 1),
             "partitioned_sec": out["partitioned_sec"],
             "unpartitioned_sec": out["unpartitioned_sec"],
+            "partition_filters_pushed": bool(pruned),
             "n_spans": out["n_spans"],
         }
         with open(os.path.join(

@@ -1,12 +1,14 @@
 """Deduplication operators for training-data pipelines.
 
-Five families, all engine-portable (verified against DuckDB oracles):
+Six families, all engine-portable (verified against DuckDB oracles):
 
   * exact            — md5 of normalized text, keep-first (A7 semantics)
   * n-gram Jaccard   — word-shingle set similarity, exact pair join
   * MinHash + LSH    — banded minhash candidate generation + Jaccard verify
   * SimHash          — 32-bit sign-of-weighted-bits near-dup hash
   * embedding cosine — see similarity.py (near_dup_pairs)
+  * component resolution — near-dup pairs -> duplicate CLUSTERS via
+    min-label propagation (dedup_components)
 
 Scale notes (100 TB):
   * exact dedup is one hash-aggregate (partial combine map-side);

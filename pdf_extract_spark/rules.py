@@ -412,27 +412,39 @@ def compose_sentences(p_texts: list[str]) -> list[str]:
     * cleanup: whitespace collapse + bracket tightening;
     * a trailing incomplete accumulation is emitted as-is (the reference
       keeps residuals rather than dropping text).
+
+    The accumulation keeps fragments in a LIST and joins only at flush:
+    the completion test is O(1) per fragment — `is_complete` on the
+    joined buffer inspects only the buffer's trailing characters, which
+    are the current fragment's own tail (or, when the fragment is all
+    closing quotes/brackets, the joining space — never a terminal) —
+    so long P runs cost O(total chars), not O(n^2) string rebuilding.
     """
     out: list[str] = []
-    buf = ""
+    parts: list[str] = []
     depth = 0
     for frag in p_texts:
         frag = frag.strip()
         if not frag:
             continue
-        buf = (buf + " " + frag).strip() if buf else frag
+        parts.append(frag)
         depth += _bracket_delta(frag)
         if depth < 0:
             depth = 0
-        if is_complete(buf, depth):
-            for s in split_sentences(buf):
-                out.append(_finalize_sentence(s))
-            buf = ""
-            depth = 0
-    if buf:
+        if depth == 0:
+            # is_complete(join(parts), 0) without building the join:
+            # rstrip of the joined buffer stops inside this fragment, or
+            # hits the join space (non-terminal) when the fragment is
+            # entirely closing quotes/brackets
+            fs = frag.rstrip("\"')]")
+            if fs and fs[-1] in TERMINALS:
+                for s in split_sentences(" ".join(parts)):
+                    out.append(_finalize_sentence(s))
+                parts = []
+    if parts:
         # residual: may still contain complete inner sentences followed by
         # an incomplete tail — split what we can.
-        for s in split_sentences(buf):
+        for s in split_sentences(" ".join(parts)):
             out.append(_finalize_sentence(s))
     return out
 

@@ -44,17 +44,44 @@ NUM_PATTERNS = [
     re.compile(r"\d+"),                           # bare ints
 ]
 
-# C14 (metadata_generator.py:132-140, 162-203)
-NUMBER_WORDS = {
-    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
-    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
-    "ten": "10", "eleven": "11", "twelve": "12", "dozen": "12",
-    "first": "1", "second": "2", "third": "3", "fourth": "4", "fifth": "5",
-    "sixth": "6", "seventh": "7", "eighth": "8", "ninth": "9", "tenth": "10",
-    "jan": "1", "feb": "2", "mar": "3", "apr": "4", "may": "5", "jun": "6",
-    "jul": "7", "aug": "8", "sep": "9", "oct": "10", "nov": "11", "dec": "12",
-    "double": "2", "triple": "3", "half": "0.5",
+# C14 — the reference's FULL English number-word table, verbatim data
+# (metadata_generator.py:132: eng_mappings), in its original insertion
+# order, which is load-bearing: prefix matching scans the map in order
+# and takes the first hit.
+EN_NUMBER_MAPPINGS = {
+    "1": ["one", "first", "primary", "January", "Jan", "single", "uni", "once", "mono"],
+    "2": ["two", "second", "secondary", "February", "Feb", "dual", "double", "bi",
+          "twin", "pair", "couple", "twice", "di"],
+    "3": ["three", "third", "March", "Mar", "triple", "tri", "trio", "thrice"],
+    "4": ["four", "fourth", "April", "Apr", "quad", "tetra", "quartet", "quarter"],
+    "5": ["five", "fifth", "May", "penta", "quintet"],
+    "6": ["six", "sixth", "June", "Jun", "hexa", "sextet"],
+    "7": ["seven", "seventh", "July", "Jul", "septet", "hepta"],
+    "8": ["eight", "eighth", "August", "Aug", "octet", "octa"],
+    "9": ["nine", "ninth", "September", "Sep", "Sept", "nona"],
+    "10": ["ten", "tenth", "October", "Oct", "deca", "decade"],
+    "11": ["eleven", "eleventh", "November", "Nov"],
+    "12": ["twelve", "twelfth", "December", "Dec", "dozen"],
+    "13": ["thirteen", "thirteenth"], "14": ["fourteen", "fourteenth"],
+    "15": ["fifteen", "fifteenth"], "16": ["sixteen", "sixteenth"],
+    "17": ["seventeen", "seventeenth"], "18": ["eighteen", "eighteenth"],
+    "19": ["nineteen", "nineteenth"], "20": ["twenty", "twentieth"],
+    "30": ["thirty", "thirtieth"], "40": ["forty", "fortieth"],
+    "50": ["fifty", "fiftieth"], "60": ["sixty", "sixtieth"],
+    "70": ["seventy", "seventieth"], "80": ["eighty", "eightieth"],
+    "90": ["ninety", "ninetieth"], "100": ["hundred"], "1000": ["thousand"],
+    "0": ["zero", "oh"],
 }
+
+# lowercase word -> digit string, FIRST-insertion order preserved (the
+# reference lowercases its map the same way; later duplicates collapse
+# onto the original position)
+NUMBER_WORDS: dict[str, str] = {}
+for _num, _words in EN_NUMBER_MAPPINGS.items():
+    for _w in _words:
+        NUMBER_WORDS.setdefault(_w.lower(), _num)
+
+RE_WORD_TOKEN = re.compile(r"[\w-]+")  # the reference's tokenization (:184)
 
 SUPERSCRIPTS = str.maketrans("⁰¹²³⁴⁵⁶⁷⁸⁹₀₁₂₃₄₅₆₇₈₉", "01234567890123456789")
 
@@ -90,10 +117,6 @@ def extract_numbers(t: str) -> list[str]:
     return [g for _, g in sorted(found)]
 
 
-MONTH_PREFIXES = frozenset(
-    ("jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep", "oct", "nov", "dec")
-)
-
 # C14 Korean side (metadata_generator.py:132-140): the reference's
 # kor_mappings is exactly {'2': ['이중', '더블']}; matching is an
 # alternation FINDALL over the raw text (no tokenization — hangul
@@ -111,18 +134,39 @@ def map_korean_number_words(t: str) -> list[str]:
     return [KOR_NUMBER_WORDS[m] for m in RE_KOR_NUMWORD.findall(t)]
 
 
+def _prefix_lookup(word: str) -> str | None:
+    """First map entry (insertion order) that is a >= 2-char prefix of
+    ``word`` (metadata_generator.py:196-201)."""
+    for num_word, num_val in NUMBER_WORDS.items():
+        if len(num_word) >= 2 and word.startswith(num_word):
+            return num_val
+    return None
+
+
 def map_number_words(t: str) -> list[str]:
-    """C14 — number words to digit strings; hyphen compounds split;
-    dotted month abbreviations ("Janu.", "Sept.") prefix-match."""
+    """C14 — the reference's textual-number mapping, faithfully
+    (metadata_generator.py:180-203): tokens are ``[\\w-]+`` runs of the
+    lowercased text; an exact map hit wins; a hyphenated token maps the
+    FIRST part with a prefix hit and stops; otherwise the token itself
+    prefix-matches against the map in insertion order. Prefix matching
+    is deliberate reference behavior and carries its quirks — 'mayor'
+    maps to '5' via the May prefix, 'twenty-one' to '20' (first part
+    wins)."""
     out: list[str] = []
-    for raw in (t or "").lower().split():
-        for piece in raw.split("-"):
-            had_dot = piece.rstrip(',;:!?)]"\'').endswith(".")
-            w = piece.strip(".,;:!?()[]\"'")
-            if w in NUMBER_WORDS:
-                out.append(NUMBER_WORDS[w])
-            elif had_dot and len(w) > 3 and w[:3] in MONTH_PREFIXES:
-                out.append(NUMBER_WORDS[w[:3]])
+    for token in RE_WORD_TOKEN.findall((t or "").lower()):
+        if token in NUMBER_WORDS:
+            out.append(NUMBER_WORDS[token])
+            continue
+        if "-" in token:
+            for part in token.split("-"):
+                hit = _prefix_lookup(part)
+                if hit is not None:
+                    out.append(hit)
+                    break
+            continue
+        hit = _prefix_lookup(token)
+        if hit is not None:
+            out.append(hit)
     return out
 
 

@@ -21,10 +21,18 @@ def test_extract_numbers_cascade_order():
 
 
 def test_map_number_words():
+    """Expectations derived from the reference's matching rules
+    (metadata_generator.py:180-203): exact hit first, hyphen token maps
+    its FIRST prefix-matching part then stops, bare tokens prefix-match
+    the map in insertion order."""
     assert MC.map_number_words("one dozen eggs") == ["1", "12"]
-    assert MC.map_number_words("twenty-one") == ["1"]  # hyphen parts map individually
+    assert MC.map_number_words("twenty-one") == ["20"]  # first part wins, break
     assert MC.map_number_words("the third of Jan.") == ["3", "1"]
     assert MC.map_number_words("double-hull tanker") == ["2"]
+    assert MC.map_number_words("a dual redundant design") == ["2"]
+    assert MC.map_number_words("the hexagonal bolt") == ["6"]  # hexa prefix
+    assert MC.map_number_words("quarterly report") == ["4"]    # quarter prefix
+    assert MC.map_number_words("thousands of pages") == ["1000"]
 
 
 def test_counter_multiset_semantics():
@@ -80,10 +88,12 @@ def test_word_status_variants():
 
 
 def test_month_prefix_abbreviations():
-    # dotted month abbreviations prefix-match; undotted long forms do not
-    assert MC.map_number_words("due Janu. next")[:1] == ["1"]
-    assert MC.map_number_words("the mayor spoke") == []  # no false 'may' prefix
-    assert MC.map_number_words("Sept. meeting")[:1] == ["9"]
+    # month abbreviations and their extensions prefix-match through the
+    # reference's startswith scan (tokenization strips the dots)
+    assert MC.map_number_words("due Janu. next") == ["1"]
+    assert MC.map_number_words("Sept. meeting") == ["9"]
+    # documented reference quirk: 'mayor' startswith 'may' -> '5'
+    assert MC.map_number_words("the mayor spoke") == ["5"]
 
 
 def test_korean_number_words():

@@ -303,7 +303,7 @@ def write_bench_md(result: dict) -> None:
             "table. At THIS local scale the input is ~60 MB and largely",
             "page-cached, so pruning shows only a modest wall-clock edge",
             f"(unpartitioned control: {d['unpartitioned_sec']} s, "
-            f"+{round((d['unpartitioned_sec'] / d['partitioned_sec'] - 1) * 100)}%); "
+            f"{round((d['unpartitioned_sec'] / d['partitioned_sec'] - 1) * 100):+d}%); "
             "it pays at petabyte inputs,",
             "where unpruned lineage IO is O(groups x corpus) instead of",
             "O(corpus). (An earlier figure showing a large gap measured a",

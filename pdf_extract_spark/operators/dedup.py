@@ -380,11 +380,12 @@ FROM agg GROUP BY 1
 # Pairwise near-dup output (any family above) still needs RESOLUTION:
 # "keep one doc per duplicate CLUSTER", where clusters are the connected
 # components of the pair graph (a~b, b~c => {a,b,c} even if a,c never
-# paired directly). Min-label propagation: each node repeatedly adopts
-# the smallest label among itself and its neighbours; converges in
-# O(component diameter) rounds — duplicate clusters are shallow, so this
-# is 2-4 joins in practice. Each round is one shuffle join + map-side
-# min aggregate; only the scalar `changed` count reaches the driver.
+# paired directly). Each round does min-label propagation over edges
+# PLUS pointer jumping (adopt the label of your current label), so label
+# distances halve per round and convergence is O(log diameter) — a
+# 30-hop revision chain resolves in ~5 rounds, not 30. Each round is two
+# shuffle joins + map-side min aggregates; only the scalar `changed`
+# count reaches the driver.
 
 def dedup_components(
     pairs: DataFrame, universe: DataFrame | None = None,
@@ -417,6 +418,21 @@ def dedup_components(
                 F.least(F.col("comp"), F.coalesce(F.col("cand"), F.col("comp"))).alias("comp"),
             )
         )
+        # pointer jumping: comp <- comp[comp] (labels are node ids, so a
+        # label's own current label is a valid, smaller-or-equal label
+        # for everything pointing at it) — halves label distance per round
+        lut = new_labels.select(
+            F.col("id").alias("cid"), F.col("comp").alias("ccomp")
+        )
+        new_labels = (
+            new_labels.join(lut, new_labels["comp"] == lut["cid"], "left")
+            .select(
+                new_labels["id"].alias("id"),
+                F.least(
+                    new_labels["comp"], F.coalesce(F.col("ccomp"), new_labels["comp"])
+                ).alias("comp"),
+            )
+        )
         # truncate the iterative lineage so plan depth stays bounded
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
@@ -428,6 +444,14 @@ def dedup_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing) — the pair graph has "
+            "a component with diameter > max_iter (e.g. a long revision "
+            "chain); raise max_iter rather than accept a silently split "
+            "cluster"
+        )
 
     out = labels
     if universe is not None:

@@ -126,3 +126,27 @@ def test_clean_trigger_fast_path_equivalence():
         rules.clean_fragment(t)
 
     check()
+
+
+def test_compose_inline_completion_equals_is_complete():
+    """The O(1) completion test inlined in compose_sentences (current
+    fragment's rstrip tail) must equal rules.is_complete on the joined
+    buffer at depth 0 — keeps the documented spec function load-bearing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extract_spark import rules
+
+    frag_st = st.text(
+        alphabet=st.sampled_from(list("ab .?!()[]\"'")), min_size=1, max_size=10
+    ).map(str.strip).filter(bool)
+
+    @settings(max_examples=2000, deadline=None)
+    @given(st.lists(frag_st, min_size=1, max_size=6))
+    def check(parts):
+        frag = parts[-1]
+        fs = frag.rstrip("\"')]")
+        inline = bool(fs) and fs[-1] in rules.TERMINALS
+        assert inline == rules.is_complete(" ".join(parts), 0), parts
+
+    check()

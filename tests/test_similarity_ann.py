@@ -212,3 +212,22 @@ def test_dedup_components_transitive_chain(spark):
     assert got[7] == (7, True) and got[9] == (7, False)
     for s in (5, 6, 8, 10):
         assert got[s] == (s, True)
+
+
+def test_dedup_components_raises_on_nonconvergence(spark):
+    """A component with diameter > max_iter must raise loudly instead of
+    returning a silently split cluster."""
+    import pytest as _pytest
+
+    from pdf_extract_spark.operators import dedup as D
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_components(chain, max_iter=2)
+    # pointer jumping makes label distance halve per round: a 30-hop
+    # chain resolves well within 8 rounds (vs 30 for plain propagation)
+    got = {r["doc_id"]: r["component"]
+           for r in D.dedup_components(chain, max_iter=8).collect()}
+    assert set(got.values()) == {0}

@@ -120,10 +120,11 @@ def shingle_hashes(col, k: int = 3):
     return F.array_distinct(F.when(F.size(th) >= k, combined).otherwise(whole))
 
 
-def _shh_cte(table: str, text_expr: str, k: int = 3) -> str:
-    """CTE prefix computing hashed shingles: token hashes (th0) then
-    k-gram integer combinations (shh.sh) — formulas mirror shingle_hashes
-    exactly."""
+def _shh_cte(table: str, text_expr: str, k: int = 3, prefix: str = "") -> str:
+    """CTE prefix computing hashed shingles: token hashes ({prefix}th0)
+    then k-gram integer combinations ({prefix}shh.sh) — formulas mirror
+    shingle_hashes exactly. ``prefix`` disambiguates when two corpora
+    need shingle CTEs in one query (minhash_lsh_pairs_between)."""
     th = f"list_transform({tokens_sql(text_expr)}, x -> {phash_sql('x')} % {MOD})"
     combined = "th[i]"
     for j in range(1, k):
@@ -135,8 +136,8 @@ def _shh_cte(table: str, text_expr: str, k: int = 3) -> str:
         f"(acc, x) -> (acc * 31 + x) % {MOD})] END)"
     )
     return (
-        f"th0 AS (SELECT doc_id, {th} AS th FROM {table}),\n"
-        f"shh AS (SELECT doc_id, {sh} AS sh FROM th0)"
+        f"{prefix}th0 AS (SELECT doc_id, {th} AS th FROM {table}),\n"
+        f"{prefix}shh AS (SELECT doc_id, {sh} AS sh FROM {prefix}th0)"
     )
 
 
@@ -330,6 +331,99 @@ verified AS (
                len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
   FROM cand JOIN shh sa ON sa.doc_id = cand.id_a
             JOIN shh sb ON sb.doc_id = cand.id_b)
+SELECT * FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+# ----------------------------------------------- cross-corpus near-dup
+#
+# The incremental-ingest shape: dedup a NEW batch against the EXISTING
+# lake without self-joining either side. Same banded-LSH discipline —
+# the cross band join carries only (band_key, doc_id); the deduplicated
+# (id_l, id_r) candidates join back to each side's shingle table once.
+
+def minhash_lsh_pairs_between(
+    left: DataFrame, right: DataFrame, text_col: str = "text",
+    threshold: float = 0.5, max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN two corpora (left doc vs right doc only).
+    Returns (id_l, id_r, jaccard). ``max_bucket`` caps hot band buckets
+    on the (usually much larger) right/corpus side."""
+    lh = left.select("doc_id", shingle_hashes(F.col(text_col)).alias("sh"))
+    rh = right.select("doc_id", shingle_hashes(F.col(text_col)).alias("sh"))
+    lb = lh.select(
+        "doc_id", F.explode(F.array(*_band_keys_over(F.col("sh")))).alias("band_key")
+    )
+    rb = rh.select(
+        "doc_id", F.explode(F.array(*_band_keys_over(F.col("sh")))).alias("band_key")
+    )
+    if max_bucket is not None:
+        sizes = rb.groupBy("band_key").agg(F.count("*").alias("n_docs"))
+        rb = rb.join(
+            F.broadcast(sizes.filter(F.col("n_docs") <= max_bucket).select("band_key")),
+            "band_key",
+        )
+    cand = (
+        lb.alias("l").join(rb.alias("r"), "band_key")
+        .select(F.col("l.doc_id").alias("id_l"), F.col("r.doc_id").alias("id_r"))
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    ha = lh.alias("ha")
+    hb = rh.alias("hb")
+    return (
+        cand.join(ha, F.col("id_l") == F.col("ha.doc_id"))
+        .join(hb, F.col("id_r") == F.col("hb.doc_id"))
+        .select(
+            "id_l", "id_r",
+            F.round(
+                F.size(F.array_intersect("ha.sh", "hb.sh"))
+                / F.size(F.array_union("ha.sh", "hb.sh")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs_between_sql(
+    left_table: str, right_table: str, text_expr: str = "text",
+    threshold: float = 0.5,
+) -> str:
+    rows_per_band = N_HASHES // N_BANDS
+
+    def mh_cols(src: str) -> str:
+        return ", ".join(
+            f"list_min(list_transform(sh, x -> "
+            f"(x % {MOD} + {i} * ((x * {MIX_A} + {MIX_B}) % {MOD})) % {MOD})) AS mh_{i}"
+            for i in range(N_HASHES)
+        )
+
+    def band_rows(sig: str) -> str:
+        return " UNION ALL ".join(
+            "SELECT doc_id, concat_ws('_', '{b}', {parts}) AS band_key FROM {sig}".format(
+                b=b, sig=sig,
+                parts=", ".join(
+                    f"mh_{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+                ),
+            )
+            for b in range(N_BANDS)
+        )
+
+    return f"""
+WITH {_shh_cte(left_table, text_expr, prefix="l")},
+{_shh_cte(right_table, text_expr, prefix="r")},
+lsig AS (SELECT doc_id, {mh_cols("lshh")} FROM lshh),
+rsig AS (SELECT doc_id, {mh_cols("rshh")} FROM rshh),
+lbands AS ({band_rows("lsig")}),
+rbands AS ({band_rows("rsig")}),
+cand AS (SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+         FROM lbands l JOIN rbands r ON l.band_key = r.band_key),
+verified AS (
+  SELECT id_l, id_r,
+         round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+               len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+  FROM cand JOIN lshh sa ON sa.doc_id = cand.id_l
+            JOIN rshh sb ON sb.doc_id = cand.id_r)
 SELECT * FROM verified WHERE jaccard >= {threshold}
 """
 

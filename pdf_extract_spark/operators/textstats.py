@@ -170,3 +170,97 @@ SELECT doc_id,
                    (acc, x) -> (acc * 31 + x) % {MOD}) AS fingerprint
 FROM {table}
 """
+
+
+# --------------------------------------------------------- sampling / filter
+
+SAMPLE_MOD = 1_000_000
+
+
+def stratified_sample(
+    df: DataFrame, rates: dict[str, float], stratum_col: str = "lang",
+    default_rate: float = 0.0, key_col: str = "doc_id", salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixing primitive for
+    training pipelines ("keep 30% of lang=en, all of lang=de, ...").
+
+    The keep decision hashes (salt, key): stable across runs, partitions
+    and engines (portable md5-derived hash), so the sample is
+    reproducible and a rerun or resume selects the SAME rows — unlike
+    ``df.sample``, whose selection depends on partitioning. No shuffle:
+    pure map-side filter, fully pushed into the scan's data filters."""
+    h = F.pmod(phash(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
+               F.lit(SAMPLE_MOD))
+    threshold = None
+    for stratum, rate in rates.items():
+        cond = (F.col(stratum_col) == stratum)
+        t = F.lit(int(rate * SAMPLE_MOD))
+        threshold = F.when(cond, t) if threshold is None else threshold.when(cond, t)
+    threshold = (
+        threshold.otherwise(F.lit(int(default_rate * SAMPLE_MOD)))
+        if threshold is not None
+        else F.lit(int(default_rate * SAMPLE_MOD))
+    )
+    return df.filter(h < threshold)
+
+
+def stratified_sample_sql(
+    rates: dict[str, float], table: str = "documents", stratum_col: str = "lang",
+    default_rate: float = 0.0, key_col: str = "doc_id", salt: str = "strat",
+) -> str:
+    from pdf_extract_spark.operators.hashing import phash_sql
+
+    key_expr = "'" + salt + ":' || " + key_col + "::VARCHAR"
+    h = f"({phash_sql(key_expr)} % {SAMPLE_MOD})"
+    whens = " ".join(
+        f"WHEN '{stratum}' THEN {int(rate * SAMPLE_MOD)}"
+        for stratum, rate in rates.items()
+    )
+    thr = f"CASE {stratum_col} {whens} ELSE {int(default_rate * SAMPLE_MOD)} END"
+    return f"SELECT * FROM {table} WHERE {h} < {thr}"
+
+
+def quality_filter(
+    df: DataFrame, text_col: str = "text",
+    min_tokens: int = 20, max_tokens: int = 100_000,
+    min_stopword_ratio: float = 0.0,
+) -> DataFrame:
+    """Declarative quality gate over the quality_score features: emits
+    every doc with its features and a ``keep`` verdict (filter with
+    ``.filter("keep")``; the verdict column keeps the drop REASONS
+    auditable, which a 100 TB curation run needs more than the filter
+    itself)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("long")
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / F.size(toks), 6
+    )
+    keep = (
+        (n_tok >= min_tokens) & (n_tok <= max_tokens)
+        & (stop_ratio >= min_stopword_ratio)
+    )
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        keep.alias("keep"),
+    )
+
+
+def quality_filter_sql(
+    table: str = "documents", text_expr: str = "text",
+    min_tokens: int = 20, max_tokens: int = 100_000,
+    min_stopword_ratio: float = 0.0,
+) -> str:
+    toks = tokens_sql(text_expr)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    ratio = f"round(len(list_filter({toks}, x -> x IN ({stop_list}))) * 1.0 / len({toks}), 6)"
+    return f"""
+SELECT doc_id,
+       len({toks})::BIGINT AS n_tokens,
+       {ratio} AS stopword_ratio,
+       (len({toks}) >= {min_tokens} AND len({toks}) <= {max_tokens}
+        AND {ratio} >= {min_stopword_ratio}) AS keep
+FROM {table}
+"""

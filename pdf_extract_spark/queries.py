@@ -875,6 +875,47 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_components(pairs, universe=d).orderBy("doc_id")
 
 
+@query(
+    "dedup_cross_corpus",
+    dedup.minhash_lsh_pairs_between_sql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+    ),
+)
+def dedup_cross_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: near-dup pairs BETWEEN a new batch and
+    the existing corpus (even vs odd doc_ids here) — banded LSH across
+    sides only, no self-join of either corpus."""
+    d = _t(spark, sf_dir, "documents")
+    left = d.filter(F.col("doc_id") % 2 == 0)
+    right = d.filter(F.col("doc_id") % 2 == 1)
+    return dedup.minhash_lsh_pairs_between(left, right)
+
+
+@query(
+    "stratified_sample",
+    textstats.stratified_sample_sql({"en": 0.5, "de": 1.0, "zh": 0.1})
+    + " ORDER BY doc_id",
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing: per-stratum sampling rates keyed on a
+    portable hash of (salt, doc_id) — reproducible across runs, engines
+    and partitionings (unlike df.sample), shuffle-free."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.stratified_sample(
+        d, {"en": 0.5, "de": 1.0, "zh": 0.1}
+    ).orderBy("doc_id")
+
+
+@query("quality_filter", textstats.quality_filter_sql(min_tokens=25, min_stopword_ratio=0.01))
+def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative quality gate with auditable verdicts: every doc keeps
+    its features plus the keep/drop decision (curation runs need the
+    reasons, not just the survivors)."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.quality_filter(d, min_tokens=25, min_stopword_ratio=0.01)
+
+
 @query("dedup_simhash", dedup.simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document."""

@@ -231,3 +231,35 @@ def test_dedup_components_raises_on_nonconvergence(spark):
     got = {r["doc_id"]: r["component"]
            for r in D.dedup_components(chain, max_iter=8).collect()}
     assert set(got.values()) == {0}
+
+
+def test_stratified_sample_deterministic_across_partitioning(spark):
+    """The keep set must be a pure function of (salt, doc_id, rates) —
+    identical under different partition counts, unlike df.sample."""
+    from pdf_extract_spark.operators import textstats as TS
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rates = {"en": 0.4, "es": 0.9}
+    a = {r["doc_id"] for r in TS.stratified_sample(d, rates).collect()}
+    b = {r["doc_id"] for r in TS.stratified_sample(d.repartition(17), rates).collect()}
+    assert a == b and a
+    # unlisted strata fall to default_rate=0
+    langs = {r["lang"] for r in TS.stratified_sample(d, rates).select("lang").distinct().collect()}
+    assert langs <= {"en", "es"}
+    # empirical rate lands near the requested one for the big stratum
+    n_en_all = d.filter("lang = 'en'").count()
+    n_en_kept = TS.stratified_sample(d, rates).filter("lang = 'en'").count()
+    assert abs(n_en_kept / n_en_all - 0.4) < 0.15
+
+
+def test_cross_corpus_pairs_sides_disjoint(spark):
+    """Every returned pair must have its left id in the left corpus and
+    right id in the right corpus (no self-join leakage)."""
+    from pdf_extract_spark.operators import dedup as D
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    left = d.filter("doc_id % 2 = 0")
+    right = d.filter("doc_id % 2 = 1")
+    rows = D.minhash_lsh_pairs_between(left, right).collect()
+    for r in rows:
+        assert r["id_l"] % 2 == 0 and r["id_r"] % 2 == 1

@@ -46,6 +46,7 @@ HEADLINE = [
     "topk_orders",              # W7
     "dedup_exact",              # exact dedup
     "dedup_minhash_lsh",        # MinHash+LSH near-dup (scale path)
+    "dedup_cross_corpus",       # incremental-ingest dedup (batch vs lake)
     "dedup_simhash",            # SimHash
     "token_count",              # text analysis
     "quality_score",            # text analysis

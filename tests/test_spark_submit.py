@@ -1,0 +1,65 @@
+"""North-rule packaging evidence: the job ships and runs through a REAL
+``spark-submit --py-files pdf_extract_spark.zip job.py`` subprocess —
+no repo on the driver script's path, imports resolved from the zip."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pyspark
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+JOB = '''
+import json, sys
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.appName("submit_smoke").getOrCreate())
+# the package must come from --py-files, not the repo
+import pdf_extract_spark
+assert "pdf_extract_spark.zip" in pdf_extract_spark.__file__, pdf_extract_spark.__file__
+
+from pdf_extract_spark import generator, oracle
+from pdf_extract_spark.pipeline import run_extraction
+from pdf_extract_spark.schemas import DOCUMENTS
+
+docs = generator.make_corpus(40, seed=202)
+out = run_extraction(spark.createDataFrame(docs, schema=DOCUMENTS), num_partitions=4)
+got = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+       for r in out.collect()}
+assert got == oracle.expected_corpus(docs)
+print("SUBMIT_RESULT " + json.dumps({"docs": len(got), "ok": True}))
+spark.stop()
+'''
+
+
+def test_spark_submit_pyfiles_end_to_end(tmp_path):
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+    )
+    # build the zip exactly as a deploy would
+    sys.path.insert(0, REPO)
+    from pdf_extract_spark.packaging import build_pyfiles_zip
+
+    zip_path = build_pyfiles_zip(str(tmp_path))
+    job = tmp_path / "job.py"
+    job.write_text(JOB)
+
+    env = dict(os.environ)
+    # scrub any path that would let the driver import the repo directly
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path, str(job)],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path), env=env,
+    )
+    marker = [l for l in proc.stdout.splitlines() if l.startswith("SUBMIT_RESULT ")]
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert marker, proc.stdout[-3000:]
+    payload = json.loads(marker[0].split(" ", 1)[1])
+    assert payload == {"docs": 40, "ok": True}

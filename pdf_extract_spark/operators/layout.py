@@ -20,7 +20,7 @@ back-to-back, one python worker pass each).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
 from pdf_extract_spark import rules
@@ -32,6 +32,38 @@ def parse_pdf_udf(content: pd.Series) -> pd.Series:
     from pdf_extract_spark.sources.pdfparse import parse_pdf
 
     return content.map(lambda b: parse_pdf(bytes(b)) if b is not None else None)
+
+
+PARSED_WITH_ERROR = T.StructType(
+    [
+        T.StructField("pages", PARSED_DOC, True),
+        T.StructField("parse_error", T.StringType(), True),
+    ]
+)
+
+
+@pandas_udf(PARSED_WITH_ERROR)
+def parse_pdf_safe_udf(content: pd.Series) -> pd.DataFrame:
+    """Quarantining parse: a payload that passes the %PDF- magic but is
+    corrupt mid-stream (truncated xref, bad object offsets, broken
+    FlateDecode) must NOT raise inside the task — at 10^12 documents a
+    single corrupt file would otherwise fail the whole job through task
+    retries. Returns (pages, parse_error); exactly one side is set."""
+    from pdf_extract_spark.sources.pdfparse import PdfError, parse_pdf
+
+    pages_out, errs = [], []
+    for b in content:
+        if b is None:
+            pages_out.append(None)
+            errs.append("null content")
+            continue
+        try:
+            pages_out.append(parse_pdf(bytes(b)))
+            errs.append(None)
+        except PdfError as e:
+            pages_out.append(None)
+            errs.append(f"{type(e).__name__}: {e}")
+    return pd.DataFrame({"pages": pages_out, "parse_error": errs})
 
 
 @pandas_udf(SPANS)
@@ -55,8 +87,15 @@ def validate_pdfs(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 
 def parse_pdfs(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """documents(doc_id, content:binary) -> (doc_id, pages)."""
-    return df.select("doc_id", parse_pdf_udf(F.col(content_col)).alias("pages"))
+    """documents(doc_id, content:binary) -> (doc_id, pages, parse_error).
+
+    One quarantining Arrow pass: corrupt payloads surface as
+    ``parse_error`` rows (pages NULL) instead of failing the task."""
+    p = df.select("doc_id", parse_pdf_safe_udf(F.col(content_col)).alias("p"))
+    return p.select(
+        "doc_id", F.col("p.pages").alias("pages"),
+        F.col("p.parse_error").alias("parse_error"),
+    )
 
 
 def layout_extract(df_parsed: DataFrame) -> DataFrame:
@@ -68,9 +107,25 @@ def layout_extract(df_parsed: DataFrame) -> DataFrame:
 
 def pdf_to_spans(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Full byte path with the mandated scale mechanics: validate ->
-    salt + repartitionByRange -> parse -> layout/compose."""
+    salt + repartitionByRange -> quarantining parse -> layout/compose.
+    Corrupt-but-magic'd documents are dropped here; route them to a
+    failure table with :func:`pdf_parse_errors` when auditing matters
+    (F5 — the reference's error-class handling, main.py:1678-1727)."""
     from pdf_extract_spark.pipeline import partition_for_extraction
 
     valid = validate_pdfs(df)
     parted = partition_for_extraction(valid, num_partitions)
-    return layout_extract(parse_pdfs(parted)).select("doc_id", "spans")
+    parsed = parse_pdfs(parted)
+    ok = parsed.filter(F.col("parse_error").isNull())
+    return layout_extract(ok).select("doc_id", "spans")
+
+
+def pdf_parse_errors(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """The quarantine surface: (doc_id, parse_error) for every document
+    that passed the magic check but failed the byte parse."""
+    from pdf_extract_spark.pipeline import partition_for_extraction
+
+    parted = partition_for_extraction(validate_pdfs(df), num_partitions)
+    return parse_pdfs(parted).filter(F.col("parse_error").isNotNull()).select(
+        "doc_id", "parse_error"
+    )

@@ -82,3 +82,30 @@ def test_layout_rules_applied(spark):
     texts = [s["text"] for s in spans]
     assert all("CONFIDENTIAL DRAFT" not in t for t in texts)
     assert any(s["kind"] == "media" and s["media_ref"].startswith("img:") for s in spans)
+
+
+def test_corrupt_pdf_quarantined_not_fatal(spark):
+    """A payload that passes the %PDF- magic but is corrupt mid-stream
+    must become a parse_error row — NOT a task failure that kills the
+    job — while healthy documents in the same batch extract normally."""
+    from pdf_extract_spark.operators import layout as L
+    from pdf_extract_spark.sources import pdfgen
+
+    good = bytes(pdfgen.build_pdf(0, seed=21))
+    rows = [
+        {"doc_id": "ok", "content": bytearray(good)},
+        # magic ok, truncated body: xref offset points past EOF
+        {"doc_id": "truncated", "content": bytearray(good[: len(good) // 3])},
+        # magic ok, garbage after header
+        {"doc_id": "garbage", "content": bytearray(b"%PDF-1.4\nnot a pdf at all")},
+        # no magic: filtered by validate_pdfs before the parser
+        {"doc_id": "notpdf", "content": bytearray(b"PK\x03\x04zipfile")},
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id string, content binary")
+
+    spans = {r["doc_id"] for r in L.pdf_to_spans(df).collect()}
+    assert spans == {"ok"}
+
+    errs = {r["doc_id"]: r["parse_error"] for r in L.pdf_parse_errors(df).collect()}
+    assert set(errs) == {"truncated", "garbage"}
+    assert all(e for e in errs.values())

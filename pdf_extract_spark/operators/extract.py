@@ -50,7 +50,12 @@ def _extract_batch(spans_series: pd.Series) -> pd.Series:
     df = pd.DataFrame(rows, columns=["i", "kind", "text", "media_ref", "offset"])
     df.sort_values(["i", "offset"], inplace=True, kind="mergesort")
 
-    is_text = df["kind"].to_numpy() == "text"
+    # rules.tag_fragments semantics: ONLY kind == 'media' takes the media
+    # branch; any other kind flows down the text path — but boilerplate
+    # keys are counted over kind == 'text' spans strictly
+    kinds_in = df["kind"].to_numpy()
+    is_text = kinds_in == "text"
+    is_media = kinds_in == "media"
 
     # one combined trigger scan decides which fragments need the full
     # regex cleanup chain; for the (typical) clean majority — no dot
@@ -90,7 +95,7 @@ def _extract_batch(spans_series: pd.Series) -> pd.Series:
             .str.strip()
         )
 
-    keep = (~is_text) | ((~bp_mask) & (cleaned != ""))
+    keep = is_media | ((~bp_mask) & (cleaned != ""))
 
     # --- tagging (rules.tag_by_text, same precedence, vectorized) -------
     h3 = cleaned.str.match(rules.RE_H3_COLON)
@@ -103,7 +108,7 @@ def _extract_batch(spans_series: pd.Series) -> pd.Series:
     tag[h3] = "H3"
     tag[eligible & h2] = "H2"
     tag[eligible & h1 & (~h2)] = "H1"
-    tag[~is_text] = "media"
+    tag[is_media] = "media"
 
     # --- per-document run-merge + composition FSM -----------------------
     sub = df[keep]

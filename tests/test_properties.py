@@ -150,3 +150,34 @@ def test_compose_inline_completion_equals_is_complete():
         assert inline == rules.is_complete(" ".join(parts), 0), parts
 
     check()
+
+
+def test_extract_batch_matches_rules_for_arbitrary_kinds():
+    """Kernel/oracle parity must hold for UNEXPECTED kind values too:
+    rules.tag_fragments sends only kind=='media' down the media branch —
+    any other kind takes the text path, and only kind=='text' counts
+    toward boilerplate keys."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extract_spark import rules
+    from pdf_extract_spark.operators.extract import _extract_batch
+
+    span_st = st.fixed_dictionaries({
+        "kind": st.sampled_from(["text", "media", "image", "x", ""]),
+        "text": st.text(alphabet=st.sampled_from(list("ab .?!*\t")), max_size=12),
+        "media_ref": st.sampled_from(["", "m:1"]),
+    })
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(st.lists(span_st, max_size=8), min_size=1, max_size=4))
+    def check(docs):
+        docs = [
+            [dict(s, offset=i) for i, s in enumerate(spans)] for spans in docs
+        ]
+        got = _extract_batch(pd.Series(docs)).tolist()
+        exp = [rules.extract_document(spans) for spans in docs]
+        assert got == exp, docs
+
+    check()

@@ -166,7 +166,12 @@ def test_extract_batch_matches_rules_for_arbitrary_kinds():
 
     span_st = st.fixed_dictionaries({
         "kind": st.sampled_from(["text", "media", "image", "x", ""]),
-        "text": st.text(alphabet=st.sampled_from(list("ab .?!*\t")), max_size=12),
+        # alphabet reaches every tag branch: digits + dots (H1/H2
+        # numbering), colon (H3), uppercase (ALLCAPS), terminals,
+        # bullets/stars/ws (cleanup chain)
+        "text": st.text(
+            alphabet=st.sampled_from(list("aB1. :?!*-\t")), max_size=14
+        ),
         "media_ref": st.sampled_from(["", "m:1"]),
     })
 

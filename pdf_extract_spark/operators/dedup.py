@@ -208,6 +208,31 @@ def _mh_i(sh_col, i: int):
     )
 
 
+def _mh_cols_sql() -> str:
+    """SELECT-list computing mh_0..mh_{N-1} from a hashed-shingle column
+    ``sh`` — shared by every minhash oracle so the 2-hash family lives in
+    ONE place."""
+    return ", ".join(
+        f"list_min(list_transform(sh, x -> "
+        f"(x % {MOD} + {i} * ((x * {MIX_A} + {MIX_B}) % {MOD})) % {MOD})) AS mh_{i}"
+        for i in range(N_HASHES)
+    )
+
+
+def _band_rows_sql(sig: str) -> str:
+    """UNION ALL expansion of a signature CTE into (doc_id, band_key)."""
+    rows_per_band = N_HASHES // N_BANDS
+    return " UNION ALL ".join(
+        "SELECT doc_id, concat_ws('_', '{b}', {parts}) AS band_key FROM {sig}".format(
+            b=b, sig=sig,
+            parts=", ".join(
+                f"mh_{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, mh_0..mh_{N-1}): minimum over the document's HASHED
     shingles of the 2-hash family — one md5 per token, everything else
@@ -239,6 +264,30 @@ def lsh_band_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", F.explode(F.array(*_band_keys_over(F.col("sh")))).alias("band_key")
     )
     return bands.groupBy("band_key").agg(F.count("*").alias("n_docs"))
+
+
+def _verify_jaccard(cand, left_hashed, right_hashed, id_a: str, id_b: str,
+                    threshold: float):
+    """Shared verify stage: join candidate id pairs back to each side's
+    hashed-shingle table and keep pairs at or above the exact-Jaccard
+    threshold. Both verify joins shuffle a shingle table by doc_id with
+    identical subplans, so Spark's exchange reuse computes the self-join
+    case once."""
+    ha = left_hashed.alias("ha")
+    hb = right_hashed.alias("hb")
+    return (
+        cand.join(ha, F.col(id_a) == F.col("ha.doc_id"))
+        .join(hb, F.col(id_b) == F.col("hb.doc_id"))
+        .select(
+            id_a, id_b,
+            F.round(
+                F.size(F.array_intersect("ha.sh", "hb.sh"))
+                / F.size(F.array_union("ha.sh", "hb.sh")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_lsh_pairs(
@@ -286,43 +335,16 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])  # same pair may share several bands
     )
-    ha = hashed.alias("ha")
-    hb = hashed.alias("hb")
-    return (
-        cand.join(ha, F.col("id_a") == F.col("ha.doc_id"))
-        .join(hb, F.col("id_b") == F.col("hb.doc_id"))
-        .select(
-            "id_a", "id_b",
-            F.round(
-                F.size(F.array_intersect("ha.sh", "hb.sh"))
-                / F.size(F.array_union("ha.sh", "hb.sh")),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard(cand, hashed, hashed, "id_a", "id_b", threshold)
 
 
 def minhash_lsh_pairs_sql(
     table: str = "documents", text_expr: str = "text", threshold: float = 0.5
 ) -> str:
-    rows_per_band = N_HASHES // N_BANDS
-    mh_cols = ", ".join(
-        f"list_min(list_transform(sh, x -> "
-        f"(x % {MOD} + {i} * ((x * {MIX_A} + {MIX_B}) % {MOD})) % {MOD})) AS mh_{i}"
-        for i in range(N_HASHES)
-    )
-    band_rows = " UNION ALL ".join(
-        "SELECT doc_id, concat_ws('_', '{b}', {parts}) AS band_key FROM sig".format(
-            b=b,
-            parts=", ".join(f"mh_{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)),
-        )
-        for b in range(N_BANDS)
-    )
     return f"""
 WITH {_shh_cte(table, text_expr)},
-sig AS (SELECT doc_id, {mh_cols} FROM shh),
-bands AS ({band_rows}),
+sig AS (SELECT doc_id, {_mh_cols_sql()} FROM shh),
+bands AS ({_band_rows_sql("sig")}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
 verified AS (
@@ -368,54 +390,20 @@ def minhash_lsh_pairs_between(
         .select(F.col("l.doc_id").alias("id_l"), F.col("r.doc_id").alias("id_r"))
         .dropDuplicates(["id_l", "id_r"])
     )
-    ha = lh.alias("ha")
-    hb = rh.alias("hb")
-    return (
-        cand.join(ha, F.col("id_l") == F.col("ha.doc_id"))
-        .join(hb, F.col("id_r") == F.col("hb.doc_id"))
-        .select(
-            "id_l", "id_r",
-            F.round(
-                F.size(F.array_intersect("ha.sh", "hb.sh"))
-                / F.size(F.array_union("ha.sh", "hb.sh")),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard(cand, lh, rh, "id_l", "id_r", threshold)
 
 
 def minhash_lsh_pairs_between_sql(
     left_table: str, right_table: str, text_expr: str = "text",
     threshold: float = 0.5,
 ) -> str:
-    rows_per_band = N_HASHES // N_BANDS
-
-    def mh_cols(src: str) -> str:
-        return ", ".join(
-            f"list_min(list_transform(sh, x -> "
-            f"(x % {MOD} + {i} * ((x * {MIX_A} + {MIX_B}) % {MOD})) % {MOD})) AS mh_{i}"
-            for i in range(N_HASHES)
-        )
-
-    def band_rows(sig: str) -> str:
-        return " UNION ALL ".join(
-            "SELECT doc_id, concat_ws('_', '{b}', {parts}) AS band_key FROM {sig}".format(
-                b=b, sig=sig,
-                parts=", ".join(
-                    f"mh_{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
-                ),
-            )
-            for b in range(N_BANDS)
-        )
-
     return f"""
 WITH {_shh_cte(left_table, text_expr, prefix="l")},
 {_shh_cte(right_table, text_expr, prefix="r")},
-lsig AS (SELECT doc_id, {mh_cols("lshh")} FROM lshh),
-rsig AS (SELECT doc_id, {mh_cols("rshh")} FROM rshh),
-lbands AS ({band_rows("lsig")}),
-rbands AS ({band_rows("rsig")}),
+lsig AS (SELECT doc_id, {_mh_cols_sql()} FROM lshh),
+rsig AS (SELECT doc_id, {_mh_cols_sql()} FROM rshh),
+lbands AS ({_band_rows_sql("lsig")}),
+rbands AS ({_band_rows_sql("rsig")}),
 cand AS (SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
          FROM lbands l JOIN rbands r ON l.band_key = r.band_key),
 verified AS (

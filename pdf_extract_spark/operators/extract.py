@@ -73,15 +73,20 @@ def _extract_batch(spans_series: pd.Series) -> pd.Series:
             df.loc[dirty, "text"].str.replace(rules.RE_WS, " ", regex=True).str.strip()
         )
     # the length gate applies to the RAW text (rules.boilerplate_keys:
-    # `len(t) <= MAX` before collapsing), not the collapsed form
+    # `len(t) <= MAX` before collapsing), not the collapsed form; keys
+    # are COUNTED over kind=='text' short spans only, but the DROP
+    # applies to EVERY non-media span whose collapsed text is a key
+    # (tag_fragments: `if collapse_ws(raw) in bp: continue`)
     short = df["text"].str.len() <= rules.BOILERPLATE_MAX_LEN
-    bp_counts = (
-        collapsed[is_text & short & (collapsed != "")]
-        .groupby([df["i"][is_text & short & (collapsed != "")], collapsed[is_text & short & (collapsed != "")]])
-        .transform("size")
-    )
-    bp_mask = pd.Series(False, index=df.index)
-    bp_mask.loc[bp_counts.index] = bp_counts >= rules.BOILERPLATE_MIN_REPEATS
+    counted_mask = is_text & short & (collapsed != "")
+    counted = collapsed[counted_mask]
+    sizes = counted.groupby([df["i"][counted_mask], counted]).size()
+    keys = sizes[sizes >= rules.BOILERPLATE_MIN_REPEATS].index  # (i, key) pairs
+    if len(keys):
+        all_pairs = pd.MultiIndex.from_arrays([df["i"], collapsed])
+        bp_mask = pd.Series(all_pairs.isin(keys), index=df.index)
+    else:
+        bp_mask = pd.Series(False, index=df.index)
 
     # --- cleanup: dot-leaders -> bullets -> '*' -> whitespace -----------
     cleaned = df["text"].str.strip()

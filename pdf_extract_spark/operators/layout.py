@@ -105,27 +105,43 @@ def layout_extract(df_parsed: DataFrame) -> DataFrame:
     )
 
 
-def pdf_to_spans(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Full byte path with the mandated scale mechanics: validate ->
-    salt + repartitionByRange -> quarantining parse -> layout/compose.
-    Corrupt-but-magic'd documents are dropped here; route them to a
-    failure table with :func:`pdf_parse_errors` when auditing matters
-    (F5 — the reference's error-class handling, main.py:1678-1727)."""
+def pdf_to_spans_full(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """The one-pass byte path with the mandated scale mechanics:
+    validate -> salt + repartitionByRange -> quarantining parse ->
+    layout/compose. Returns (doc_id, spans, parse_error): healthy docs
+    carry spans, corrupt-but-magic'd docs carry the error string and
+    NULL spans (F5 — the reference's error-class handling,
+    main.py:1678-1727). This is the surface to SINK at scale — one
+    table, one parse, error rows audit-visible; the filtered views below
+    each re-run the parse if executed separately, so persist this frame
+    (or write it once and filter the table) when you need both sides."""
     from pdf_extract_spark.pipeline import partition_for_extraction
 
     valid = validate_pdfs(df)
     parted = partition_for_extraction(valid, num_partitions)
     parsed = parse_pdfs(parted)
-    ok = parsed.filter(F.col("parse_error").isNull())
-    return layout_extract(ok).select("doc_id", "spans")
+    return layout_extract_with_errors(parsed)
+
+
+def layout_extract_with_errors(parsed: DataFrame) -> DataFrame:
+    return parsed.select(
+        "doc_id", layout_spans_udf(F.col("pages")).alias("spans"), "parse_error"
+    )
+
+
+def pdf_to_spans(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Healthy documents only: (doc_id, spans)."""
+    return (
+        pdf_to_spans_full(df, num_partitions)
+        .filter(F.col("parse_error").isNull())
+        .select("doc_id", "spans")
+    )
 
 
 def pdf_parse_errors(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """The quarantine surface: (doc_id, parse_error) for every document
-    that passed the magic check but failed the byte parse."""
-    from pdf_extract_spark.pipeline import partition_for_extraction
-
-    parted = partition_for_extraction(validate_pdfs(df), num_partitions)
-    return parse_pdfs(parted).filter(F.col("parse_error").isNotNull()).select(
-        "doc_id", "parse_error"
+    """The quarantine view: (doc_id, parse_error) rows only."""
+    return (
+        pdf_to_spans_full(df, num_partitions)
+        .filter(F.col("parse_error").isNotNull())
+        .select("doc_id", "parse_error")
     )

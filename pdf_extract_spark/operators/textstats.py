@@ -39,6 +39,21 @@ def tokens_sql(expr: str) -> str:
     return f"regexp_split_to_array(lower(trim({expr})), '\\s+')"
 
 
+def stop_ratio(toks: Column) -> Column:
+    """Stopword fraction of a token array, rounded to 6 dp — the shared
+    form used by quality_score and quality_filter (one definition, one
+    rounding)."""
+    return F.round(F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / F.size(toks), 6)
+
+
+def stop_ratio_sql(toks: str) -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return (
+        f"round(len(list_filter({toks}, x -> x IN ({stop_list}))) * 1.0 "
+        f"/ len({toks}), 6)"
+    )
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + a BPE-ish subword proxy count
     (runs of letters / digits / single punctuation, C18 analog)."""
@@ -77,7 +92,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n_chars.cast("long").alias("n_chars_m"),
         n_tok.cast("long").alias("n_tokens"),
-        F.round(stop_hits / n_tok, 6).alias("stopword_ratio"),
+        stop_ratio(toks).alias("stopword_ratio"),
         n_punct.cast("long").alias("n_punct"),
         score.alias("quality"),
     )
@@ -90,7 +105,7 @@ def quality_score_sql(table: str = "documents", text_expr: str = "text") -> str:
 SELECT doc_id,
        length({text_expr}) AS n_chars_m,
        len({toks}) AS n_tokens,
-       round(len(list_filter({toks}, x -> x IN ({stop_list}))) * 1.0 / len({toks}), 6) AS stopword_ratio,
+       {stop_ratio_sql(toks)} AS stopword_ratio,
        len(regexp_extract_all({text_expr}, '[.!?,;:]')) AS n_punct,
        round(least(len({toks}) / 100.0, 1.0) * 0.4
              + (len(list_filter({toks}, x -> x IN ({stop_list}))) * 1.0 / len({toks})) * 0.4
@@ -194,12 +209,12 @@ def stratified_sample(
     threshold = None
     for stratum, rate in rates.items():
         cond = (F.col(stratum_col) == stratum)
-        t = F.lit(int(rate * SAMPLE_MOD))
+        t = F.lit(round(rate * SAMPLE_MOD))
         threshold = F.when(cond, t) if threshold is None else threshold.when(cond, t)
     threshold = (
-        threshold.otherwise(F.lit(int(default_rate * SAMPLE_MOD)))
+        threshold.otherwise(F.lit(round(default_rate * SAMPLE_MOD)))
         if threshold is not None
-        else F.lit(int(default_rate * SAMPLE_MOD))
+        else F.lit(round(default_rate * SAMPLE_MOD))
     )
     return df.filter(h < threshold)
 
@@ -213,10 +228,10 @@ def stratified_sample_sql(
     key_expr = "'" + salt + ":' || " + key_col + "::VARCHAR"
     h = f"({phash_sql(key_expr)} % {SAMPLE_MOD})"
     whens = " ".join(
-        f"WHEN '{stratum}' THEN {int(rate * SAMPLE_MOD)}"
+        f"WHEN '{stratum}' THEN {round(rate * SAMPLE_MOD)}"
         for stratum, rate in rates.items()
     )
-    thr = f"CASE {stratum_col} {whens} ELSE {int(default_rate * SAMPLE_MOD)} END"
+    thr = f"CASE {stratum_col} {whens} ELSE {round(default_rate * SAMPLE_MOD)} END"
     return f"SELECT * FROM {table} WHERE {h} < {thr}"
 
 
@@ -233,17 +248,15 @@ def quality_filter(
     t = F.col(text_col)
     toks = tokens(t)
     n_tok = F.size(toks).cast("long")
-    stop_ratio = F.round(
-        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / F.size(toks), 6
-    )
+    ratio = stop_ratio(toks)
     keep = (
         (n_tok >= min_tokens) & (n_tok <= max_tokens)
-        & (stop_ratio >= min_stopword_ratio)
+        & (ratio >= min_stopword_ratio)
     )
     return df.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        stop_ratio.alias("stopword_ratio"),
+        ratio.alias("stopword_ratio"),
         keep.alias("keep"),
     )
 
@@ -254,8 +267,7 @@ def quality_filter_sql(
     min_stopword_ratio: float = 0.0,
 ) -> str:
     toks = tokens_sql(text_expr)
-    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    ratio = f"round(len(list_filter({toks}, x -> x IN ({stop_list}))) * 1.0 / len({toks}), 6)"
+    ratio = stop_ratio_sql(toks)
     return f"""
 SELECT doc_id,
        len({toks})::BIGINT AS n_tokens,

@@ -463,7 +463,22 @@ def _emit_text(lines, text, x, y_pdf, size, font_name, color, page_h) -> None:
 
 
 def parse_pdf(data: bytes) -> list[dict]:
-    """bytes -> [PARSED_PAGE dict] (page, page_w, page_h, lines)."""
+    """bytes -> [PARSED_PAGE dict] (page, page_w, page_h, lines).
+
+    Contract: ANY corrupt input raises :class:`PdfError` — internal
+    failures from mangled bytes (int() on a damaged xref token, a
+    missing dict key, zlib.error from a broken FlateDecode stream, ...)
+    are wrapped, so callers quarantining corrupt documents need exactly
+    one except clause and a task can never die on a byte flip."""
+    try:
+        return _parse_pdf_unwrapped(data)
+    except PdfError:
+        raise
+    except Exception as e:  # corrupt bytes surface as arbitrary types
+        raise PdfError(f"corrupt pdf: {type(e).__name__}: {e}") from e
+
+
+def _parse_pdf_unwrapped(data: bytes) -> list[dict]:
     doc = PdfDocument(data)
     root = doc.resolve(doc.trailer["Root"])
     pages_node = doc.resolve(root["Pages"])

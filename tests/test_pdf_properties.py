@@ -45,3 +45,24 @@ def test_octal_escape():
     lex = pdfparse._Lexer(rb"(a\101b\12)")
     tok = lex.next_token()
     assert pdfparse._unescape(tok[1:-1]) == "aAb\n"
+
+
+@given(
+    st.integers(min_value=0, max_value=9),
+    st.lists(st.tuples(st.integers(min_value=9, max_value=4000),
+                       st.integers(min_value=0, max_value=255)),
+             min_size=1, max_size=4),
+)
+@settings(max_examples=150, deadline=None)
+def test_byte_flips_never_escape_pdferror(doc_index, flips):
+    """parse_pdf's contract: ANY corrupt input raises PdfError — byte
+    flips in a valid PDF must never surface ValueError/KeyError/
+    zlib.error etc. (those would fail a Spark task through the
+    quarantining UDF's single except clause)."""
+    data = bytearray(pdfgen.build_pdf(doc_index, seed=21))
+    for pos, val in flips:
+        data[pos % len(data)] = val
+    try:
+        pdfparse.parse_pdf(bytes(data))
+    except pdfparse.PdfError:
+        pass  # quarantined — the only acceptable failure type

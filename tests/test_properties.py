@@ -186,3 +186,40 @@ def test_extract_batch_matches_rules_for_arbitrary_kinds():
         assert got == exp, docs
 
     check()
+
+
+def test_boilerplate_drop_covers_uncounted_spans():
+    """rules.tag_fragments drops ANY non-media span whose collapsed text
+    is a boilerplate key — including spans that did NOT count toward the
+    keys (unknown kind, or raw length over the cap). Kernel must agree."""
+    import pandas as pd
+
+    from pdf_extract_spark import rules
+    from pdf_extract_spark.operators.extract import _extract_batch
+
+    hdr = "hdr line"
+    docs = [
+        # three counted text repeats + an 'image'-kind span with the same
+        # text: the image span is dropped by the bp key too
+        [
+            {"kind": "text", "text": hdr, "media_ref": "", "offset": 0},
+            {"kind": "text", "text": hdr, "media_ref": "", "offset": 1},
+            {"kind": "text", "text": hdr, "media_ref": "", "offset": 2},
+            {"kind": "image", "text": hdr, "media_ref": "", "offset": 3},
+            {"kind": "text", "text": "Real sentence.", "media_ref": "", "offset": 4},
+        ],
+        # an over-cap raw span (100 tabs) collapsing to the key is
+        # dropped even though it never counted
+        [
+            {"kind": "text", "text": hdr, "media_ref": "", "offset": 0},
+            {"kind": "text", "text": hdr, "media_ref": "", "offset": 1},
+            {"kind": "text", "text": hdr, "media_ref": "", "offset": 2},
+            {"kind": "text", "text": hdr + "\t" * 100, "media_ref": "", "offset": 3},
+            {"kind": "text", "text": "Kept sentence.", "media_ref": "", "offset": 4},
+        ],
+    ]
+    got = _extract_batch(pd.Series(docs)).tolist()
+    exp = [rules.extract_document(spans) for spans in docs]
+    assert got == exp
+    assert [s["text"] for s in got[0]] == ["Real sentence."]
+    assert [s["text"] for s in got[1]] == ["Kept sentence."]

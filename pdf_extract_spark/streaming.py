@@ -248,3 +248,40 @@ def windowed_doc_metrics(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# idempotent foreachBatch lake sink
+# --------------------------------------------------------------------------
+
+def incremental_extraction_to_lake(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming extraction with an IDEMPOTENT batch sink: each
+    micro-batch extracts and lands under its ``batch_id`` partition via
+    dynamic partition overwrite, so a replayed batch (crash between the
+    write and the checkpoint commit — the one window where plain appends
+    double-write) overwrites its OWN partition instead of duplicating
+    rows. This is the foreachBatch exactly-once pattern; on Iceberg the
+    same hook would MERGE INTO keyed on doc_id.
+    """
+    docs = spark.readStream.schema(DOCUMENTS).parquet(input_dir)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_documents(batch_df).withColumn("batch_id", F.lit(int(batch_id)))
+        (
+            out.write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(output_dir)
+        )
+
+    return (
+        docs.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

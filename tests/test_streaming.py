@@ -201,3 +201,47 @@ def test_quarantined_doc_ignores_redelivered_chunks(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["status"] == "malformed"
     assert "inconsistent" in json.loads(rows[0]["spans_json"])["error"]
+
+
+def test_foreach_batch_lake_sink_idempotent(spark, tmp_path):
+    """Two availableNow passes land each doc exactly once; a simulated
+    batch REPLAY (same batch_id re-committed) does not duplicate rows —
+    the dynamic overwrite replaces that batch's own partition."""
+    from pdf_extract_spark.streaming import incremental_extraction_to_lake
+
+    inp, outp, ckpt = str(tmp_path / "in"), str(tmp_path / "lake"), str(tmp_path / "ck")
+    w1 = generator.make_corpus(10, seed=61)
+    spark.createDataFrame(w1, schema=DOCUMENTS).write.mode("append").parquet(inp)
+    incremental_extraction_to_lake(spark, inp, outp, ckpt).awaitTermination(180)
+
+    w2 = [generator.make_document(i, seed=61) for i in range(10, 16)]
+    spark.createDataFrame(w2, schema=DOCUMENTS).write.mode("append").parquet(inp)
+    incremental_extraction_to_lake(spark, inp, outp, ckpt).awaitTermination(180)
+
+    lake = spark.read.parquet(outp)
+    assert lake.count() == 16
+    assert lake.select("doc_id").distinct().count() == 16
+
+    # simulate the crash-replay window: re-commit wave 2 under ITS batch id
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.operators.extract import extract_documents
+
+    batch_ids = [r["batch_id"] for r in lake.select("batch_id").distinct().collect()]
+    replay_id = max(batch_ids)
+    replay = extract_documents(
+        spark.createDataFrame(w2, schema=DOCUMENTS)
+    ).withColumn("batch_id", F.lit(int(replay_id)))
+    (
+        replay.write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(outp)
+    )
+    after = spark.read.parquet(outp)
+    assert after.count() == 16  # no duplicates from the replay
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in after.collect()
+    }
+    assert got == oracle.expected_corpus(w1 + w2)

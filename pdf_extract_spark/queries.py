@@ -22,7 +22,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from pdf_extract_spark.operators import dedup, similarity, textstats
+from pdf_extract_spark.operators import dedup, packing, similarity, textstats
 from pdf_extract_spark.operators.extract import extract_spans
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -914,6 +914,16 @@ def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     reasons, not just the survivors)."""
     d = _t(spark, sf_dir, "documents")
     return textstats.quality_filter(d, min_tokens=25, min_stopword_ratio=0.01)
+
+
+@query("pack_documents", packing.pack_documents_sql())
+def pack_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — greedy token-budget bin packing of documents
+    into training packs, deterministic (hash bucket + doc_id order) so
+    re-runs assemble identical packs; per-bucket Arrow kernel, one
+    shuffle; oracle is the exact greedy recurrence as a DuckDB recursive
+    CTE."""
+    return packing.pack_documents(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 @query("dedup_simhash", dedup.simhash_sql())

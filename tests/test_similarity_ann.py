@@ -263,3 +263,26 @@ def test_cross_corpus_pairs_sides_disjoint(spark):
     rows = D.minhash_lsh_pairs_between(left, right).collect()
     for r in rows:
         assert r["id_l"] % 2 == 0 and r["id_r"] % 2 == 1
+
+
+def test_pack_documents_greedy_semantics(spark):
+    """Budget overflow starts a new pack; an oversized doc packs alone;
+    packs never exceed the budget unless a single doc does."""
+    import pyspark.sql.functions as F
+
+    from pdf_extract_spark.operators.packing import pack_documents
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([10, 10, 10, 50, 90, 5])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_documents(df, budget=30, n_buckets=1).orderBy("doc_id").collect()
+    packs = {}
+    for r in out:
+        packs.setdefault(r["pack_id"], []).append((r["doc_id"], r["n_tokens"]))
+    for pid, members in packs.items():
+        total = sum(t for _, t in members)
+        assert total <= 30 or len(members) == 1  # only oversize singletons exceed
+    # doc 4 (90 tokens > budget) is alone in its pack
+    alone = [pid for pid, m in packs.items() if any(d == 4 for d, _ in m)]
+    assert len(packs[alone[0]]) == 1
+    # every doc packed exactly once
+    assert sorted(d for m in packs.values() for d, _ in m) == [0, 1, 2, 3, 4, 5]

@@ -27,13 +27,6 @@ from pdf_extract_spark import rules
 from pdf_extract_spark.schemas import PARSED_DOC, SPANS
 
 
-@pandas_udf(PARSED_DOC)
-def parse_pdf_udf(content: pd.Series) -> pd.Series:
-    from pdf_extract_spark.sources.pdfparse import parse_pdf
-
-    return content.map(lambda b: parse_pdf(bytes(b)) if b is not None else None)
-
-
 PARSED_WITH_ERROR = T.StructType(
     [
         T.StructField("pages", PARSED_DOC, True),
@@ -129,19 +122,26 @@ def layout_extract_with_errors(parsed: DataFrame) -> DataFrame:
     )
 
 
+def healthy_spans(full: DataFrame) -> DataFrame:
+    """Filter a pdf_to_spans_full frame to (doc_id, spans) rows. When you
+    consume BOTH views, build the full frame once (persist or write it)
+    and filter that — deriving each view from raw bytes re-runs the
+    parse."""
+    return full.filter(F.col("parse_error").isNull()).select("doc_id", "spans")
+
+
+def parse_error_rows(full: DataFrame) -> DataFrame:
+    """Filter a pdf_to_spans_full frame to (doc_id, parse_error) rows."""
+    return full.filter(F.col("parse_error").isNotNull()).select("doc_id", "parse_error")
+
+
 def pdf_to_spans(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Healthy documents only: (doc_id, spans)."""
-    return (
-        pdf_to_spans_full(df, num_partitions)
-        .filter(F.col("parse_error").isNull())
-        .select("doc_id", "spans")
-    )
+    """Healthy documents only: (doc_id, spans). Convenience over raw
+    bytes; see healthy_spans/parse_error_rows to split one parsed frame."""
+    return healthy_spans(pdf_to_spans_full(df, num_partitions))
 
 
 def pdf_parse_errors(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """The quarantine view: (doc_id, parse_error) rows only."""
-    return (
-        pdf_to_spans_full(df, num_partitions)
-        .filter(F.col("parse_error").isNotNull())
-        .select("doc_id", "parse_error")
-    )
+    """The quarantine view over raw bytes; see parse_error_rows to avoid
+    a second parse when the full frame already exists."""
+    return parse_error_rows(pdf_to_spans_full(df, num_partitions))

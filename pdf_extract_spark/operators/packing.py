@@ -14,12 +14,10 @@ resume requires.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from pdf_extract_spark.operators.hashing import phash_sql
+from pdf_extract_spark.operators.hashing import phash, phash_sql
 from pdf_extract_spark.operators.textstats import tokens, tokens_sql
 
 PACKED = T.StructType(
@@ -47,27 +45,27 @@ def pack_documents(
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.sort_values("doc_id")
-            packs, cum, pack = [], 0, -1
-            for tok in pdf["n_tokens"]:
-                if pack < 0 or cum + tok > budget:
-                    pack += 1
-                    cum = 0
-                cum += tok
-                packs.append(pack)
-            pdf = pdf.assign(pack_id=pd.Series(packs, index=pdf.index, dtype="int64"))
-            yield pdf[["doc_id", "bucket", "pack_id", "n_tokens"]]
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # stable sort on the FULL key: duplicate doc_ids (a re-ingested
+        # doc) must walk in the same order as the oracle's
+        # ORDER BY doc_id, n_tokens or pack assignment diverges
+        pdf = pdf.sort_values(["doc_id", "n_tokens"], kind="mergesort")
+        packs, cum, pack = [], 0, -1
+        for tok in pdf["n_tokens"]:
+            if pack < 0 or cum + tok > budget:
+                pack += 1
+                cum = 0
+            cum += tok
+            packs.append(pack)
+        pdf = pdf.assign(pack_id=pd.Series(packs, index=pdf.index, dtype="int64"))
+        return pdf[["doc_id", "bucket", "pack_id", "n_tokens"]]
 
-    return (
-        base.repartition("bucket")
-        .groupBy("bucket")
-        .applyInPandas(lambda _key, pdf: next(kernel(iter([pdf]))), schema=PACKED)
+    # groupBy().applyInPandas requires a hash distribution on bucket and
+    # plans exactly one Exchange for it — no explicit repartition needed
+    return base.groupBy("bucket").applyInPandas(
+        lambda _key, pdf: kernel(pdf), schema=PACKED
     )
 
-
-from pdf_extract_spark.operators.hashing import phash  # noqa: E402
 
 
 def pack_documents_sql(
@@ -84,7 +82,7 @@ WITH RECURSIVE base AS (
          len({tokens_sql(text_expr)})::BIGINT AS n_tokens
   FROM {table}),
 numbered AS (
-  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id, n_tokens) AS rn
   FROM base),
 walk(bucket, rn, doc_id, n_tokens, cum, pack_id) AS (
     SELECT bucket, rn, doc_id, n_tokens, n_tokens, 0::BIGINT

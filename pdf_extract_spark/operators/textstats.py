@@ -225,10 +225,13 @@ def stratified_sample_sql(
 ) -> str:
     from pdf_extract_spark.operators.hashing import phash_sql
 
-    key_expr = "'" + salt + ":' || " + key_col + "::VARCHAR"
+    def q(lit: str) -> str:  # SQL string literal, quotes doubled
+        return "'" + lit.replace("'", "''") + "'"
+
+    key_expr = q(salt + ":") + " || " + key_col + "::VARCHAR"
     h = f"({phash_sql(key_expr)} % {SAMPLE_MOD})"
     whens = " ".join(
-        f"WHEN '{stratum}' THEN {round(rate * SAMPLE_MOD)}"
+        f"WHEN {q(stratum)} THEN {round(rate * SAMPLE_MOD)}"
         for stratum, rate in rates.items()
     )
     thr = f"CASE {stratum_col} {whens} ELSE {round(default_rate * SAMPLE_MOD)} END"

@@ -103,9 +103,16 @@ def test_corrupt_pdf_quarantined_not_fatal(spark):
     ]
     df = spark.createDataFrame(rows, schema="doc_id string, content binary")
 
-    spans = {r["doc_id"] for r in L.pdf_to_spans(df).collect()}
-    assert spans == {"ok"}
-
-    errs = {r["doc_id"]: r["parse_error"] for r in L.pdf_parse_errors(df).collect()}
-    assert set(errs) == {"truncated", "garbage"}
-    assert all(e for e in errs.values())
+    # the at-scale pattern: ONE parse, both views filtered from it
+    full = L.pdf_to_spans_full(df).persist()
+    try:
+        spans = {r["doc_id"] for r in L.healthy_spans(full).collect()}
+        assert spans == {"ok"}
+        errs = {r["doc_id"]: r["parse_error"] for r in L.parse_error_rows(full).collect()}
+        assert set(errs) == {"truncated", "garbage"}
+        assert all(e for e in errs.values())
+    finally:
+        full.unpersist()
+    # convenience views over raw bytes agree
+    assert {r["doc_id"] for r in L.pdf_to_spans(df).collect()} == {"ok"}
+    assert {r["doc_id"] for r in L.pdf_parse_errors(df).collect()} == {"truncated", "garbage"}

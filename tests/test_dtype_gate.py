@@ -1,0 +1,42 @@
+"""Strict mirror of the driver's correctness gate: every oracle query
+compared to DuckDB on VALUES AND DTYPES through pandas frames (the
+sibling test_entry canon compares values only). A dtype drift — int32
+where the oracle yields int64, object vs bool — fails here before the
+driver sees it."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from pdf_extract_spark.queries import ORACLES, QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_dtype_and_value_exact(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    odf = ddb.execute(ORACLES[name]).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns), f"{name}: column names differ"
+    sdf = sdf[cols].sort_values(cols).reset_index(drop=True)
+    odf = odf[cols].sort_values(cols).reset_index(drop=True)
+    sdt = {c: str(sdf[c].dtype) for c in cols}
+    odt = {c: str(odf[c].dtype) for c in cols}
+    assert sdt == odt, f"{name}: dtype mismatch {sdt} vs {odt}"
+    assert sdf.equals(odf), f"{name}: value mismatch"

@@ -389,3 +389,25 @@ def export_full_outer(kr_df, pairs_df, en_df):
     return kr_side.join(en, ["doc_id", "en_idx"], "full_outer").select(
         "doc_id", "kr_idx", "kr_text", "en_idx", "en_text", "similarity", "type"
     )
+
+
+def export_en_anchored(kr_df, pairs_df, en_df):
+    """J3, the en-side mirror (create_csv.py:124-199,
+    create_merged_csv_en): every en fragment + matched kr info — the
+    reference builds an en_original_idx -> kr map and walks the en list;
+    distributed form is the same left join anchored on the en side."""
+    from pyspark.sql import functions as F
+
+    p = pairs_df.select("doc_id", "kr_idx", "en_idx", "similarity", "type")
+    kr = kr_df.select(
+        "doc_id", F.col("idx").alias("kr_idx"), F.col("text").alias("kr_text"),
+        F.col("source_type").alias("kr_source_type"),
+    )
+    return (
+        en_df.select("doc_id", F.col("idx").alias("en_idx"),
+                     F.col("text").alias("en_text"))
+        .join(p, ["doc_id", "en_idx"], "left")
+        .join(kr, ["doc_id", "kr_idx"], "left")
+        .select("doc_id", "en_idx", "en_text",
+                "kr_idx", "kr_text", "kr_source_type", "similarity", "type")
+    )

@@ -127,3 +127,24 @@ def test_exports(spark):
     # full outer: all kr rows + all en rows appear at least once
     assert {r["kr_idx"] for r in fo if r["kr_idx"] is not None} == {f["idx"] for f in kr}
     assert {r["en_idx"] for r in fo if r["en_idx"] is not None} == {f["idx"] for f in en}
+
+
+def test_export_en_anchored_mirrors_kr(spark):
+    """J3 en-side export (create_csv.py:124-199): one row per en
+    fragment; matched rows carry kr info; consistency with the kr-
+    anchored and full-outer exports."""
+    kr, en = generator.make_alignment_doc(0, seed=SEED)
+    kr_df = spark.createDataFrame(kr, schema=FRAGMENTS_LANG)
+    en_df = spark.createDataFrame(en, schema=FRAGMENTS_LANG)
+    pairs = align.align_pairs(kr_df, en_df)
+    en_anch = align.export_en_anchored(kr_df, pairs, en_df)
+
+    assert en_anch.count() == en_df.count()  # every en fragment exactly once
+    matched = en_anch.filter("kr_idx IS NOT NULL")
+    # matched rows agree with the pair list
+    got_pairs = {(r["doc_id"], r["kr_idx"], r["en_idx"]) for r in matched.collect()}
+    exp_pairs = {(r["doc_id"], r["kr_idx"], r["en_idx"]) for r in pairs.collect()}
+    assert got_pairs == exp_pairs
+    # the en-anchored view equals the full outer restricted to en rows
+    fo = align.export_full_outer(kr_df, pairs, en_df).filter("en_idx IS NOT NULL")
+    assert fo.count() == en_anch.count()

@@ -335,3 +335,63 @@ def pair_metadata(df: DataFrame, kr_col: str = "kr_text", en_col: str = "en_text
         return pd.DataFrame([compare_pair(k, e) for k, e in zip(kr, en)])
 
     return df.withColumn("meta", kernel(F.col(kr_col), F.col(en_col)))
+
+
+# --------------------------------------------------------------------------
+# pair statistics (add_metadata.py:154-191) — pure Catalyst
+# --------------------------------------------------------------------------
+
+def pair_stats(df: DataFrame, kr_col: str = "kr_text", en_col: str = "en_text",
+               match_col: str = "match_type") -> DataFrame:
+    """The reference's merged-CSV statistics columns
+    (add_metadata.py:154-191): per-pair word counts, en/kr word and
+    char-length ratios (2 dp, 0 when the kr side is empty), and the
+    ``potential_split`` flag marking matched pairs where the kr side is
+    long but the en side short — 1:N alignment candidates
+    (matched AND kr_words > 4 AND en_words > 0 AND word_ratio < 0.7 AND
+    chr_ratio < 1.2). Rounding is engine-portable HALF_UP (Spark/DuckDB)
+    rather than Python's banker's rounding — a documented re-expression
+    divergence at exact .xx5 midpoints."""
+    def wc(col):
+        t = F.trim(F.col(col))
+        return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+    wk, we = wc(kr_col), wc(en_col)
+    ck = F.length(F.col(kr_col)).cast("long")
+    ce = F.length(F.col(en_col)).cast("long")
+    wr = F.when(wk > 0, F.round(we / wk, 2)).otherwise(F.lit(0.0))
+    cr = F.when(ck > 0, F.round(ce / ck, 2)).otherwise(F.lit(0.0))
+    split_flag = (
+        (F.col(match_col) != "unmatched") & (wk > 4) & (we > 0)
+        & (wr < 0.7) & (cr < 1.2)
+    )
+    return df.select(
+        "*",
+        wk.alias("word_count_kr"), we.alias("word_count_en"),
+        wr.alias("word_ratio"),
+        ck.alias("chr_len_kr"), ce.alias("chr_len_en"),
+        cr.alias("chr_len_ratio"),
+        split_flag.alias("potential_split"),
+    )
+
+
+def pair_stats_sql(pairs_cte: str) -> str:
+    """DuckDB mirror over a CTE named ``prs`` with columns
+    (kr_text, en_text, match_type, ...)."""
+    wc = ("CASE WHEN trim({c}) = '' THEN 0 "
+          "ELSE len(regexp_split_to_array(trim({c}), '\\s+')) END")
+    wk, we = wc.format(c="kr_text"), wc.format(c="en_text")
+    wr = f"CASE WHEN {wk} > 0 THEN round(({we}) * 1.0 / ({wk}), 2) ELSE 0.0 END"
+    cr = ("CASE WHEN length(kr_text) > 0 "
+          "THEN round(length(en_text) * 1.0 / length(kr_text), 2) ELSE 0.0 END")
+    return f"""
+WITH {pairs_cte}
+SELECT *,
+       ({wk})::BIGINT AS word_count_kr, ({we})::BIGINT AS word_count_en,
+       {wr} AS word_ratio,
+       length(kr_text)::BIGINT AS chr_len_kr, length(en_text)::BIGINT AS chr_len_en,
+       {cr} AS chr_len_ratio,
+       (match_type != 'unmatched' AND {wk} > 4 AND {we} > 0
+        AND {wr} < 0.7 AND {cr} < 1.2) AS potential_split
+FROM prs
+"""

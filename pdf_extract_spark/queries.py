@@ -22,7 +22,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from pdf_extract_spark.operators import dedup, packing, similarity, textstats
+from pdf_extract_spark.operators import dedup, metacompare as MC, packing, similarity, textstats
 from pdf_extract_spark.operators.extract import extract_spans
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1136,6 +1136,36 @@ def punct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("", arr).alias("punct_str"),
         F.when(F.trim(F.col("text")).rlike(r"\.$"), 1).otherwise(0).cast("long").alias("ends_dot"),
     )
+
+
+_PAIR_STATS_CTE = """prs AS (
+  SELECT d.doc_id,
+         d.text AS kr_text,
+         substring(e.text, 1, 40) AS en_text,
+         CASE d.doc_id % 3 WHEN 0 THEN 'aligned'
+                           WHEN 1 THEN 'unmatched' ELSE 'partial' END AS match_type
+  FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1)"""
+
+
+@query("pair_stats", MC.pair_stats_sql(_PAIR_STATS_CTE))
+def pair_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_metadata.py:154-191 — the merged-CSV statistics columns
+    (word/char counts, en/kr ratios, potential_split 1:N flag) over a
+    deterministic pair table derived from documents (en side truncated
+    so the short-en split condition actually fires)."""
+    d = _t(spark, sf_dir, "documents")
+    e = d.select(F.col("doc_id").alias("e_id"), F.substring("text", 1, 40).alias("en_text"))
+    prs = (
+        d.select("doc_id", F.col("text").alias("kr_text"))
+        .join(e, F.col("e_id") == F.col("doc_id") + 1)
+        .select(
+            "doc_id", "kr_text", "en_text",
+            F.when(F.col("doc_id") % 3 == 0, "aligned")
+            .when(F.col("doc_id") % 3 == 1, "unmatched")
+            .otherwise("partial").alias("match_type"),
+        )
+    )
+    return MC.pair_stats(prs)
 
 
 @query("pair_metadata")

@@ -405,9 +405,10 @@ def export_en_anchored(kr_df, pairs_df, en_df):
     )
     return (
         en_df.select("doc_id", F.col("idx").alias("en_idx"),
-                     F.col("text").alias("en_text"))
+                     F.col("text").alias("en_text"),
+                     F.col("source_type").alias("en_source_type"))
         .join(p, ["doc_id", "en_idx"], "left")
         .join(kr, ["doc_id", "kr_idx"], "left")
-        .select("doc_id", "en_idx", "en_text",
+        .select("doc_id", "en_idx", "en_text", "en_source_type",
                 "kr_idx", "kr_text", "kr_source_type", "similarity", "type")
     )

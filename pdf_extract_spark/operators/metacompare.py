@@ -349,21 +349,30 @@ def pair_stats(df: DataFrame, kr_col: str = "kr_text", en_col: str = "en_text",
     ``potential_split`` flag marking matched pairs where the kr side is
     long but the en side short — 1:N alignment candidates
     (matched AND kr_words > 4 AND en_words > 0 AND word_ratio < 0.7 AND
-    chr_ratio < 1.2). Rounding is engine-portable HALF_UP (Spark/DuckDB)
-    rather than Python's banker's rounding — a documented re-expression
-    divergence at exact .xx5 midpoints."""
+    chr_ratio < 1.2).
+
+    Reference-faithful edge handling: word counts are Python
+    ``str.split()`` semantics (ALL whitespace trimmed at the edges, so a
+    trailing newline never inflates the count and whitespace-only text
+    counts 0); NULL text behaves like the reference's fillna('') (counts
+    0, ratios 0.0) and a NULL match_type — like pandas NaN != 'unmatched'
+    — passes the matched test, so potential_split is never NULL. The one
+    documented divergence: rounding is engine-portable HALF_UP
+    (Spark/DuckDB) rather than Python's banker's rounding at exact .xx5
+    midpoints."""
     def wc(col):
-        t = F.trim(F.col(col))
+        # full-whitespace trim (F.trim strips 0x20 only), NULL -> ''
+        t = F.regexp_replace(F.coalesce(F.col(col), F.lit("")), r"^\s+|\s+$", "")
         return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
 
     wk, we = wc(kr_col), wc(en_col)
-    ck = F.length(F.col(kr_col)).cast("long")
-    ce = F.length(F.col(en_col)).cast("long")
+    ck = F.length(F.coalesce(F.col(kr_col), F.lit(""))).cast("long")
+    ce = F.length(F.coalesce(F.col(en_col), F.lit(""))).cast("long")
     wr = F.when(wk > 0, F.round(we / wk, 2)).otherwise(F.lit(0.0))
     cr = F.when(ck > 0, F.round(ce / ck, 2)).otherwise(F.lit(0.0))
     split_flag = (
-        (F.col(match_col) != "unmatched") & (wk > 4) & (we > 0)
-        & (wr < 0.7) & (cr < 1.2)
+        F.coalesce(F.col(match_col) != "unmatched", F.lit(True))
+        & (wk > 4) & (we > 0) & (wr < 0.7) & (cr < 1.2)
     )
     return df.select(
         "*",
@@ -378,20 +387,23 @@ def pair_stats(df: DataFrame, kr_col: str = "kr_text", en_col: str = "en_text",
 def pair_stats_sql(pairs_cte: str) -> str:
     """DuckDB mirror over a CTE named ``prs`` with columns
     (kr_text, en_text, match_type, ...)."""
-    wc = ("CASE WHEN trim({c}) = '' THEN 0 "
-          "ELSE len(regexp_split_to_array(trim({c}), '\\s+')) END")
+    ft = ("regexp_replace(coalesce({c}, ''), '^\\s+|\\s+$', '', 'g')")
+    wc = ("CASE WHEN " + ft + " = '' THEN 0 "
+          "ELSE len(regexp_split_to_array(" + ft + ", '\\s+')) END")
     wk, we = wc.format(c="kr_text"), wc.format(c="en_text")
     wr = f"CASE WHEN {wk} > 0 THEN round(({we}) * 1.0 / ({wk}), 2) ELSE 0.0 END"
-    cr = ("CASE WHEN length(kr_text) > 0 "
-          "THEN round(length(en_text) * 1.0 / length(kr_text), 2) ELSE 0.0 END")
+    cr = ("CASE WHEN length(coalesce(kr_text, '')) > 0 "
+          "THEN round(length(coalesce(en_text, '')) * 1.0 "
+          "/ length(coalesce(kr_text, '')), 2) ELSE 0.0 END")
     return f"""
 WITH {pairs_cte}
 SELECT *,
        ({wk})::BIGINT AS word_count_kr, ({we})::BIGINT AS word_count_en,
        {wr} AS word_ratio,
-       length(kr_text)::BIGINT AS chr_len_kr, length(en_text)::BIGINT AS chr_len_en,
+       length(coalesce(kr_text, ''))::BIGINT AS chr_len_kr,
+       length(coalesce(en_text, ''))::BIGINT AS chr_len_en,
        {cr} AS chr_len_ratio,
-       (match_type != 'unmatched' AND {wk} > 4 AND {we} > 0
+       (coalesce(match_type != 'unmatched', TRUE) AND {wk} > 4 AND {we} > 0
         AND {wr} < 0.7 AND {cr} < 1.2) AS potential_split
 FROM prs
 """

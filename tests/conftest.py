@@ -16,3 +16,23 @@ def spark():
     s = build_spark(app_name="pdf_extract_spark_tests", shuffle_partitions=8)
     yield s
     s.stop()
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    """DuckDB connection with the driver's table views registered — the
+    single definition both oracle gates (test_entry, test_dtype_gate)
+    share, so the view list cannot drift between them."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()

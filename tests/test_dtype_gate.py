@@ -6,26 +6,10 @@ driver sees it."""
 
 from __future__ import annotations
 
-import os
-
-import duckdb
 import pytest
 
-import __spark_entry__ as entry_mod
 from pdf_extract_spark.queries import ORACLES, QUERIES
-
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
-
-
-@pytest.fixture(scope="module")
-def ddb():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    return con
+from tests.conftest import SF_DIR
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

@@ -7,23 +7,10 @@ from __future__ import annotations
 import math
 import os
 
-import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
-
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
-
-
-@pytest.fixture(scope="module")
-def ddb():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    return con
+from tests.conftest import SF_DIR
 
 
 def _norm_cell(v):

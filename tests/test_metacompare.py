@@ -116,3 +116,27 @@ def test_number_status_korean_words_pair_with_english():
     assert number_status("이중 격벽과 3개의 탱크", "double hull and three tanks") == "all_match"
     assert number_status("이중 격벽", "single hull") == "no_match"
     assert number_status("격벽 구조", "hull structure") == "no_numbers"
+
+
+def test_pair_stats_reference_edge_semantics(spark):
+    """Python str.split() word counts (edge whitespace never inflates;
+    whitespace-only counts 0), NULL text behaves like fillna(''), and a
+    NULL match_type passes the matched test (pandas NaN != 'unmatched'
+    is True) so potential_split is never NULL."""
+    rows = [
+        (1, "hello world\n", "a b", "aligned"),
+        (2, "\t", None, None),
+        (3, " one two three four five six ", "x", "aligned"),
+        (4, "one two three four five six", "x", "unmatched"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, kr_text string, en_text string, match_type string"
+    )
+    out = {r["doc_id"]: r for r in MC.pair_stats(df).collect()}
+    assert out[1]["word_count_kr"] == 2          # trailing newline ignored
+    assert out[2]["word_count_kr"] == 0          # whitespace-only -> 0
+    assert out[2]["word_count_en"] == 0 and out[2]["chr_len_en"] == 0  # NULL -> ''
+    assert out[2]["potential_split"] is False    # never NULL
+    assert out[3]["word_count_kr"] == 6
+    assert out[3]["potential_split"] is True     # long kr, short en, matched
+    assert out[4]["potential_split"] is False    # unmatched blocks the flag

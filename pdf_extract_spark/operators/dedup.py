@@ -478,6 +478,8 @@ def dedup_components(
     graph and the keeper is the component representative (keep-first
     semantics, A7). ``universe`` optionally supplies the full doc_id set
     so unpaired docs appear as singleton components."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = sym.union(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -35,13 +35,16 @@ from pyspark.sql import DataFrame, functions as F, types as T
 RE_PUNCT = re.compile(r"[!?:;%\"`~…]")
 RE_TERMINAL_DOT = re.compile(r"\.$")
 
-# C13 cascade — order is the contract (metadata_generator.py:125-131)
+# C13 cascade — order is the contract (metadata_generator.py:125-131);
+# the ordinal pattern keeps the reference's leading \b and IGNORECASE,
+# and the appended token is the FULL match ('2nd', suffix included) —
+# the reference appends m.group(0), not the captured digits
 NUM_PATTERNS = [
-    re.compile(r"\d{1,3}(?:,\d{3})+(?:\.\d+)?"),  # 1,234 / 12,345.6
-    re.compile(r"\d+\.\d+"),                      # 3.5
-    re.compile(r"\d+-\d+"),                       # 2-4 (ranges)
-    re.compile(r"\d+(?:st|nd|rd|th)\b"),          # 1st 2nd
-    re.compile(r"\d+"),                           # bare ints
+    re.compile(r"\d{1,3}(?:,\d{3})+(?:\.\d+)?"),         # 1,234 / 12,345.6
+    re.compile(r"\d+\.\d+"),                             # 3.5
+    re.compile(r"\d+-\d+"),                              # 2-4 (ranges)
+    re.compile(r"\b\d+(?:st|nd|rd|th)\b", re.IGNORECASE),  # 1st 2ND
+    re.compile(r"\d+"),                                  # bare ints
 ]
 
 # C14 — the reference's FULL English number-word table, verbatim data
@@ -112,17 +115,43 @@ def extract_punct(t: str) -> list[str]:
 
 
 def extract_numbers(t: str) -> list[str]:
-    """C13 — ordered cascade with sequential consumption via masking."""
-    s = (t or "").translate(SUPERSCRIPTS)
-    found: list[tuple[int, str]] = []
+    """C13 — ordered cascade with sequential consumption via masking
+    (metadata_generator.py:143-149, the Korean-side extractor: NO
+    superscript handling — that exists only on the English side).
+    Tokens come out in the reference's pattern-major order (all pattern-1
+    hits in text order, then pattern-2, ...) with thousands separators
+    stripped at append time (``m.group(0).replace(',','')``). The
+    length-preserving \\x00 mask plays the role of the reference's
+    single-space substitution: both are non-word chars, so later
+    patterns see identical word boundaries and can never re-match or
+    merge across a consumed span."""
+    s = t or ""
+    found: list[str] = []
 
     def consume(m: re.Match) -> str:
-        found.append((m.start(), m.group()))
+        found.append(m.group().replace(",", ""))
         return "\x00" * len(m.group())
 
     for pat in NUM_PATTERNS:
         s = pat.sub(consume, s)
-    return [g for _, g in sorted(found)]
+    return found
+
+
+# metadata_generator.py:155 — the English extractor prepends ONE digit
+# per DISTINCT superscript char present (dict-iteration order, i.e. 0-9),
+# then runs the same cascade over the RAW text (superscript chars are
+# not \d so the patterns never see them); subscripts play no part in
+# number extraction (they matter only for symbol comparison)
+SUPERSCRIPT_DIGITS = {
+    "⁰": "0", "¹": "1", "²": "2", "³": "3", "⁴": "4",
+    "⁵": "5", "⁶": "6", "⁷": "7", "⁸": "8", "⁹": "9",
+}
+
+
+def extract_numbers_en(t: str) -> list[str]:
+    """C13, English side (metadata_generator.py:152-159)."""
+    s = t or ""
+    return [d for sup, d in SUPERSCRIPT_DIGITS.items() if sup in s] + extract_numbers(s)
 
 
 # C14 Korean side (metadata_generator.py:132-140): the reference's
@@ -194,33 +223,56 @@ def extract_symbols(t: str) -> list[str]:
     return [c for c in s if not RE_PLAIN.match(c)]
 
 
-RE_ORDINAL_SUFFIX = re.compile(r"(?<=\d)(st|nd|rd|th)$")
+def _counter_status(ca: Counter, cb: Counter) -> str:
+    """metadata_generator.py:232-240 — verdict over two token Counters."""
+    if not ca and not cb:
+        return "no_numbers"
+    if ca == cb:
+        return "all_match"
+    if ca & cb:
+        return "partial_match"
+    return "no_match"
 
 
-def canon_number(tok: str) -> str:
-    """Comparison canon: '2nd' == '2', '1,234' == '1234'."""
-    return RE_ORDINAL_SUFFIX.sub("", tok.replace(",", ""))
+def compare_numbers(kr: str, en: str) -> tuple[str, list[str], list[str]]:
+    """A9 number verdict, faithful to the reference's TWO-STAGE logic
+    (IntegratedNumberComparer.compare, metadata_generator.py:222-271):
+
+    1. compare DIGIT tokens only (kr cascade vs en superscripts+cascade);
+       ``no_numbers`` and ``all_match`` return immediately — the
+       text→number word maps are never consulted ('이중 격벽' vs
+       'double hull' is no_numbers, and kr '2개' vs en 'a pair of 2' is
+       all_match because mapping is skipped, not partial_match);
+    2. otherwise extend ONLY the side(s) the reference extends — if
+       exactly one side has digits, the OTHER side gets its word map
+       (kr side the Korean 이중/더블 map, en side the English table); if
+       both have digits but disagree, both sides get their own map —
+       then recompute the verdict.
+
+    Returns (status, kr_tokens_sorted, en_tokens_sorted) where the token
+    lists are the post-mapping multisets the verdict was computed on
+    (the reference's kor_numbers / eng_numbers_after_mapping record
+    fields). Note the ordinal tokens keep their suffix ('2nd' does NOT
+    equal '2' — reference appends the full match)."""
+    kn = extract_numbers(kr)
+    en_n = extract_numbers_en(en)
+    status = _counter_status(Counter(kn), Counter(en_n))
+    if status not in ("no_numbers", "all_match"):
+        if bool(kn) != bool(en_n):
+            if kn:
+                en_n = en_n + map_number_words(en)
+            else:
+                kn = kn + map_korean_number_words(kr)
+        else:
+            kn = kn + map_korean_number_words(kr)
+            en_n = en_n + map_number_words(en)
+        status = _counter_status(Counter(kn), Counter(en_n))
+    return status, sorted(kn), sorted(en_n)
 
 
 def number_status(kr: str, en: str) -> str:
-    """A9 verdict for numbers: kr numbers + kr number-words (이중/더블,
-    metadata_generator.py:132-140) vs en numbers + en number-words,
-    compared on canonicalized tokens (ordinal suffixes and thousands
-    separators stripped — '2번째' pairs with '2nd', '이중' with
-    'double')."""
-    kn = [
-        canon_number(t)
-        for t in extract_numbers(kr) + map_number_words(kr) + map_korean_number_words(kr)
-    ]
-    en_n = [canon_number(t) for t in extract_numbers(en) + map_number_words(en)]
-    if not kn and not en_n:
-        return "no_numbers"
-    matched, only_k, only_e = counter_diff(kn, en_n)
-    if only_k == 0 and only_e == 0:
-        return "all_match"
-    if matched > 0:
-        return "partial_match"
-    return "no_match"
+    """A9 verdict for numbers — see compare_numbers."""
+    return compare_numbers(kr, en)[0]
 
 
 ROMAN = {"i": "1", "ii": "2", "iii": "3", "iv": "4", "v": "5",
@@ -293,14 +345,17 @@ def compare_pair(kr: str, en: str) -> dict:
     metadata workbook, metadata_generator.py:466-689)."""
     pm, pk, pe = counter_diff(extract_punct(kr or ""), extract_punct(en or ""))
     sm, sk, se = counter_diff(extract_symbols(kr or ""), extract_symbols(en or ""))
+    num_status, kr_nums, en_nums = compare_numbers(kr or "", en or "")
     return {
         "punct_match": pm, "punct_only_kr": pk, "punct_only_en": pe,
         "symbol_match": sm, "symbol_only_kr": sk, "symbol_only_en": se,
-        "number_status": number_status(kr or "", en or ""),
+        "number_status": num_status,
         "word_status": word_status(kr or "", en or ""),
         "pair_class": pair_class(kr, en),
-        "kr_numbers": extract_numbers(kr or ""),
-        "en_numbers": extract_numbers(en or ""),
+        # the reference's kor_numbers / eng_numbers_after_mapping record
+        # fields: sorted POST-mapping token multisets (:266-268)
+        "kr_numbers": kr_nums,
+        "en_numbers": en_nums,
     }
 
 
@@ -341,6 +396,18 @@ def pair_metadata(df: DataFrame, kr_col: str = "kr_text", en_col: str = "en_text
 # pair statistics (add_metadata.py:154-191) — pure Catalyst
 # --------------------------------------------------------------------------
 
+# every char Python's str.split() treats as whitespace (str.isspace()),
+# as an explicit class — Java regex and RE2 both read \x{...} escapes,
+# so ONE pattern string serves the Spark kernel and the DuckDB oracle;
+# \s in both engines is ASCII-only and would miss NBSP/U+3000/NEL
+_PY_WS = (
+    r"[\t\n\x0B\x0C\r\x{1C}-\x{1F} \x{85}\x{A0}\x{1680}"
+    r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]"
+)
+_PY_WS_TRIM = f"^{_PY_WS}+|{_PY_WS}+$"
+_PY_WS_RUN = f"{_PY_WS}+"
+
+
 def pair_stats(df: DataFrame, kr_col: str = "kr_text", en_col: str = "en_text",
                match_col: str = "match_type") -> DataFrame:
     """The reference's merged-CSV statistics columns
@@ -354,16 +421,21 @@ def pair_stats(df: DataFrame, kr_col: str = "kr_text", en_col: str = "en_text",
     Reference-faithful edge handling: word counts are Python
     ``str.split()`` semantics (ALL whitespace trimmed at the edges, so a
     trailing newline never inflates the count and whitespace-only text
-    counts 0); NULL text behaves like the reference's fillna('') (counts
-    0, ratios 0.0) and a NULL match_type — like pandas NaN != 'unmatched'
-    — passes the matched test, so potential_split is never NULL. The one
-    documented divergence: rounding is engine-portable HALF_UP
-    (Spark/DuckDB) rather than Python's banker's rounding at exact .xx5
-    midpoints."""
+    counts 0) — including UNICODE whitespace: Java's and RE2's ``\\s``
+    are ASCII-only, so both engines use the explicit ``_PY_WS`` class
+    below enumerating every char Python's str.split() splits on (NBSP,
+    ideographic space U+3000 common in Korean text, NEL, the Unicode
+    space block). NULL text behaves like the reference's fillna('')
+    (counts 0, ratios 0.0) and a NULL match_type — like pandas NaN !=
+    'unmatched' — passes the matched test, so potential_split is never
+    NULL. The one documented divergence: rounding is engine-portable
+    HALF_UP (Spark/DuckDB) rather than Python's banker's rounding at
+    exact .xx5 midpoints."""
     def wc(col):
-        # full-whitespace trim (F.trim strips 0x20 only), NULL -> ''
-        t = F.regexp_replace(F.coalesce(F.col(col), F.lit("")), r"^\s+|\s+$", "")
-        return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+        # full PYTHON-whitespace trim (F.trim strips 0x20 only; \s is
+        # ASCII-only in Java), NULL -> ''
+        t = F.regexp_replace(F.coalesce(F.col(col), F.lit("")), _PY_WS_TRIM, "")
+        return F.when(t == "", 0).otherwise(F.size(F.split(t, _PY_WS_RUN))).cast("long")
 
     wk, we = wc(kr_col), wc(en_col)
     ck = F.length(F.coalesce(F.col(kr_col), F.lit(""))).cast("long")
@@ -387,10 +459,14 @@ def pair_stats(df: DataFrame, kr_col: str = "kr_text", en_col: str = "en_text",
 def pair_stats_sql(pairs_cte: str) -> str:
     """DuckDB mirror over a CTE named ``prs`` with columns
     (kr_text, en_text, match_type, ...)."""
-    ft = ("regexp_replace(coalesce({c}, ''), '^\\s+|\\s+$', '', 'g')")
-    wc = ("CASE WHEN " + ft + " = '' THEN 0 "
-          "ELSE len(regexp_split_to_array(" + ft + ", '\\s+')) END")
-    wk, we = wc.format(c="kr_text"), wc.format(c="en_text")
+    # plain concatenation, not str.format — the \x{..} escapes in the
+    # whitespace class would read as format fields
+    def wc(c: str) -> str:
+        ft = f"regexp_replace(coalesce({c}, ''), '{_PY_WS_TRIM}', '', 'g')"
+        return (f"CASE WHEN {ft} = '' THEN 0 "
+                f"ELSE len(regexp_split_to_array({ft}, '{_PY_WS_RUN}')) END")
+
+    wk, we = wc("kr_text"), wc("en_text")
     wr = f"CASE WHEN {wk} > 0 THEN round(({we}) * 1.0 / ({wk}), 2) ELSE 0.0 END"
     cr = ("CASE WHEN length(coalesce(kr_text, '')) > 0 "
           "THEN round(length(coalesce(en_text, '')) * 1.0 "

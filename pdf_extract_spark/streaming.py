@@ -100,20 +100,25 @@ def _assemble_fn(key, pdfs, state):
     chunk is accepted silently).
 
     State is a single JSON blob {"expected": n, "chunks": {idx: payload}}
-    — tiny (the spans of ONE in-flight document), keyed per doc, dropped
-    on completion. A quarantined doc leaves a small TOMBSTONE state
-    behind so chunks redelivered for it in later batches are ignored
-    instead of rebuilding a fresh, never-completable buffer (or emitting
-    a duplicate row); tombstone count is bounded by malformed docs.
-    Checkpoints written by the pre-"expected" state format (a flat
+    — tiny (the spans of ONE in-flight document), keyed per doc. BOTH
+    terminal outcomes leave a small TOMBSTONE state behind ({"done"} on
+    success, {"quarantined"} on malformed input) so chunks redelivered in
+    later batches — the normal case under an at-least-once replayable
+    source — are swallowed instead of rebuilding a fresh buffer and
+    eventually emitting a DUPLICATE output row (or a never-completable
+    buffer, for quarantined docs). Tombstones are a few bytes per
+    finished doc; a deployment with unbounded doc cardinality should add
+    a state timeout to bound retention (availableNow drains don't need
+    one). Checkpoints written by the pre-"expected" state format (a flat
     {idx: payload} blob) are migrated transparently."""
     from pdf_extract_spark import rules
 
     (doc_id,) = key
     st = json.loads(state.get[0]) if state.exists else {}
-    if st.get("quarantined"):
-        # already quarantined in an earlier batch: swallow redeliveries
-        state.update((json.dumps({"quarantined": True}),))
+    if st.get("quarantined") or st.get("done"):
+        # terminal in an earlier batch: swallow redeliveries (emitting
+        # again would duplicate the doc's output row)
+        state.update((json.dumps(st),))
         yield pd.DataFrame([], columns=["doc_id", "spans_json", "status"])
         return
     if "chunks" in st or "expected" in st:
@@ -154,7 +159,10 @@ def _assemble_fn(key, pdfs, state):
         for i in range(expected):
             spans.extend(json.loads(buffered[str(i)]))
         out = rules.extract_document(spans)
-        state.remove()
+        # done-tombstone, NOT state.remove(): under an at-least-once
+        # source a chunk replayed after completion must not rebuild a
+        # fresh buffer and emit a duplicate status='ok' row
+        state.update((json.dumps({"done": True}),))
         yield pd.DataFrame(
             [{"doc_id": doc_id, "spans_json": json.dumps(out), "status": "ok"}]
         )

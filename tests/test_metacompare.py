@@ -11,13 +11,23 @@ def test_extract_punct():
 
 
 def test_extract_numbers_cascade_order():
-    # thousands-sep captured whole, not re-matched by bare-int
-    assert MC.extract_numbers("costs 1,234.5 total") == ["1,234.5"]
+    # thousands-sep captured whole, not re-matched by bare-int; commas
+    # strip at append time (reference: m.group(0).replace(',',''))
+    assert MC.extract_numbers("costs 1,234.5 total") == ["1234.5"]
     assert MC.extract_numbers("3.5 and 2-4 and 1st and 7") == ["3.5", "2-4", "1st", "7"]
-    # superscript digits normalize before matching (en side, :143-159)
-    assert MC.extract_numbers("area m²") == ["2"]
+    # tokens come out PATTERN-major (all decimals before all bare ints),
+    # not text-position order — reference appends per pattern pass
+    assert MC.extract_numbers("7 then 3.5") == ["3.5", "7"]
     # masking: '12' inside '12.5' must not double-count
     assert MC.extract_numbers("12.5") == ["12.5"]
+    # superscripts: only the ENGLISH extractor sees them, one digit per
+    # DISTINCT superscript char, prepended (metadata_generator.py:155)
+    assert MC.extract_numbers("area m²") == []
+    assert MC.extract_numbers_en("area m²") == ["2"]
+    assert MC.extract_numbers_en("x² and y² is 7") == ["2", "7"]
+    # ordinal tokens keep their suffix; \b blocks mid-word ordinals
+    assert MC.extract_numbers_en("the 2ND item") == ["2ND"]
+    assert MC.extract_numbers_en("ax2nd") == ["2"]
 
 
 def test_map_number_words():
@@ -42,11 +52,21 @@ def test_counter_multiset_semantics():
 
 
 def test_number_status():
-    assert MC.number_status("3개의 항목 중 2번째", "the 2nd of 3 items") == "all_match"
-    assert MC.number_status("5개", "five items") == "all_match"  # word mapping
+    """Expectations derived from IntegratedNumberComparer.compare
+    (metadata_generator.py:222-271) — two-stage: digits first, word maps
+    only when digits alone are not no_numbers/all_match."""
+    # digits agree -> all_match WITHOUT consulting the word maps ('pair'
+    # on the en side must NOT inflate the en multiset)
+    assert MC.number_status("2개", "a pair of 2") == "all_match"
+    # kr has digits, en has none -> en side gets the English word map
+    assert MC.number_status("5개", "five items") == "all_match"
+    assert MC.number_status("2개", "a pair of items") == "all_match"
     assert MC.number_status("7개", "three items") == "no_match"
     assert MC.number_status("항목", "items") == "no_numbers"
     assert MC.number_status("1과 2", "1 and 5") == "partial_match"
+    # the reference's ordinal token keeps its suffix: kr '2번째' yields
+    # '2' but en '2nd' yields '2nd' -> they do NOT match
+    assert MC.number_status("3개의 항목 중 2번째", "the 2nd of 3 items") == "partial_match"
 
 
 def test_pair_class():
@@ -73,7 +93,10 @@ def test_spark_pair_metadata(spark):
     exp = [MC.compare_pair(r["kr_text"], r["en_text"]) for r in rows]
     for g, e in zip(got, exp):
         assert g == e
-    assert got[0]["number_status"] == "all_match"
+    # kr extractor ignores the superscript ² but the en extractor emits
+    # a '2' for it -> digit multisets differ on the shared '1234.5',
+    # word maps add nothing => partial_match (reference semantics)
+    assert got[0]["number_status"] == "partial_match"
     assert got[2]["pair_class"] == "no_korean_in_kor"
 
 
@@ -109,13 +132,27 @@ def test_korean_number_words():
 
 
 def test_number_status_korean_words_pair_with_english():
-    """'이중' on the kr side must pair with 'double' on the en side."""
+    """The Korean word map fires only in the reference's stage 2, and
+    only on the side(s) the reference extends: with NO digits anywhere
+    the maps are never consulted (no_numbers), and when only the en side
+    has digits the KR side gets the 이중/더블 map."""
     from pdf_extract_spark.operators.metacompare import number_status
 
-    assert number_status("이중 격벽 구조", "double hull structure") == "all_match"
-    assert number_status("이중 격벽과 3개의 탱크", "double hull and three tanks") == "all_match"
-    assert number_status("이중 격벽", "single hull") == "no_match"
+    # no digits on either side -> word maps never consulted
+    assert number_status("이중 격벽 구조", "double hull structure") == "no_numbers"
+    assert number_status("이중 격벽", "single hull") == "no_numbers"
     assert number_status("격벽 구조", "hull structure") == "no_numbers"
+    # en digits, kr none -> kr side extends with the Korean map
+    assert number_status("이중 격벽", "2 hulls") == "all_match"
+    assert number_status("더블 체크", "checked 3 times") == "no_match"
+    # kr digits, en none -> ONLY the en side extends (kr keeps just its
+    # digit '3'; en maps double->2, three->3 -> multisets {3} vs {2,3})
+    assert number_status("이중 격벽과 3개의 탱크", "double hull and three tanks") == "partial_match"
+    # both sides have digits but disagree -> both sides extend (kr's
+    # 이중 supplies the '2' that matches the en side's literal 2)
+    assert number_status("이중 격벽 3개", "2 or 3 hulls") == "all_match"
+    # ...but matching digits skip mapping entirely
+    assert number_status("이중 격벽 1개", "1 double hull") == "all_match"
 
 
 def test_pair_stats_reference_edge_semantics(spark):
@@ -128,6 +165,11 @@ def test_pair_stats_reference_edge_semantics(spark):
         (2, "\t", None, None),
         (3, " one two three four five six ", "x", "aligned"),
         (4, "one two three four five six", "x", "unmatched"),
+        # Unicode whitespace: ideographic space U+3000 between Korean
+        # words, NBSP-joined en words, NEL/U+2009 edge trim — Python's
+        # str.split() splits/trims ALL of these (Java/RE2 \s would not)
+        (5, "한국　단어　셋", "a b", "aligned"),
+        (6, " x y", "　", "aligned"),
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, kr_text string, en_text string, match_type string"
@@ -140,3 +182,22 @@ def test_pair_stats_reference_edge_semantics(spark):
     assert out[3]["word_count_kr"] == 6
     assert out[3]["potential_split"] is True     # long kr, short en, matched
     assert out[4]["potential_split"] is False    # unmatched blocks the flag
+    # Python semantics on the Unicode whitespace rows
+    assert out[5]["word_count_kr"] == len("한국　단어　셋".split()) == 3
+    assert out[6]["word_count_kr"] == 2 and out[6]["word_count_en"] == 0
+
+    # the DuckDB mirror must agree char-for-char on the same rows
+    import duckdb
+
+    vals = ", ".join(
+        "(%d, %s, %s, %s)"
+        % (i, *("NULL" if v is None else "'%s'" % v for v in (k, e, m)))
+        for i, k, e, m in rows
+    )
+    cte = ("prs AS (SELECT * FROM (VALUES " + vals
+           + ") t(doc_id, kr_text, en_text, match_type))")
+    ddb = duckdb.sql(MC.pair_stats_sql(cte)).df().set_index("doc_id")
+    for i, _, _, _ in rows:
+        assert int(ddb.loc[i, "word_count_kr"]) == out[i]["word_count_kr"]
+        assert int(ddb.loc[i, "word_count_en"]) == out[i]["word_count_en"]
+        assert bool(ddb.loc[i, "potential_split"]) == out[i]["potential_split"]

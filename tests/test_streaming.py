@@ -203,6 +203,31 @@ def test_quarantined_doc_ignores_redelivered_chunks(spark, tmp_path):
     assert "inconsistent" in json.loads(rows[0]["spans_json"])["error"]
 
 
+def test_completed_doc_ignores_redelivered_chunks(spark, tmp_path):
+    """Chunks redelivered for an already-COMPLETED doc (normal under an
+    at-least-once replayable source) must be swallowed by the done
+    tombstone — exactly one status='ok' row, never a duplicate."""
+    from pdf_extract_spark.streaming import CHUNK_SCHEMA, assemble_and_extract_stream
+
+    inp = str(tmp_path / "chunks")
+    outp, ckpt = str(tmp_path / "assembled"), str(tmp_path / "ck")
+
+    wave1 = [
+        {"doc_id": "d0", "chunk_idx": 0, "n_chunks": 2, "payload": "[]"},
+        {"doc_id": "d0", "chunk_idx": 1, "n_chunks": 2, "payload": "[]"},
+    ]
+    spark.createDataFrame(wave1, schema=CHUNK_SCHEMA).write.mode("append").parquet(inp)
+    assemble_and_extract_stream(spark, inp, outp, ckpt).awaitTermination(180)
+
+    # source replays the SAME chunks: must not assemble + emit again
+    spark.createDataFrame(wave1, schema=CHUNK_SCHEMA).write.mode("append").parquet(inp)
+    assemble_and_extract_stream(spark, inp, outp, ckpt).awaitTermination(180)
+
+    rows = spark.read.parquet(outp).collect()
+    assert len(rows) == 1
+    assert rows[0]["status"] == "ok"
+
+
 def test_foreach_batch_lake_sink_idempotent(spark, tmp_path):
     """Two availableNow passes land each doc exactly once; a simulated
     batch REPLAY (same batch_id re-committed) does not duplicate rows —

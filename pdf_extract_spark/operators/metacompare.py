@@ -400,10 +400,11 @@ def pair_metadata(df: DataFrame, kr_col: str = "kr_text", en_col: str = "en_text
 # as an explicit class — Java regex and RE2 both read \x{...} escapes,
 # so ONE pattern string serves the Spark kernel and the DuckDB oracle;
 # \s in both engines is ASCII-only and would miss NBSP/U+3000/NEL
-_PY_WS = (
-    r"[\t\n\x0B\x0C\r\x{1C}-\x{1F} \x{85}\x{A0}\x{1680}"
-    r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]"
+_PY_WS_CHARS = (
+    r"\t\n\x0B\x0C\r\x{1C}-\x{1F} \x{85}\x{A0}\x{1680}"
+    r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}"
 )
+_PY_WS = f"[{_PY_WS_CHARS}]"
 _PY_WS_TRIM = f"^{_PY_WS}+|{_PY_WS}+$"
 _PY_WS_RUN = f"{_PY_WS}+"
 
@@ -482,4 +483,73 @@ SELECT *,
        (coalesce(match_type != 'unmatched', TRUE) AND {wk} > 4 AND {we} > 0
         AND {wr} < 0.7 AND {cr} < 1.2) AS potential_split
 FROM prs
+"""
+
+
+# --------------------------------------------------------------------------
+# pair symbol/punct counts, SQL-expressible half (metadata_generator.py:
+# 92-96 punct, 353-372 symbols) — the value-exact oracle for the fields
+# of compare_pair that don't need the sequential number/word cascade
+# --------------------------------------------------------------------------
+
+# mirrors of the kernel constants, as RE2/DuckDB-safe pattern fragments
+_SQL_PUNCT_CLASS = '[!?:;%"`~…]'
+_SUPSUB_FROM = "⁰¹²³⁴⁵⁶⁷⁸⁹₀₁₂₃₄₅₆₇₈₉"
+_SUPSUB_TO = "01234567890123456789"
+# negation of RE_PLAIN: the kernel's Python \s is Unicode-aware, so the
+# negated allowlist enumerates the Python whitespace chars explicitly
+_SQL_SYMBOL_NEG = f"[^A-Za-z0-9.,{_PY_WS_CHARS}ㄱ-ㆎ가-힣]"
+
+
+def _multiset_matched_sql(la: str, lb: str) -> str:
+    """Σ_token min(count_a, count_b) — Counter & Counter with
+    multiplicity (the kernel's counter_diff); only_a/only_b follow as
+    len(list) - matched."""
+    return (
+        f"coalesce(list_sum(list_transform(list_distinct({la} || {lb}), "
+        f"c -> least(len(list_filter({la}, x -> x = c)), "
+        f"len(list_filter({lb}, x -> x = c))))), 0)"
+    )
+
+
+def pair_symbols_sql(pairs_cte: str) -> str:
+    """DuckDB mirror of the punct/symbol multiset fields of compare_pair
+    over a CTE named ``prs`` with (doc_id, kr_text, en_text): punct =
+    occurrences of the punct class plus a terminal-dot token (Python
+    str.strip() mirrored by the explicit whitespace trim), symbols =
+    chars outside the allowlist after super/subscript digit translation;
+    counts compared as MULTISETS (Counter algebra, not set ops)."""
+    def punct(c: str) -> str:
+        return (
+            f"(regexp_extract_all({c}, '{_SQL_PUNCT_CLASS}') || "
+            f"CASE WHEN regexp_matches(regexp_replace({c}, '{_PY_WS_TRIM}', '', 'g'), "
+            f"'\\.$') THEN ['.'] ELSE []::VARCHAR[] END)"
+        )
+
+    def syms(c: str) -> str:
+        return (
+            f"regexp_extract_all(translate({c}, '{_SUPSUB_FROM}', '{_SUPSUB_TO}'), "
+            f"'{_SQL_SYMBOL_NEG}')"
+        )
+
+    return f"""
+WITH {pairs_cte},
+ext AS (
+  SELECT doc_id,
+         {punct('kr_text')} AS pk, {punct('en_text')} AS pe,
+         {syms('kr_text')} AS sk, {syms('en_text')} AS se
+  FROM prs),
+m AS (
+  SELECT doc_id, pk, pe, sk, se,
+         {_multiset_matched_sql('pk', 'pe')} AS pm,
+         {_multiset_matched_sql('sk', 'se')} AS sm
+  FROM ext)
+SELECT doc_id,
+       pm::BIGINT AS punct_match,
+       (len(pk) - pm)::BIGINT AS punct_only_kr,
+       (len(pe) - pm)::BIGINT AS punct_only_en,
+       sm::BIGINT AS symbol_match,
+       (len(sk) - sm)::BIGINT AS symbol_only_kr,
+       (len(se) - sm)::BIGINT AS symbol_only_en
+FROM m
 """

@@ -513,6 +513,17 @@ def ivf_train(
     return centroids
 
 
+def ivf_seed_centroids(
+    df: DataFrame, n_cells: int = IVF_CELLS,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[list[float]]:
+    """The deterministic pre-training centroids (the ``n_cells`` lowest
+    vec_ids' embeddings, in vec_id order) — both Lloyd's seeding and the
+    fixed quantizer of ann_ivf_fixed_topk."""
+    seeds = df.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    return [[float(x) for x in r[vec_col]] for r in seeds]
+
+
 def ann_ivf_topk(
     df: DataFrame, n_queries: int = 5, k: int = 5,
     n_cells: int = IVF_CELLS, n_probe: int = IVF_PROBE,
@@ -521,10 +532,41 @@ def ann_ivf_topk(
     """IVF approximate top-k: coarse-quantize with the trained centroids,
     queries probe their ``n_probe`` nearest cells, rank within probed
     cells. Iterative training => rows-only correctness check (the driver
-    records row/schema stability; determinism is tested in pytest)."""
+    records row/schema stability; determinism is tested in pytest; the
+    probe/rank half is value-verified through ann_ivf_fixed_topk, which
+    shares _ivf_probe_rank)."""
+    centroids = ivf_train(df, n_cells, id_col=id_col, vec_col=vec_col)
+    return _ivf_probe_rank(df, centroids, n_queries, k, n_probe, id_col, vec_col)
+
+
+def ann_ivf_fixed_topk(
+    df: DataFrame, n_queries: int = 5, k: int = 5,
+    n_cells: int = IVF_CELLS, n_probe: int = IVF_PROBE,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe/rank over DETERMINISTIC untrained centroids (the Lloyd
+    seeds). Same physical path as ann_ivf_topk — assignment against
+    literal centroids, probe-``n_probe`` cell equi-join, windowed rank —
+    but with no float-order-sensitive training, so the whole query is
+    value-exact against the DuckDB mirror (ann_ivf_fixed_topk_sql).
+    Recall is that of an untrained quantizer; the purpose is verifying
+    the probe/rank machinery, while ann_ivf_topk carries the recall."""
+    centroids = ivf_seed_centroids(df, n_cells, id_col, vec_col)
+    return _ivf_probe_rank(df, centroids, n_queries, k, n_probe, id_col, vec_col)
+
+
+def _ivf_probe_rank(
+    df: DataFrame, centroids: list[list[float]], n_queries: int, k: int,
+    n_probe: int, id_col: str, vec_col: str,
+) -> DataFrame:
+    """Shared IVF query path: assign every vector to its nearest centroid
+    (argmin of exact squared distance, FIRST minimum wins ties), have
+    each query probe its ``n_probe`` nearest cells, cosine-rank within
+    the probed candidates. Centroids travel as plan literals (k x dim
+    doubles — bounded), so assignment is one map-only pass and the only
+    shuffle is the cell equi-join."""
     from pyspark.sql import Window as W
 
-    centroids = ivf_train(df, n_cells, id_col=id_col, vec_col=vec_col)
     dists = F.array(*[_sq_dist(F.col(vec_col), _lit_vec(c)) for c in centroids])
     cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     data = df.select(
@@ -566,6 +608,53 @@ c AS (SELECT vid AS cand_id, vec AS c_vec, bucket FROM wb),
 sims AS (
   SELECT q_id, cand_id, round({cos}, 6) AS sim
   FROM q JOIN c USING (bucket) WHERE q_id != cand_id),
+ranked AS (
+  SELECT q_id, cand_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id ASC) AS rank
+  FROM sims)
+SELECT * FROM ranked WHERE rank <= {k}
+"""
+
+
+_SQDIST_SQL = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(range(1, len({a}) + 1), "
+    "i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def ann_ivf_fixed_topk_sql(
+    table: str = "embeddings", n_queries: int = 5, k: int = 5,
+    n_cells: int = IVF_CELLS, n_probe: int = IVF_PROBE,
+) -> str:
+    """DuckDB mirror of ann_ivf_fixed_topk. Exactness argument: both
+    engines widen the same float32 parquet values to float64 and sum the
+    per-dimension terms LEFT-TO-RIGHT (F.aggregate / list_reduce), so
+    distances and cosines are bit-identical; argmin and probe ties break
+    on the lowest cell index in both (array_position-of-min vs
+    row_number ORDER BY dist, cell)."""
+    sq_assign = _SQDIST_SQL.format(a="e.embedding", b="c.cvec")
+    cos = cosine_sql("q.q_vec", "a.embedding")
+    return f"""
+WITH cent AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell, embedding AS cvec
+  FROM {table}
+  WHERE vec_id IN (SELECT vec_id FROM {table} ORDER BY vec_id LIMIT {n_cells})),
+d AS (
+  SELECT e.vec_id, e.embedding, c.cell, {sq_assign} AS dist
+  FROM {table} e CROSS JOIN cent c),
+assign AS (
+  SELECT vec_id, embedding, cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+        FROM d) WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+        FROM d WHERE vec_id < {n_queries}) WHERE rn <= {n_probe}),
+sims AS (
+  SELECT DISTINCT q.q_id, a.vec_id AS cand_id, round({cos}, 6) AS sim
+  FROM qprobe q JOIN assign a USING (cell) WHERE q.q_id != a.vec_id),
 ranked AS (
   SELECT q_id, cand_id, sim,
          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id ASC) AS rank

@@ -975,10 +975,22 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: deterministic distributed Lloyd iterations
     train the coarse quantizer; queries probe their nearest cells.
-    Rows-only check (iterative algorithm, per the driver contract)."""
+    Rows-only check, and only because of TRAINING: Lloyd means are
+    float-sum order-sensitive cross-engine, so oracling the trained path
+    would be flaky by construction. The probe/rank machinery itself is
+    value-exact via ann_ivf_fixed_topk below (shared _ivf_probe_rank)."""
     return similarity.ann_ivf_topk(_t(spark, sf_dir, "embeddings")).orderBy(
         "q_id", "rank"
     )
+
+
+@query("ann_ivf_fixed_topk", similarity.ann_ivf_fixed_topk_sql())
+def ann_ivf_fixed_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe/rank over deterministic untrained centroids (the Lloyd
+    seeds) — the value-exact oracle for the IVF query path: nearest-cell
+    assignment (first-min tie-break), probe-2 cell equi-join, cosine
+    window rank all verified against DuckDB."""
+    return similarity.ann_ivf_fixed_topk(_t(spark, sf_dir, "embeddings"))
 
 
 # =====================================================================
@@ -1172,8 +1184,13 @@ def pair_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pair_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9/C13-C17 — the full pair-quality metadata struct (multiset
     Counter algebra, number cascade + word mapping, symbol comparison,
-    pair classification) over aligned fixture pairs. Rows-only check:
-    sequential regex consumption isn't ANSI-SQL-expressible."""
+    pair classification) over aligned fixture pairs. Rows-only check,
+    and only for the CASCADE fields: the punct/symbol multiset counts
+    are value-verified against DuckDB by the pair_symbols query (same
+    Arrow kernel); what stays rows-only here is number_status /
+    word_status — sequential regex consumption with masking and the
+    two-stage conditional word-map extension aren't
+    ANSI-SQL-expressible."""
     from pdf_extract_spark.operators import align, metacompare
 
     kr_df, en_df = _alignment_fixture(spark)
@@ -1191,6 +1208,67 @@ def pair_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.word_status").alias("word_status"),
         F.col("meta.pair_class").alias("pair_class"),
     ).orderBy("doc_id", "kr_idx", "en_idx")
+
+
+# the decorated pair corpus for pair_symbols: deterministic symbol/punct
+# decorations appended to documents-derived text so the multiset algebra
+# has real matched/only-kr/only-en mass to count (the raw corpus is
+# symbol-free); variants exercise the terminal dot, super/subscript
+# digit translation, the Korean allowlist, and multiset multiplicity
+_PAIR_SYM_KR = ["! × §2", "? ™ ©", "; ② m²", " 한국어 %",
+                "… 〈표〉", " plain.", " †‡ H₂O", ' ~`”']
+_PAIR_SYM_EN = ["! × ±3", "? © ©", "; 2 m²", " percent %%",
+                "… <표>", " plain", " † H2O", ' `~“']
+
+
+def _pair_sym_cte() -> str:
+    def deco(vals: list[str]) -> str:
+        whens = " ".join(
+            f"WHEN {i} THEN '{v}'" for i, v in enumerate(vals)
+        )
+        return f"CASE doc_id % 8 {whens} END"
+
+    return (
+        "prs AS (SELECT doc_id, "
+        f"substring(text, 1, 20) || {deco(_PAIR_SYM_KR)} AS kr_text, "
+        f"substring(text, 5, 20) || {deco(_PAIR_SYM_EN)} AS en_text "
+        "FROM documents)"
+    )
+
+
+@query("pair_symbols", MC.pair_symbols_sql(_pair_sym_cte()))
+def pair_symbols_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/C12/C16, the SQL-expressible half of pair_metadata split into
+    its own value-exact query (metadata_generator.py:92-96, 353-372):
+    punctuation and special-symbol MULTISET counts (matched / only-kr /
+    only-en with multiplicity) over a deterministic decorated pair
+    corpus. The Spark side runs the same Arrow compare_pair kernel the
+    full pair_metadata query uses — so the oracle value-verifies the
+    kernel's Counter algebra, terminal-dot strip and super/subscript
+    translation, shrinking pair_metadata's justified rows-only surface
+    to the number/word cascade fields only."""
+    d = _t(spark, sf_dir, "documents")
+
+    def deco(vals: list[str]):
+        return F.element_at(
+            F.array(*[F.lit(v) for v in vals]),
+            (F.col("doc_id") % 8 + 1).cast("int"),
+        )
+
+    prs = d.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 20), deco(_PAIR_SYM_KR)).alias("kr_text"),
+        F.concat(F.substring("text", 5, 20), deco(_PAIR_SYM_EN)).alias("en_text"),
+    )
+    out = MC.pair_metadata(prs)
+    return out.select(
+        "doc_id",
+        *[
+            F.col(f"meta.{f}").cast("long").alias(f)
+            for f in ["punct_match", "punct_only_kr", "punct_only_en",
+                      "symbol_match", "symbol_only_kr", "symbol_only_en"]
+        ],
+    )
 
 
 # =====================================================================
@@ -1391,6 +1469,157 @@ def _alignment_fixture(spark: SparkSession, n_docs: int = 25):
         spark.createDataFrame(kr_rows, schema=FRAGMENTS_LANG),
         spark.createDataFrame(en_rows, schema=FRAGMENTS_LANG),
     )
+
+
+# ---------------------------------------------------------------------
+# driver-visible value gates for the alignment EXPORT joins (J2/J3/J4,
+# create_csv.py:47-319): the kr/en fragment relations AND the pairs
+# relation are derived deterministically from the documents table in
+# BOTH engines, then the REAL export-join code (operators/align.py) runs
+# over them — so the join/anchor/coalesce logic is value-exact to the
+# driver even though the Hungarian pair PRODUCER stays pytest-gated
+# (align_pairs / align_full_outer above remain its rows-only checks).
+# Shapes exercised: unmatched kr rows (pair skipped every 5th), en
+# fragments with no kr partner (n_en != n_kr), per-type codes.
+# ---------------------------------------------------------------------
+
+_ALIGN_EXPORT_CTES = """
+base AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+kr AS (
+  SELECT doc_id, i AS idx,
+         'kr ' || doc_id::VARCHAR || ':' || i::VARCHAR || ' ' ||
+           substring(text, (i * 5 + 1)::INT, 12) AS text,
+         CASE i % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'table' ELSE 'caption' END
+           AS source_type
+  FROM (SELECT doc_id, text, unnest(range(doc_id % 4 + 2)) AS i FROM base)),
+en AS (
+  SELECT doc_id, i AS idx,
+         'en ' || doc_id::VARCHAR || ':' || i::VARCHAR || ' ' ||
+           substring(text, (i * 7 + 1)::INT, 12) AS text,
+         CASE i % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'table' ELSE 'caption' END
+           AS source_type
+  FROM (SELECT doc_id, text, unnest(range((doc_id + 1) % 4 + 2)) AS i FROM base)),
+pairs AS (
+  SELECT doc_id, i AS kr_idx, i AS en_idx,
+         (50 + (doc_id * 7 + i) % 50) / 100.0 AS similarity,
+         CASE (doc_id + i) % 3 WHEN 0 THEN 'P' WHEN 1 THEN 'H' ELSE 'G' END AS type
+  FROM (SELECT doc_id,
+               unnest(range(least(doc_id % 4 + 2, (doc_id + 1) % 4 + 2))) AS i
+        FROM base)
+  WHERE (doc_id + i) % 5 != 0)
+"""
+
+
+def _align_export_frames(spark: SparkSession, sf_dir: str):
+    """Spark twins of _ALIGN_EXPORT_CTES (kr, en, pairs)."""
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select(
+        "doc_id", "text"
+    )
+
+    def frags(prefix: str, shift: int, stride: int) -> DataFrame:
+        n = (F.col("doc_id") + shift) % 4 + 2
+        return (
+            base.select(
+                "doc_id", "text",
+                F.explode(F.sequence(F.lit(0).cast("long"), n - 1)).alias("i"),
+            )
+            .select(
+                "doc_id",
+                F.col("i").alias("idx"),
+                F.concat(
+                    F.lit(prefix + " "), F.col("doc_id").cast("string"), F.lit(":"),
+                    F.col("i").cast("string"), F.lit(" "),
+                    F.expr(f"substring(text, cast(i * {stride} + 1 AS INT), 12)"),
+                ).alias("text"),
+                F.when(F.col("i") % 3 == 0, "text")
+                .when(F.col("i") % 3 == 1, "table")
+                .otherwise("caption").alias("source_type"),
+            )
+        )
+
+    m = F.least(F.col("doc_id") % 4 + 2, (F.col("doc_id") + 1) % 4 + 2)
+    prs = (
+        base.select(
+            "doc_id", F.explode(F.sequence(F.lit(0).cast("long"), m - 1)).alias("i")
+        )
+        .filter((F.col("doc_id") + F.col("i")) % 5 != 0)
+        .select(
+            "doc_id",
+            F.col("i").alias("kr_idx"),
+            F.col("i").alias("en_idx"),
+            ((F.lit(50) + (F.col("doc_id") * 7 + F.col("i")) % 50) / 100.0).alias("similarity"),
+            F.when((F.col("doc_id") + F.col("i")) % 3 == 0, "P")
+            .when((F.col("doc_id") + F.col("i")) % 3 == 1, "H")
+            .otherwise("G").alias("type"),
+        )
+    )
+    return frags("kr", 0, 5), frags("en", 1, 7), prs
+
+
+@query(
+    "align_export_kr",
+    f"""
+WITH {_ALIGN_EXPORT_CTES}
+SELECT k.doc_id, k.idx AS kr_idx, k.text AS kr_text, k.source_type,
+       p.en_idx, e.text AS en_text, p.similarity, p.type
+FROM kr k
+LEFT JOIN pairs p ON p.doc_id = k.doc_id AND p.kr_idx = k.idx
+LEFT JOIN en e ON e.doc_id = k.doc_id AND e.idx = p.en_idx
+""",
+)
+def align_export_kr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (create_csv.py:47-121) — kr-anchored export join, value-exact:
+    every kr fragment keeps its row; matched rows carry the en text and
+    pair attributes."""
+    from pdf_extract_spark.operators import align
+
+    kr, en, prs = _align_export_frames(spark, sf_dir)
+    return align.export_kr_anchored(kr, prs, en)
+
+
+@query(
+    "align_export_en",
+    f"""
+WITH {_ALIGN_EXPORT_CTES}
+SELECT e.doc_id, e.idx AS en_idx, e.text AS en_text,
+       e.source_type AS en_source_type,
+       p.kr_idx, k.text AS kr_text, k.source_type AS kr_source_type,
+       p.similarity, p.type
+FROM en e
+LEFT JOIN pairs p ON p.doc_id = e.doc_id AND p.en_idx = e.idx
+LEFT JOIN kr k ON k.doc_id = e.doc_id AND k.idx = p.kr_idx
+""",
+)
+def align_export_en_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (create_csv.py:124-199) — the en-anchored mirror export,
+    value-exact."""
+    from pdf_extract_spark.operators import align
+
+    kr, en, prs = _align_export_frames(spark, sf_dir)
+    return align.export_en_anchored(kr, prs, en)
+
+
+@query(
+    "align_export_full_outer",
+    f"""
+WITH {_ALIGN_EXPORT_CTES},
+kr_side AS (
+  SELECT k.doc_id, k.idx AS kr_idx, k.text AS kr_text,
+         p.en_idx, p.similarity, p.type
+  FROM kr k LEFT JOIN pairs p ON p.doc_id = k.doc_id AND p.kr_idx = k.idx),
+en2 AS (SELECT doc_id, idx AS en_idx, text AS en_text FROM en)
+SELECT doc_id, kr_idx, kr_text, en_idx, en_text, similarity, type
+FROM kr_side FULL OUTER JOIN en2 USING (doc_id, en_idx)
+""",
+)
+def align_export_full_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (create_csv.py:202-319) — kr-anchored rows PLUS unmatched en
+    rows via a true full outer join, value-exact (USING-coalesce
+    semantics mirrored on both engines)."""
+    from pdf_extract_spark.operators import align
+
+    kr, en, prs = _align_export_frames(spark, sf_dir)
+    return align.export_full_outer(kr, prs, en)
 
 
 @query("align_pairs")

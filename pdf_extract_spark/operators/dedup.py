@@ -552,14 +552,13 @@ def dedup_components(
     )
 
 
-def dedup_components_sql(
-    pairs_cte: str, table: str = "documents"
-) -> str:
-    """DuckDB mirror via a recursive transitive-closure CTE over the same
-    pair set (``pairs_cte`` must define a CTE named ``pairs`` with
-    columns id_a, id_b)."""
-    return f"""
-WITH RECURSIVE {pairs_cte},
+def dedup_components_ctes(pairs_cte: str, table: str = "documents") -> str:
+    """The transitive-closure CTE chain (edges/reach/comp/allc) as a
+    composable body — curate_corpus_sql splices it into a larger
+    WITH RECURSIVE statement. ``pairs_cte`` must define a CTE named
+    ``pairs`` with columns id_a, id_b; ``allc`` ends up holding
+    (doc_id, component) for every row of ``table``."""
+    return f"""{pairs_cte},
 edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
 reach(id, r) AS (
@@ -570,6 +569,16 @@ reach(id, r) AS (
 comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
 allc AS (
   SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
-  FROM {table} d LEFT JOIN comp c ON c.id = d.doc_id)
+  FROM {table} d LEFT JOIN comp c ON c.id = d.doc_id)"""
+
+
+def dedup_components_sql(
+    pairs_cte: str, table: str = "documents"
+) -> str:
+    """DuckDB mirror via a recursive transitive-closure CTE over the same
+    pair set (``pairs_cte`` must define a CTE named ``pairs`` with
+    columns id_a, id_b)."""
+    return f"""
+WITH RECURSIVE {dedup_components_ctes(pairs_cte, table)}
 SELECT doc_id, component, doc_id = component AS is_keeper FROM allc
 """

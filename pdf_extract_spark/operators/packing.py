@@ -68,15 +68,15 @@ def pack_documents(
 
 
 
-def pack_documents_sql(
+def pack_documents_ctes(
     budget: int = 128, n_buckets: int = 8, table: str = "documents",
     text_expr: str = "text", key_col: str = "doc_id",
 ) -> str:
-    """DuckDB mirror: recursive CTE walking each bucket's rows in doc_id
-    order, carrying (cum, pack) — the exact greedy recurrence."""
+    """The packing walk (base/numbered/walk) as a composable CTE body —
+    curate_corpus_sql splices it after its own CTEs; ``walk`` ends up
+    holding (bucket, rn, doc_id, n_tokens, cum, pack_id)."""
     h = phash_sql(f"{key_col}::VARCHAR")
-    return f"""
-WITH RECURSIVE base AS (
+    return f"""base AS (
   SELECT {key_col}::BIGINT AS doc_id,
          ({h} % {n_buckets})::INT AS bucket,
          len({tokens_sql(text_expr)})::BIGINT AS n_tokens
@@ -93,6 +93,17 @@ walk(bucket, rn, doc_id, n_tokens, cum, pack_id) AS (
                 ELSE w.cum + n.n_tokens END,
            CASE WHEN w.cum + n.n_tokens > {budget} THEN w.pack_id + 1
                 ELSE w.pack_id END
-    FROM walk w JOIN numbered n ON n.bucket = w.bucket AND n.rn = w.rn + 1)
+    FROM walk w JOIN numbered n ON n.bucket = w.bucket AND n.rn = w.rn + 1)"""
+
+
+def pack_documents_sql(
+    budget: int = 128, n_buckets: int = 8, table: str = "documents",
+    text_expr: str = "text", key_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror: recursive CTE walking each bucket's rows in doc_id
+    order, carrying (cum, pack) — the exact greedy recurrence."""
+    ctes = pack_documents_ctes(budget, n_buckets, table, text_expr, key_col)
+    return f"""
+WITH RECURSIVE {ctes}
 SELECT doc_id, bucket, pack_id, n_tokens FROM walk
 """

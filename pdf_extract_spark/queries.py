@@ -926,6 +926,52 @@ def pack_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_documents(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+# the composed curation pipeline — the query a 100 TB training-data run
+# actually executes, verified end-to-end (not just stage by stage):
+# minhash near-dup pairs -> connected-component resolution -> keeper
+# semi-join -> deterministic stratified sample -> sequence packing
+_CURATE_RATES = {"en": 0.5, "de": 1.0, "zh": 0.1}
+
+
+def curate_corpus_sql() -> str:
+    pairs = (
+        "pairs AS (SELECT id_a, id_b FROM "
+        f"({dedup.minhash_lsh_pairs_sql()}))"
+    )
+    comp_ctes = dedup.dedup_components_ctes(pairs, "documents")
+    sampled = textstats.stratified_sample_sql(_CURATE_RATES, table="keepers")
+    pack_ctes = packing.pack_documents_ctes(table="sampled")
+    return f"""
+WITH RECURSIVE {comp_ctes},
+keepers AS (
+  SELECT d.* FROM documents d JOIN allc a ON a.doc_id = d.doc_id
+  WHERE a.doc_id = a.component),
+sampled AS ({sampled}),
+{pack_ctes}
+SELECT doc_id, bucket, pack_id, n_tokens FROM walk
+"""
+
+
+@query("curate_corpus", curate_corpus_sql())
+def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline as ONE oracled query (VERDICT r2
+    item 5): each stage is the already-verified operator — banded
+    MinHash-LSH pairs (band join carries only ids), pointer-jumping
+    component resolution, keeper semi-join (keep-first per cluster),
+    salted-hash stratified sampling (map-side, shuffle-free), greedy
+    per-bucket sequence packing (one Exchange + Arrow kernel) — so the
+    oracle verifies the COMPOSED semantics: what feeds forward between
+    stages, not just each stage over pristine inputs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).select("id_a", "id_b")
+    comps = dedup.dedup_components(pairs, universe=docs)
+    keepers = docs.join(
+        comps.filter(F.col("is_keeper")).select("doc_id"), "doc_id", "semi"
+    )
+    sampled = textstats.stratified_sample(keepers, _CURATE_RATES)
+    return packing.pack_documents(sampled).orderBy("doc_id")
+
+
 @query("dedup_simhash", dedup.simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document."""

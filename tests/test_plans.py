@@ -66,3 +66,59 @@ def test_text_ops_are_jvm_side(spark, name):
     no Python evaluation nodes anywhere in the plan."""
     plan = _plan(QUERIES[name](spark, SF))
     assert "EvalPython" not in plan, name
+
+
+def test_pack_documents_plan_single_exchange(spark):
+    """pack_documents must plan EXACTLY one Exchange — the hash
+    distribution on bucket that groupBy().applyInPandas requires — and
+    one FlatMapGroupsInPandas kernel; no extra shuffle before or after
+    (VERDICT r2 item 4)."""
+    from pdf_extract_spark.operators.packing import pack_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = pack_documents(docs, budget=128, n_buckets=8)
+    plan = _plan(df)
+    n_exchange = plan.count("+- Exchange") + plan.count("   Exchange")
+    assert n_exchange == 1, plan
+    assert "hashpartitioning(bucket" in plan, plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    # token counting stays JVM-side; the ONLY Python node is the kernel
+    assert "EvalPython" not in plan, plan
+
+
+def test_cross_corpus_band_join_carries_ids_only(spark):
+    """dedup_cross_corpus's band join must shuffle ONLY (band_key,
+    doc_id) rows — no shingle arrays riding the exchange — and the
+    candidate dedup aggregate must hold exactly id_l/id_r; one verify
+    join per side re-attaches the hashed shingles afterwards
+    (VERDICT r2 item 4)."""
+    import re
+
+    from pdf_extract_spark.operators import dedup as D
+
+    left = spark.createDataFrame(
+        [(i, f"left doc {i} shares the quick brown fox line {i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, f"right doc {i} shares the quick brown fox line {i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = D.minhash_lsh_pairs_between(left, right, threshold=0.1, max_bucket=64)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out.collect()
+        plan = _plan(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # candidate dedup holds bare id pairs (no payload columns)
+    assert re.search(
+        r"HashAggregate\(keys=\[id_l#\d+L?, id_r#\d+L?\], functions=\[\], "
+        r"output=\[id_l#\d+L?, id_r#\d+L?\]\)",
+        plan,
+    ), plan
+    # the band-join inputs project to exactly (doc_id, band_key): any
+    # shingle array (sh#N) riding an Exchange would be a regression
+    assert not re.search(r"Exchange [^\n]*\bsh#\d+", plan), plan

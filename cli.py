@@ -48,6 +48,20 @@ def main() -> None:
     p = sub.add_parser("status", help="lineage/metrics summary for a lake")
     p.add_argument("--lake", required=True)
 
+    p = sub.add_parser(
+        "count", help="lake totals (docs/spans/bucket statuses/runs)"
+    )
+    p.add_argument("--lake", required=True)
+
+    p = sub.add_parser(
+        "retry", help="unconditionally re-extract one bucket into the lake"
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--lake", required=True)
+    p.add_argument("--bucket", type=int, required=True)
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--buckets", type=int, default=64)
+
     args = ap.parse_args()
 
     from pdf_extract_spark.session import build_spark
@@ -86,6 +100,33 @@ def main() -> None:
         q = incremental_extraction(spark, args.input, args.output, args.checkpoint)
         q.awaitTermination()
         print(f"drained new files -> {args.output}")
+    elif args.cmd == "count":
+        from pdf_extract_spark.lineage import Lake, count_summary
+
+        c = count_summary(Lake(spark, args.lake))
+        buckets = ", ".join(f"{k}={v}" for k, v in sorted(c["buckets"].items())) or "none"
+        print(
+            f"{c['docs']} docs, {c['spans']} spans in spans_out; "
+            f"buckets: {buckets}; {c['runs']} runs"
+        )
+    elif args.cmd == "retry":
+        import time
+
+        from pdf_extract_spark.lineage import Lake, retry_bucket
+        from pdf_extract_spark.reporting import format_duration
+
+        lake = Lake(spark, args.lake)
+        docs = spark.read.parquet(args.input)
+        run_id = args.run_id or uuid.uuid4().hex[:12]
+        t0 = time.time()
+        rep = retry_bucket(
+            lake, docs, run_id=run_id, bucket=args.bucket, n_buckets=args.buckets
+        )
+        print(
+            f"retry {rep.run_id}: bucket {args.bucket} re-extracted, "
+            f"{rep.doc_count} docs, {rep.span_count} spans -> {lake.spans_out} "
+            f"({format_duration(time.time() - t0)})"
+        )
     elif args.cmd == "status":
         from pdf_extract_spark.lineage import Lake
 

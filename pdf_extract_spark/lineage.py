@@ -185,6 +185,27 @@ def run_extraction_with_lineage(
     ``fail_after_groups`` injects a crash after N committed groups (the
     kill/resume test hook — SURVEY.md §5.2 'resume test').
     """
+    docs = _with_bucket(documents, n_buckets)
+
+    # one distinct-bucket scan; the completed set is tiny (<= n_buckets
+    # lineage rows), so the anti-join semantics run driver-side
+    all_buckets = sorted(r["bucket"] for r in docs.select("bucket").distinct().collect())
+    done_df = lake.completed_buckets_df()
+    done = {r["bucket"] for r in done_df.collect()} if done_df is not None else set()
+    skipped = [b for b in all_buckets if b in done]
+    todo = [b for b in all_buckets if b not in done]
+
+    report = RunReport(run_id=run_id, buckets_total=n_buckets, buckets_skipped=skipped)
+
+    groups = [todo[i : i + group_size] for i in range(0, len(todo), group_size)]
+    for gi, group in enumerate(groups):
+        if fail_after_groups is not None and gi >= fail_after_groups:
+            raise RuntimeError(f"injected failure before group {gi} (test hook)")
+        _process_group(lake, docs, run_id, group, n_buckets, num_partitions, report)
+    return report
+
+
+def _with_bucket(documents: DataFrame, n_buckets: int) -> DataFrame:
     if "bucket" in documents.columns:
         # input table already bucket-partitioned at ingest (the parquet
         # analog of an Iceberg bucket(doc_id) partition transform): the
@@ -204,73 +225,118 @@ def run_extraction_with_lineage(
                 f"{n_buckets}) for at least one row (or is NULL); "
                 "re-ingest with the matching bucket count or drop the column"
             )
-        docs = documents
-    else:
-        docs = documents.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+        return documents
+    return documents.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
 
-    # one distinct-bucket scan; the completed set is tiny (<= n_buckets
-    # lineage rows), so the anti-join semantics run driver-side
-    all_buckets = sorted(r["bucket"] for r in docs.select("bucket").distinct().collect())
-    done_df = lake.completed_buckets_df()
-    done = {r["bucket"] for r in done_df.collect()} if done_df is not None else set()
-    skipped = [b for b in all_buckets if b in done]
-    todo = [b for b in all_buckets if b not in done]
 
-    report = RunReport(run_id=run_id, buckets_total=n_buckets, buckets_skipped=skipped)
+def _process_group(
+    lake: Lake, docs: DataFrame, run_id: str, group: list[int],
+    n_buckets: int, num_partitions: int | None, report: RunReport,
+) -> None:
+    """Extract + commit ONE bucket group, append its lineage/metrics rows,
+    fold the counts into ``report`` (shared by the resume loop and
+    retry_bucket)."""
+    t0 = time.time()
+    sub = docs.filter(F.col("bucket").isin([int(b) for b in group]))
+    parted = partition_for_extraction(sub, num_partitions)
+    out = extract_documents(parted.select("doc_id", "spans", "bucket"))
+    # extract_documents projects (doc_id, spans); re-derive the bucket
+    # column (deterministic function of doc_id) for partitioned commit.
+    out = out.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+    lake.commit_spans(out)
 
-    groups = [todo[i : i + group_size] for i in range(0, len(todo), group_size)]
-    for gi, group in enumerate(groups):
-        if fail_after_groups is not None and gi >= fail_after_groups:
-            raise RuntimeError(f"injected failure before group {gi} (test hook)")
-        t0 = time.time()
-        sub = docs.filter(F.col("bucket").isin([int(b) for b in group]))
-        parted = partition_for_extraction(sub, num_partitions)
-        out = extract_documents(parted.select("doc_id", "spans", "bucket"))
-        # extract_documents projects (doc_id, spans); re-derive the bucket
-        # column (deterministic function of doc_id) for partitioned commit.
-        out = out.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
-        lake.commit_spans(out)
-
-        stats = (
-            lake.read_spans_out()
-            .filter(F.col("bucket").isin([int(b) for b in group]))
-            .groupBy("bucket")
-            .agg(F.count("*").alias("docs"), F.sum(F.size("spans")).alias("spans"))
-        ).collect()
-        t1 = time.time()
-        by_bucket = {r["bucket"]: (r["docs"], r["spans"]) for r in stats}
-        lineage_rows = [
+    stats = (
+        lake.read_spans_out()
+        .filter(F.col("bucket").isin([int(b) for b in group]))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("docs"), F.sum(F.size("spans")).alias("spans"))
+    ).collect()
+    t1 = time.time()
+    by_bucket = {r["bucket"]: (r["docs"], r["spans"]) for r in stats}
+    lineage_rows = [
+        (
+            run_id,
+            int(b),
+            COMPLETED,
+            int(by_bucket.get(b, (0, 0))[0]),
+            int(by_bucket.get(b, (0, 0))[1] or 0),
+            t0,
+            t1,
+            None,
+        )
+        for b in group
+    ]
+    lake._append(lineage_rows, LINEAGE_WRITE, lake.lineage)
+    g_docs = sum(v[0] for v in by_bucket.values())
+    g_spans = sum(int(v[1] or 0) for v in by_bucket.values())
+    lake._append(
+        [
             (
                 run_id,
-                int(b),
-                COMPLETED,
-                int(by_bucket.get(b, (0, 0))[0]),
-                int(by_bucket.get(b, (0, 0))[1] or 0),
-                t0,
-                t1,
-                None,
+                "extract",
+                ",".join(str(b) for b in group),
+                round(g_docs / max(t1 - t0, 1e-9), 3),
+                g_docs,
+                g_spans,
+                round(t1 - t0, 3),
             )
-            for b in group
-        ]
-        lake._append(lineage_rows, LINEAGE_WRITE, lake.lineage)
-        g_docs = sum(v[0] for v in by_bucket.values())
-        g_spans = sum(int(v[1] or 0) for v in by_bucket.values())
-        lake._append(
-            [
-                (
-                    run_id,
-                    "extract",
-                    ",".join(str(b) for b in group),
-                    round(g_docs / max(t1 - t0, 1e-9), 3),
-                    g_docs,
-                    g_spans,
-                    round(t1 - t0, 3),
-                )
-            ],
-            METRICS_WRITE,
-            lake.metrics,
-        )
-        report.buckets_processed.extend(int(b) for b in group)
-        report.doc_count += g_docs
-        report.span_count += g_spans
+        ],
+        METRICS_WRITE,
+        lake.metrics,
+    )
+    report.buckets_processed.extend(int(b) for b in group)
+    report.doc_count += g_docs
+    report.span_count += g_spans
+
+
+
+def retry_bucket(
+    lake: Lake,
+    documents: DataFrame,
+    run_id: str,
+    bucket: int,
+    n_buckets: int = 16,
+    num_partitions: int | None = None,
+) -> RunReport:
+    """Unconditionally re-extract ONE bucket (the reference's
+    ``--retry-batch N`` / ``retry_specific_batch``,
+    /root/reference/cli.py:128-135, main.py:920-962): unlike the resume
+    loop, completed status is IGNORED — the commit's dynamic partition
+    overwrite replaces exactly that bucket's spans partition, and a fresh
+    ``completed`` lineage row records the retry (the bucket's history
+    stays append-only, latest row wins — completed_buckets_df
+    semantics)."""
+    if not 0 <= bucket < n_buckets:
+        raise ValueError(f"bucket must be in [0, {n_buckets}), got {bucket}")
+    docs = _with_bucket(documents, n_buckets)
+    report = RunReport(run_id=run_id, buckets_total=n_buckets)
+    _process_group(lake, docs, run_id, [bucket], n_buckets, num_partitions, report)
     return report
+
+
+def count_summary(lake: Lake) -> dict:
+    """Lake totals without an extraction pass (the reference's
+    ``--count`` path, /root/reference/cli.py:113-120): documents and
+    spans in spans_out, per-status bucket counts from the LATEST lineage
+    row per bucket, and the distinct run count."""
+    out = {"docs": 0, "spans": 0, "runs": 0, "buckets": {}}
+    try:
+        spans = lake.read_spans_out()
+        agg = spans.agg(
+            F.count("*").alias("docs"), F.sum(F.size("spans")).alias("spans")
+        ).collect()[0]
+        out["docs"] = int(agg["docs"])
+        out["spans"] = int(agg["spans"] or 0)
+    except Exception:
+        pass  # no spans_out yet
+    lin = lake.read_lineage()
+    if lin is not None:
+        latest = lin.groupBy("bucket").agg(
+            F.max_by("status", F.col("completed_at")).alias("status")
+        )
+        out["buckets"] = {
+            r["status"]: r["n"]
+            for r in latest.groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        out["runs"] = lin.select("run_id").distinct().count()
+    return out

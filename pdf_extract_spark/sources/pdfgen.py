@@ -186,8 +186,14 @@ def build_pdf(doc_index: int, seed: int = 42, variant: str = "classic") -> bytes
 
     if variant == "objstm":
         return _serialize_objstm(objects)
+    if variant == "objstm2":
+        return _serialize_objstm(objects, n_streams=2)
     if variant == "incremental":
         return _serialize_incremental(objects)
+    if variant == "multigen":
+        return _serialize_incremental(objects, n_gens=4)
+    if variant == "hybrid":
+        return _serialize_hybrid(objects)
     return _serialize_classic(objects)
 
 
@@ -210,61 +216,48 @@ def _serialize_classic(objects: dict[int, bytes]) -> bytes:
     return bytes(out)
 
 
-def _serialize_incremental(objects: dict[int, bytes]) -> bytes:
-    """Two generations: low-id objects + xref in the 'original' file, the
-    rest appended with a /Prev-chained xref (newer section wins lookup)."""
+def _serialize_incremental(objects: dict[int, bytes], n_gens: int = 2) -> bytes:
+    """``n_gens`` generations: objects split across chained incremental
+    updates, each appending its own classic xref section with /Prev
+    pointing at the previous generation (newer section wins lookup) —
+    the shape of a PDF edited and re-saved ``n_gens - 1`` times."""
     oids = sorted(objects)
-    cut = max(1, len(oids) // 2)
-    gen1, gen2 = oids[:cut], oids[cut:]
+    n_gens = max(1, min(n_gens, len(oids)))
+    step = -(-len(oids) // n_gens)  # ceil division
+    gens = [oids[i : i + step] for i in range(0, len(oids), step)]
     n = max(objects) + 1
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
-    for oid in gen1:
-        offsets[oid] = len(out)
-        out += str(oid).encode() + b" 0 obj\n" + objects[oid] + b"\nendobj\n"
-    xref1_at = len(out)
-    out += b"xref\n"
-    # per-object subsections (gen1 ids need not be contiguous)
-    out += b"0 1\n0000000000 65535 f \n"
-    for oid in gen1:
-        out += str(oid).encode() + b" 1\n" + f"{offsets[oid]:010d} 00000 n \n".encode()
-    out += (
-        b"trailer\n<< /Size " + str(n).encode() + b" /Root 1 0 R >>\n"
-        b"startxref\n" + str(xref1_at).encode() + b"\n%%EOF\n"
-    )
-    # appended incremental section
-    for oid in gen2:
-        offsets[oid] = len(out)
-        out += str(oid).encode() + b" 0 obj\n" + objects[oid] + b"\nendobj\n"
-    xref2_at = len(out)
-    out += b"xref\n"
-    for oid in gen2:
-        out += str(oid).encode() + b" 1\n" + f"{offsets[oid]:010d} 00000 n \n".encode()
-    out += (
-        b"trailer\n<< /Size " + str(n).encode() + b" /Root 1 0 R /Prev "
-        + str(xref1_at).encode() + b" >>\n"
-        b"startxref\n" + str(xref2_at).encode() + b"\n%%EOF\n"
-    )
+    prev_at: int | None = None
+    for gi, gen in enumerate(gens):
+        for oid in gen:
+            offsets[oid] = len(out)
+            out += str(oid).encode() + b" 0 obj\n" + objects[oid] + b"\nendobj\n"
+        xref_at = len(out)
+        out += b"xref\n"
+        if gi == 0:
+            out += b"0 1\n0000000000 65535 f \n"
+        # per-object subsections (a generation's ids need not be contiguous)
+        for oid in gen:
+            out += str(oid).encode() + b" 1\n" + f"{offsets[oid]:010d} 00000 n \n".encode()
+        trailer = b"trailer\n<< /Size " + str(n).encode() + b" /Root 1 0 R"
+        if prev_at is not None:
+            trailer += b" /Prev " + str(prev_at).encode()
+        out += trailer + b" >>\nstartxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+        prev_at = xref_at
     return bytes(out)
 
 
-def _serialize_objstm(objects: dict[int, bytes]) -> bytes:
-    """PDF 1.5+ layout: non-stream objects packed into one FlateDecode
-    /ObjStm; stream objects FlateDecode-compressed; cross-reference
-    STREAM with W [1 4 2] binary entries (type 1 = direct offset,
-    type 2 = (objstm, index))."""
+def _is_stream_body(body: bytes) -> bool:
+    return b"\nstream\n" in body
+
+
+def _build_objstm(dict_ids: list[int], objects: dict[int, bytes]) -> bytes:
+    """One /ObjStm body: header 'oid off oid off ...' then the packed
+    object bodies, FlateDecode-compressed."""
     import zlib
 
-    def is_stream(body: bytes) -> bool:
-        return b"\nstream\n" in body
-
-    dict_ids = [o for o in sorted(objects) if not is_stream(objects[o])]
-    stream_ids = [o for o in sorted(objects) if is_stream(objects[o])]
-    objstm_id = max(objects) + 1
-    xref_id = objstm_id + 1
-
-    # ---- the object stream: header "oid off oid off ..." then bodies
     bodies = [objects[o] for o in dict_ids]
     offs = []
     pos = 0
@@ -274,16 +267,19 @@ def _serialize_objstm(objects: dict[int, bytes]) -> bytes:
     header = " ".join(f"{o} {off}" for o, off in zip(dict_ids, offs)).encode() + b"\n"
     payload = header + b"\n".join(bodies) + b"\n"
     compressed = zlib.compress(payload)
-    objstm_body = (
+    return (
         b"<< /Type /ObjStm /N " + str(len(dict_ids)).encode()
         + b" /First " + str(len(header)).encode()
         + b" /Filter /FlateDecode /Length " + str(len(compressed)).encode()
         + b" >>\nstream\n" + compressed + b"\nendstream"
     )
 
-    # ---- recompress regular stream objects with FlateDecode
-    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
-    offsets: dict[int, int] = {}
+
+def _write_flate_streams(out: bytearray, stream_ids: list[int],
+                         objects: dict[int, bytes], offsets: dict[int, int]) -> None:
+    """Append the regular stream objects, FlateDecode-recompressed."""
+    import zlib
+
     for oid in stream_ids:
         body = objects[oid]
         head, rest = body.split(b"\nstream\n", 1)
@@ -297,35 +293,113 @@ def _serialize_objstm(objects: dict[int, bytes]) -> bytes:
             str(oid).encode() + b" 0 obj\n" + head + b"\nstream\n" + comp
             + b"\nendstream\nendobj\n"
         )
-    offsets[objstm_id] = len(out)
-    out += str(objstm_id).encode() + b" 0 obj\n" + objstm_body + b"\nendobj\n"
 
-    # ---- cross-reference stream: W [1 4 2], one entry per id 0..xref_id
-    n = xref_id + 1
+
+def _xref_stream_entries(n: int, offsets: dict[int, int],
+                         in_stream: dict[int, tuple[int, int]],
+                         xref_id: int, xref_at: int) -> bytes:
+    """W [1 4 2] binary rows for ids 0..n-1: type 1 = direct offset,
+    type 2 = (objstm id, index)."""
     entries = bytearray()
     for oid in range(n):
         if oid == 0:
             t, f2, f3 = 0, 0, 65535
+        elif oid == xref_id:
+            t, f2, f3 = 1, xref_at, 0
         elif oid in offsets:
             t, f2, f3 = 1, offsets[oid], 0
-        elif oid in dict_ids:
-            t, f2, f3 = 2, objstm_id, dict_ids.index(oid)
-        elif oid == xref_id:
-            t, f2, f3 = 1, 0, 0  # patched below
+        elif oid in in_stream:
+            t, f2, f3 = 2, in_stream[oid][0], in_stream[oid][1]
         else:
             t, f2, f3 = 0, 0, 0
         entries += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    return bytes(entries)
+
+
+def _serialize_objstm(objects: dict[int, bytes], n_streams: int = 1) -> bytes:
+    """PDF 1.5+ layout: non-stream objects packed into ``n_streams``
+    FlateDecode /ObjStm streams (round-robin — with 2+ streams, objects
+    referenced from one page resolve ACROSS object streams); stream
+    objects FlateDecode-compressed; cross-reference STREAM with W [1 4 2]
+    binary entries (type 1 = direct offset, type 2 = (objstm, index))."""
+    import zlib
+
+    dict_ids = [o for o in sorted(objects) if not _is_stream_body(objects[o])]
+    stream_ids = [o for o in sorted(objects) if _is_stream_body(objects[o])]
+    n_streams = max(1, min(n_streams, len(dict_ids)))
+    groups = [dict_ids[s::n_streams] for s in range(n_streams)]
+    objstm_ids = [max(objects) + 1 + s for s in range(n_streams)]
+    xref_id = max(objects) + n_streams + 1
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    _write_flate_streams(out, stream_ids, objects, offsets)
+    in_stream: dict[int, tuple[int, int]] = {}
+    for sid, group in zip(objstm_ids, groups):
+        offsets[sid] = len(out)
+        out += str(sid).encode() + b" 0 obj\n" + _build_objstm(group, objects) + b"\nendobj\n"
+        for idx, oid in enumerate(group):
+            in_stream[oid] = (sid, idx)
+
+    n = xref_id + 1
     xref_at = len(out)
-    # patch the xref stream's own offset into its entry
-    idx = 7 * xref_id
-    entries[idx:idx + 7] = bytes([1]) + xref_at.to_bytes(4, "big") + (0).to_bytes(2, "big")
-    xcomp = zlib.compress(bytes(entries))
+    entries = _xref_stream_entries(n, offsets, in_stream, xref_id, xref_at)
+    xcomp = zlib.compress(entries)
     out += (
         str(xref_id).encode() + b" 0 obj\n<< /Type /XRef /Size " + str(n).encode()
         + b" /W [1 4 2] /Root 1 0 R /Filter /FlateDecode /Length "
         + str(len(xcomp)).encode() + b" >>\nstream\n" + xcomp + b"\nendstream\nendobj\n"
     )
     out += b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    return bytes(out)
+
+
+def _serialize_hybrid(objects: dict[int, bytes]) -> bytes:
+    """A HYBRID-reference file (PDF 1.5 §7.5.8.4): startxref points at a
+    CLASSIC table listing only the direct stream objects, whose trailer
+    carries /XRefStm pointing at a cross-reference STREAM that indexes
+    the /ObjStm-packed dictionary objects — readers ignorant of xref
+    streams see the table, modern readers merge the stream's entries
+    with precedence. Exercises the parser's /XRefStm hop."""
+    import zlib
+
+    dict_ids = [o for o in sorted(objects) if not _is_stream_body(objects[o])]
+    stream_ids = [o for o in sorted(objects) if _is_stream_body(objects[o])]
+    objstm_id = max(objects) + 1
+    xref_id = objstm_id + 1
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    _write_flate_streams(out, stream_ids, objects, offsets)
+    offsets[objstm_id] = len(out)
+    out += (
+        str(objstm_id).encode() + b" 0 obj\n"
+        + _build_objstm(dict_ids, objects) + b"\nendobj\n"
+    )
+    in_stream = {oid: (objstm_id, idx) for idx, oid in enumerate(dict_ids)}
+
+    # the xref STREAM covers the packed objects + the objstm + itself
+    n = xref_id + 1
+    xrefstm_at = len(out)
+    stream_only = {objstm_id: offsets[objstm_id]}
+    entries = _xref_stream_entries(n, stream_only, in_stream, xref_id, xrefstm_at)
+    xcomp = zlib.compress(entries)
+    out += (
+        str(xref_id).encode() + b" 0 obj\n<< /Type /XRef /Size " + str(n).encode()
+        + b" /W [1 4 2] /Root 1 0 R /Filter /FlateDecode /Length "
+        + str(len(xcomp)).encode() + b" >>\nstream\n" + xcomp + b"\nendstream\nendobj\n"
+    )
+
+    # the classic table: direct objects only, trailer hops via /XRefStm
+    xref_at = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    for oid in stream_ids:
+        out += str(oid).encode() + b" 1\n" + f"{offsets[oid]:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(n).encode() + b" /Root 1 0 R /XRefStm "
+        + str(xrefstm_at).encode() + b" >>\nstartxref\n"
+        + str(xref_at).encode() + b"\n%%EOF\n"
+    )
     return bytes(out)
 
 

@@ -262,7 +262,19 @@ class PdfDocument:
         while at is not None and at not in seen:
             seen.add(at)
             if data[at : at + 4] == b"xref":
-                trailer = _parse_classic_section(data, at, self.offsets)
+                # hybrid-reference file (PDF 1.5 §7.5.8.4): a classic
+                # table whose trailer carries /XRefStm. The STREAM's
+                # entries take precedence over the accompanying table's,
+                # so parse the table into a side dict, merge the stream
+                # first, then backfill the table's entries.
+                classic: dict[int, tuple] = {}
+                trailer = _parse_classic_section(data, at, classic)
+                xs = trailer.get("XRefStm")
+                if xs is not None and int(xs) not in seen:
+                    seen.add(int(xs))
+                    self._parse_xref_stream(int(xs))
+                for oid, e in classic.items():
+                    self.offsets.setdefault(oid, e)
             else:
                 trailer = self._parse_xref_stream(at)
             if self.trailer is None:

@@ -198,3 +198,49 @@ def test_iceberg_dispatch_seam(spark, monkeypatch):
 
     with _pytest.raises(ValueError):
         Lake(spark, "x", table_format="delta")
+
+
+def test_retry_bucket_and_count_summary(spark, docs_df, tmp_path):
+    """CLI parity tail (reference cli.py:113-135): retry --bucket N
+    re-extracts a COMPLETED bucket unconditionally and idempotently
+    (dynamic partition overwrite — no duplicate rows, byte-identical
+    table), appends a fresh lineage row, and count_summary reports lake
+    totals without an extraction pass."""
+    from pdf_extract_spark.lineage import count_summary, retry_bucket
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    run_extraction_with_lineage(
+        lake, docs_df, run_id="r1", n_buckets=N_BUCKETS, group_size=GROUP
+    )
+    before = _collect_spans(lake.read_spans_out())
+    target = int(lake.read_spans_out().select("bucket").first()["bucket"])
+    n_lineage_rows = lake.read_lineage().count()
+
+    rep = retry_bucket(
+        lake, docs_df, run_id="r2", bucket=target, n_buckets=N_BUCKETS
+    )
+    assert rep.buckets_processed == [target]
+    assert rep.doc_count > 0
+    # idempotent: the retried bucket replaced its own partition exactly
+    assert _collect_spans(lake.read_spans_out()) == before
+    # history stays append-only: one extra lineage row, still completed
+    lin = lake.read_lineage()
+    assert lin.count() == n_lineage_rows + 1
+    assert (
+        lin.filter((lin.bucket == target) & (lin.run_id == "r2"))
+        .first()["status"] == "completed"
+    )
+
+    c = count_summary(lake)
+    assert c["docs"] == N_DOCS
+    assert c["spans"] == sum(len(v) for v in before.values())
+    assert c["buckets"] == {"completed": len(set(r["bucket"] for r in
+                            lake.read_spans_out().select("bucket").collect()))}
+    assert c["runs"] == 2
+
+    with pytest.raises(ValueError):
+        retry_bucket(lake, docs_df, run_id="r3", bucket=99, n_buckets=N_BUCKETS)
+
+    # empty lake: count_summary degrades gracefully
+    empty = count_summary(Lake(spark, str(tmp_path / "nolake")))
+    assert empty == {"docs": 0, "spans": 0, "runs": 0, "buckets": {}}

@@ -14,7 +14,10 @@ SEED = 21
 import pytest
 
 
-@pytest.mark.parametrize("variant", ["classic", "incremental", "objstm"])
+@pytest.mark.parametrize(
+    "variant",
+    ["classic", "incremental", "multigen", "objstm", "objstm2", "hybrid"],
+)
 def test_roundtrip_parse_exact(variant):
     """All three file layouts — classic xref table, /Prev-chained
     incremental update, and PDF 1.5+ xref stream + FlateDecode /ObjStm —

@@ -66,3 +66,65 @@ def test_byte_flips_never_escape_pdferror(doc_index, flips):
         pdfparse.parse_pdf(bytes(data))
     except pdfparse.PdfError:
         pass  # quarantined — the only acceptable failure type
+
+
+VARIANTS = ("classic", "incremental", "multigen", "objstm", "objstm2", "hybrid")
+
+
+@given(
+    st.sampled_from(VARIANTS),
+    st.integers(0, 200),
+    st.integers(1, 2**30),
+)
+@settings(max_examples=60, deadline=None)
+def test_every_layout_variant_roundtrips(variant, doc_index, seed):
+    """The odd-PDF long tail a crawl hits: multi-generation /Prev chains
+    (a file saved incrementally 3 times), hybrid-reference files
+    (classic table + /XRefStm hop), and objects split ACROSS two object
+    streams — all must parse to the identical page structure as the
+    classic layout."""
+    data = pdfgen.build_pdf(doc_index, seed=seed, variant=variant)
+    assert pdfparse.parse_pdf(data) == pdfgen.expected_pages(doc_index, seed=seed)
+
+
+@given(
+    st.sampled_from(VARIANTS),
+    st.integers(min_value=0, max_value=9),
+    st.lists(st.tuples(st.integers(min_value=9, max_value=4000),
+                       st.integers(min_value=0, max_value=255)),
+             min_size=1, max_size=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_byte_flips_quarantine_all_variants(variant, doc_index, flips):
+    """The PdfError-only contract must hold across EVERY file layout —
+    corrupting an ObjStm header, a /Prev offset, an /XRefStm pointer or
+    a W-encoded binary entry quarantines, never crashes."""
+    data = bytearray(pdfgen.build_pdf(doc_index, seed=21, variant=variant))
+    for pos, val in flips:
+        data[pos % len(data)] = val
+    try:
+        pdfparse.parse_pdf(bytes(data))
+    except pdfparse.PdfError:
+        pass  # quarantined — the only acceptable failure type
+
+
+def test_multigen_has_chained_prev_sections():
+    """Structural: the multigen layout really contains 4 xref sections
+    with 3 /Prev links (not collapsed into one)."""
+    data = pdfgen.build_pdf(3, seed=21, variant="multigen")
+    assert data.count(b"startxref") == 4
+    assert data.count(b"/Prev") == 3
+
+
+def test_hybrid_has_xrefstm_hop():
+    """Structural: the hybrid layout carries a classic table whose
+    trailer points at a /Type /XRef stream via /XRefStm."""
+    data = pdfgen.build_pdf(3, seed=21, variant="hybrid")
+    assert b"/XRefStm" in data
+    assert b"xref\n0 1\n" in data          # the classic table
+    assert b"/Type /XRef" in data          # the stream it hops to
+
+
+def test_objstm2_splits_across_streams():
+    data = pdfgen.build_pdf(3, seed=21, variant="objstm2")
+    assert data.count(b"/Type /ObjStm") == 2

@@ -54,6 +54,9 @@ HEADLINE = [
     "cosine_topk",              # similarity brute force
     "ann_lsh_topk",             # similarity scale path
     "ann_lsh_multitable",       # multi-table LSH (recall-recovering scale path)
+    "ann_ivf_fixed_topk",       # IVF probe/rank path (value-exact vs DuckDB)
+    "curate_corpus",            # composed pipeline: dedup->components->sample->pack
+    "align_export_full_outer",  # J4 export join (value-exact vs DuckDB)
     "pdf_bytes_extract",        # byte path: xref walk + content-stream parse
     "align_pairs",              # Hungarian/greedy alignment kernel
     "pair_metadata",            # counter-algebra pair metadata
@@ -314,6 +317,21 @@ def write_bench_md(result: dict) -> None:
             f"Reproduce: `python bench.py --durability` (raw: `{json.dumps(d)}`)",
             "",
         ]
+    lines += [
+        "## Iceberg commit overhead — not measurable in this sandbox",
+        "",
+        "The lake's `table_format=\"iceberg\"` branch issues the real",
+        "`writeTo(tbl).overwritePartitions()` / `.append()` verbs, but the",
+        "environment ships NO iceberg-spark runtime jars (checked:",
+        "`pyspark/jars` has none and installs are not permitted), so",
+        "snapshot-commit overhead vs the parquet lake cannot be timed here.",
+        "The dispatch seam is exercised both ways by a fake-catalog writer",
+        "in tests/test_lineage.py::test_iceberg_dispatch_seam; on a real",
+        "cluster, point `Lake(root=\"catalog.db\", table_format=\"iceberg\")`",
+        "at an Iceberg catalog and `python bench.py --durability` measures",
+        "the same pipeline through snapshot commits.",
+        "",
+    ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
 

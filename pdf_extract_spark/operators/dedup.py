@@ -484,6 +484,12 @@ def dedup_components(
     edges = sym.union(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    # materialize ONCE: edges joins into every round, and without this
+    # each round would recompute the whole upstream pair lineage (for
+    # minhash input, that's the full candidate generation per iteration
+    # — an O(rounds x corpus) recompute at scale, and measured ~5x wall
+    # on the composed curate_corpus query at sf0.1)
+    edges = edges.localCheckpoint(eager=True)
 
     labels = (
         edges.select(F.col("src").alias("id")).distinct()

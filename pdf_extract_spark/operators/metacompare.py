@@ -14,10 +14,13 @@ pandas ``.apply`` stages as Arrow-vectorized kernels:
     ordinals / month names to digit strings, hyphen-split prefix match;
   * A9 Counter algebra (:206-271) — MULTISET intersect/subtract (Spark's
     array_intersect dedups, so this stays in the kernel);
-  * C16 special-symbol comparison (:353-372) with super/subscript digit
-    equivalence;
-  * C17 korean-presence pair classification (:383-421) — pure ``when()``
-    chain, no Python (see queries.pair_class for the Catalyst form).
+  * C16 special-symbol comparison — two layers: the engine-portable
+    multiset projection (extract_symbols + counter_diff, value-exact vs
+    DuckDB via the pair_symbols query) and the faithful
+    compare_special_symbols verdict (:354-372, NFKC + wide allowlist +
+    digit redemption) as ``symbol_status``;
+  * C17 english-as-korean row classification (:383-421) — faithful
+    check_only_eng_korean_sentence semantics (``pair_class``).
 
 The kernel functions are pure Python on lists (usable by oracles/tests);
 ``pair_metadata`` wires them into one Arrow-batched pandas UDF returning
@@ -107,11 +110,21 @@ from pdf_extract_spark.rules import RE_KOREAN  # C17 — single source of truth
 # --------------------------------------------------------------------------
 
 def extract_punct(t: str) -> list[str]:
-    """C12 — ordered punctuation occurrences + terminal dot."""
-    out = RE_PUNCT.findall(t or "")
-    if t and RE_TERMINAL_DOT.search(t.strip()):
-        out.append(".")
-    return out
+    """C12 (metadata_generator.py:92-96), faithful: the terminal-dot
+    token comes FIRST (``end_periods + other_punct``), and the ``\\.$``
+    check runs on the RAW text — trailing whitespace blocks it (the
+    reference does not strip)."""
+    if not t:
+        return []
+    out = ["."] if RE_TERMINAL_DOT.search(t) else []
+    return out + RE_PUNCT.findall(t)
+
+
+def punct_status(kr: str, en: str) -> str:
+    """The reference's ``punct_match_type`` (metadata_generator.py:98-114):
+    'match' iff the ORDERED punct lists are identical, else 'no_match' —
+    a binary, order-sensitive verdict (no partial tier)."""
+    return "match" if extract_punct(kr or "") == extract_punct(en or "") else "no_match"
 
 
 def extract_numbers(t: str) -> list[str]:
@@ -278,66 +291,153 @@ def number_status(kr: str, en: str) -> str:
 ROMAN = {"i": "1", "ii": "2", "iii": "3", "iv": "4", "v": "5",
          "vi": "6", "vii": "7", "viii": "8", "ix": "9", "x": "10"}
 
-RE_LATIN_WORD = re.compile(r"[A-Za-z][A-Za-z\-]*")
-
-
-def _word_variants(w: str) -> set[str]:
-    """Comparison variants of one word: lowercase, de-pluralized,
-    hyphen-joined/split, roman numerals as digits
-    (metadata_generator.py:283-341)."""
-    w = w.lower()
-    out = {w}
-    if w in ROMAN:
-        out.add(ROMAN[w])
-    if w.endswith("ies") and len(w) > 3:
-        out.add(w[:-3] + "y")
-    if w.endswith("es") and len(w) > 2:
-        out.add(w[:-2])
-    if w.endswith("s") and len(w) > 1:
-        out.add(w[:-1])
-    if "-" in w:
-        out.add(w.replace("-", ""))
-        out.update(p for p in w.split("-") if p)
-    return out
+# the reference's word token: letter runs joined by dots or hyphens
+# ('Ph.D', 'state-of-the-art' are ONE token each)
+RE_LATIN_WORD = re.compile(r"[a-zA-Z]+(?:[.-][a-zA-Z]+)*")
+RE_EN_DIGIT_SUFFIX = re.compile(r"\d+([a-zA-Z]+)")  # '1st' -> 'st'
 
 
 def word_status(kr: str, en: str) -> str:
-    """C15 (metadata_generator.py:283-341): every latin-script word
-    embedded in the kr sentence (untranslated terms, acronyms) must appear
-    in the en sentence, matching under plural/hyphen/roman variants."""
+    """C15, faithful to compare_english_words
+    (metadata_generator.py:283-341): latin words embedded in the kr
+    sentence (untranslated terms, acronyms) are counted with
+    MULTIPLICITY and must be covered by the en sentence's word Counter.
+    Variant expansion happens on the EN side only — each en word also
+    credits its de-pluralized form ('ies'→'y', len>2 's'-strip) and its
+    hyphen-split parts, and digit-suffix tokens ('1st'→'st') join the
+    counter — so kr 'tank' matches en 'tanks' but kr 'tanks' does NOT
+    match en 'tank' (direction is deliberate reference behavior). A kr
+    roman numeral is satisfied by its digit appearing anywhere in the
+    RAW en text. Verdict over DISTINCT kr words: all covered →
+    all_match; none covered → no_match; else partial_match; no latin in
+    kr → no_eng_in_kor."""
     kr_words = RE_LATIN_WORD.findall(kr or "")
-    kr_words = [w for w in kr_words if w.lower() != "kr"]  # fixture marker
     if not kr_words:
-        return "no_english_in_kr"
-    en_variants: set[str] = set()
-    for w in RE_LATIN_WORD.findall(en or ""):
-        en_variants |= _word_variants(w)
-    # digit tokens participate so roman numerals in kr match '3' in en
-    en_variants |= set(re.findall(r"\d+", en or ""))
-    missing = [
-        w for w in kr_words if not (_word_variants(w) & en_variants)
-    ]
+        return "no_eng_in_kor"
+    kc = Counter(w.lower() for w in kr_words)
+
+    el = (en or "").lower()
+    ec = Counter(RE_LATIN_WORD.findall(el) + RE_EN_DIGIT_SUFFIX.findall(el))
+    for w, c in list(ec.items()):
+        if w.endswith("ies"):
+            ec[w[:-3] + "y"] += c
+        elif len(w) > 2 and w.endswith("s"):
+            ec[w[:-1]] += c
+        if "-" in w:
+            for part in w.split("-"):
+                if part:
+                    ec[part] += c
+    eng_nums = set(re.findall(r"\d+", en or ""))
+
+    missing = Counter()
+    for w, need in kc.items():
+        if w in ROMAN and ROMAN[w] in eng_nums:
+            continue
+        if need > ec.get(w, 0):
+            missing[w] = need - ec.get(w, 0)
     if not missing:
         return "all_match"
-    if len(missing) < len(kr_words):
-        return "partial_match"
-    return "no_match"
+    if len(missing) == len(kc):
+        return "no_match"
+    return "partial_match"
+
+
+RE_WS_RUN_PY = re.compile(r"\s+")
 
 
 def pair_class(kr: str, en: str) -> str:
-    """C17 (metadata_generator.py:383-421) — pair-quality class."""
-    if kr is None or en is None:
+    """C17, faithful to check_only_eng_korean_sentence
+    (metadata_generator.py:383-421) — detects rows whose 'Korean' side
+    is actually the English sentence (or noise): invalid_input for
+    non-strings; empty only when BOTH sides strip to nothing; all_match
+    when the lowered/stripped sides are IDENTICAL (the kr cell holds the
+    en text); partial_match when they equalize after whitespace removal;
+    no_korean_in_kor when the kr side has no hangul; else
+    valid_candidate. Check ORDER mirrors the reference — equality is
+    tested before the hangul check."""
+    if not isinstance(kr, str) or not isinstance(en, str):
         return "invalid_input"
-    if not kr.strip() or not en.strip():
+    kl, el = kr.lower().strip(), en.lower().strip()
+    if not kl and not el:
         return "empty"
-    if not RE_KOREAN.search(kr):
-        return "no_korean_in_kor"
-    p_match, p_only_k, p_only_e = counter_diff(extract_punct(kr), extract_punct(en))
-    if p_only_k == 0 and p_only_e == 0:
+    if kl == el:
         return "all_match"
-    if p_match > 0:
+    if RE_WS_RUN_PY.sub("", kl) == RE_WS_RUN_PY.sub("", el):
         return "partial_match"
+    if not RE_KOREAN.search(kl):
+        return "no_korean_in_kor"
     return "valid_candidate"
+
+
+# --- C16, the faithful comparator (compare_special_symbols,
+# metadata_generator.py:354-372): NFKC first, a WIDE allowlist (ASCII
+# punctuation, jamo, parens, curly quotes, interpunct etc. are all
+# allowed — they are punct, not "special symbols"), then two-sided
+# redemption of leftover symbols against the OTHER side's digits.
+# extract_symbols/counter_diff above remain the engine-portable
+# simplified projection that the pair_symbols oracle value-verifies;
+# symbol_status is the reference's verdict, rows-only via pair_metadata.
+
+RE_ALLOWED_SYMBOL = re.compile(
+    "[a-zA-Z0-9_ㄱ-ㅎㅏ-ㅣ가-힣\\s.,!?:;'\"`~%()’“”·/&-]"
+)
+SPECIAL_DIGIT_MAP = {
+    "¹": "1", "²": "2", "³": "3", "⁴": "4", "⁵": "5", "⁶": "6",
+    "⁷": "7", "⁸": "8", "⁹": "9",
+    "₁": "1", "₂": "2", "₃": "3", "₄": "4", "₅": "5", "₆": "6",
+    "₇": "7", "₈": "8", "₉": "9",
+}
+
+
+def extract_special_symbols(t: str) -> list[str]:
+    """metadata_generator.py:354-356 — chars outside the wide allowlist."""
+    if not isinstance(t, str):
+        return []
+    return list(RE_ALLOWED_SYMBOL.sub("", t))
+
+
+def symbol_status(kr: str, en: str) -> str:
+    """C16 verdict (compare_special_symbols): NFKC-normalize both sides
+    (so superscript digits mostly collapse into digits before
+    extraction), intersect the symbol Counters, then redeem each side's
+    leftovers against the other side's digit supply via SPECIAL_DIGIT_MAP
+    (bounded by count); no_special_symbols / all_match / partial_match /
+    no_match on the remaining mass."""
+    import unicodedata
+
+    krn = unicodedata.normalize("NFKC", kr or "")
+    enn = unicodedata.normalize("NFKC", en or "")
+    k_sym = Counter(extract_special_symbols(krn))
+    e_sym = Counter(extract_special_symbols(enn))
+    k_num = Counter(re.findall(r"\d", krn))
+    e_num = Counter(re.findall(r"\d", enn))
+    k_rem, e_rem = k_sym.copy(), e_sym.copy()
+    common = k_rem & e_rem
+    k_rem -= common
+    e_rem -= common
+    for sym, count in list(k_rem.items()):
+        d = SPECIAL_DIGIT_MAP.get(sym)
+        if d and e_num[d] > 0:
+            m = min(count, e_num[d])
+            k_rem[sym] -= m
+            e_num[d] -= m
+    for sym, count in list(e_rem.items()):
+        d = SPECIAL_DIGIT_MAP.get(sym)
+        if d and k_num[d] > 0:
+            m = min(count, k_num[d])
+            e_rem[sym] -= m
+            k_num[d] -= m
+    k_rem += Counter()
+    e_rem += Counter()
+    total_initial = sum(k_sym.values()) + sum(e_sym.values())
+    total_rem = sum(k_rem.values()) + sum(e_rem.values())
+    if total_initial == 0:
+        return "no_special_symbols"
+    if total_rem == 0:
+        return "all_match"
+    if total_initial > total_rem:
+        return "partial_match"
+    return "no_match"
 
 
 def compare_pair(kr: str, en: str) -> dict:
@@ -347,10 +447,15 @@ def compare_pair(kr: str, en: str) -> dict:
     sm, sk, se = counter_diff(extract_symbols(kr or ""), extract_symbols(en or ""))
     num_status, kr_nums, en_nums = compare_numbers(kr or "", en or "")
     return {
+        # engine-portable multiset projections (value-exact vs DuckDB via
+        # the pair_symbols query)
         "punct_match": pm, "punct_only_kr": pk, "punct_only_en": pe,
         "symbol_match": sm, "symbol_only_kr": sk, "symbol_only_en": se,
+        # the reference workbook's verdict columns, faithful
+        "punct_status": punct_status(kr or "", en or ""),
         "number_status": num_status,
         "word_status": word_status(kr or "", en or ""),
+        "symbol_status": symbol_status(kr or "", en or ""),
         "pair_class": pair_class(kr, en),
         # the reference's kor_numbers / eng_numbers_after_mapping record
         # fields: sorted POST-mapping token multisets (:266-268)
@@ -371,8 +476,10 @@ META_STRUCT = T.StructType(
         T.StructField("symbol_match", T.IntegerType()),
         T.StructField("symbol_only_kr", T.IntegerType()),
         T.StructField("symbol_only_en", T.IntegerType()),
+        T.StructField("punct_status", T.StringType()),
         T.StructField("number_status", T.StringType()),
         T.StructField("word_status", T.StringType()),
+        T.StructField("symbol_status", T.StringType()),
         T.StructField("pair_class", T.StringType()),
         T.StructField("kr_numbers", T.ArrayType(T.StringType())),
         T.StructField("en_numbers", T.ArrayType(T.StringType())),
@@ -520,10 +627,13 @@ def pair_symbols_sql(pairs_cte: str) -> str:
     chars outside the allowlist after super/subscript digit translation;
     counts compared as MULTISETS (Counter algebra, not set ops)."""
     def punct(c: str) -> str:
+        # kernel parity: the \.$ check runs on the RAW text (no strip),
+        # and the dot token leads — order is irrelevant to the multiset
+        # counts but the mirror keeps the faithful shape anyway
         return (
-            f"(regexp_extract_all({c}, '{_SQL_PUNCT_CLASS}') || "
-            f"CASE WHEN regexp_matches(regexp_replace({c}, '{_PY_WS_TRIM}', '', 'g'), "
-            f"'\\.$') THEN ['.'] ELSE []::VARCHAR[] END)"
+            f"((CASE WHEN regexp_matches({c}, '\\.$') THEN ['.'] "
+            f"ELSE []::VARCHAR[] END) || "
+            f"regexp_extract_all({c}, '{_SQL_PUNCT_CLASS}'))"
         )
 
     def syms(c: str) -> str:
@@ -553,3 +663,34 @@ SELECT doc_id,
        (len(se) - sm)::BIGINT AS symbol_only_en
 FROM m
 """
+
+
+# --------------------------------------------------------------------------
+# F7/F8 content-filter predicates (metadata_generator.py:430-463)
+# --------------------------------------------------------------------------
+
+RE_NUM_FILLER = re.compile(r"[\d\s,.]")
+RE_SINGLE_ALLOWED = re.compile(r"^[a-zA-Z0-9ㄱ-ㅎㅏ-ㅣ가-힣]$")
+RE_SINGLE_ALPHA = re.compile(r"^[a-zA-Z]$")
+
+
+def is_numbers_only(t: str) -> bool:
+    """F7 (metadata_generator.py:430-432): True iff the text is non-blank
+    and empties after removing digits/whitespace/commas/dots."""
+    if not isinstance(t, str) or not t.strip():
+        return False
+    return not RE_NUM_FILLER.sub("", t)
+
+
+def is_symbols_or_single_alphabet_only(t: str) -> bool:
+    """F8 (metadata_generator.py:434-463): True iff, after strip() and
+    dropping literal 'nan' runs, exactly ONE char remains and it is
+    either a symbol (not alnum/jamo/hangul) or a latin letter — a single
+    digit or single hangul syllable survives the filter."""
+    if not isinstance(t, str):
+        return False
+    cleaned = t.strip().replace("nan", "")
+    if len(cleaned) != 1:
+        return False
+    ch = cleaned[0]
+    return (not RE_SINGLE_ALLOWED.match(ch)) or bool(RE_SINGLE_ALPHA.match(ch))

@@ -705,6 +705,68 @@ def filter_regex_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_chars")
 
 
+# the decorated corpus for content_filters: each variant hits a distinct
+# branch of the two reference predicates (blank, numbers-only, single
+# alpha/symbol/digit/hangul, literal-'nan' noise, normal text)
+_CF_DECOS = ["1,234.5 67", "   ", "x", "×", "7", " nan. ", "가", None]
+
+
+def _cf_text_sql() -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{v}'" for i, v in enumerate(_CF_DECOS) if v is not None
+    )
+    return f"CASE doc_id % 8 {whens} ELSE text END"
+
+
+@query(
+    "content_filters",
+    f"""
+WITH t AS (SELECT doc_id, {_cf_text_sql()} AS txt FROM documents),
+c AS (SELECT doc_id, txt,
+             replace(regexp_replace(txt, '{MC._PY_WS_TRIM}', '', 'g'), 'nan', '')
+               AS cleaned
+      FROM t)
+SELECT doc_id,
+       (regexp_replace(txt, '[0-9{MC._PY_WS_CHARS},.]', '', 'g') = ''
+        AND regexp_replace(txt, '{MC._PY_WS_TRIM}', '', 'g') != '') AS numbers_only,
+       (length(cleaned) = 1
+        AND (NOT regexp_matches(cleaned, '^[a-zA-Z0-9ㄱ-ㅎㅏ-ㅣ가-힣]$')
+             OR regexp_matches(cleaned, '^[a-zA-Z]$'))) AS single_noise
+FROM c
+""",
+)
+def content_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8 as faithful Catalyst predicates (metadata_generator.py:
+    430-463): ``numbers_only`` = non-blank text that empties after
+    removing digits/whitespace/commas/dots; ``single_noise`` = after
+    Python-strip and dropping literal 'nan', exactly one char remains
+    and it is a symbol or a lone latin letter (a single digit or hangul
+    syllable is NOT noise). Whitespace classes are the explicit
+    str.split() set; digits are ASCII in both engines (the corpus is
+    ASCII-digit only — Python's \\d-is-unicode nuance documented in the
+    metacompare kernels)."""
+    d = _t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    for i, v in enumerate(_CF_DECOS):
+        if v is not None:
+            txt = F.when(F.col("doc_id") % 8 == i, v).otherwise(txt)
+    stripped = F.regexp_replace(txt, MC._PY_WS_TRIM, "")
+    cleaned = F.regexp_replace(stripped, "nan", "")
+    numbers_only = (
+        (F.regexp_replace(txt, f"[0-9{MC._PY_WS_CHARS},.]", "") == "")
+        & (stripped != "")
+    )
+    single_noise = (F.length(cleaned) == 1) & (
+        ~cleaned.rlike("^[a-zA-Z0-9ㄱ-ㅎㅏ-ㅣ가-힣]$")
+        | cleaned.rlike("^[a-zA-Z]$")
+    )
+    return d.select(
+        "doc_id",
+        numbers_only.alias("numbers_only"),
+        single_noise.alias("single_noise"),
+    )
+
+
 @query(
     "textclean",
     """
@@ -1178,21 +1240,26 @@ def earliest_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 SELECT doc_id,
        len(regexp_extract_all(text, '[!?:;%"`~…]')) AS n_punct,
-       coalesce(list_aggregate(regexp_extract_all(text, '[!?:;%"`~…]'), 'string_agg', ''), '') AS punct_str,
-       (CASE WHEN regexp_matches(trim(text), '\.$') THEN 1 ELSE 0 END)::BIGINT AS ends_dot
+       (CASE WHEN regexp_matches(text, '\.$') THEN '.' ELSE '' END) ||
+         coalesce(list_aggregate(regexp_extract_all(text, '[!?:;%"`~…]'), 'string_agg', ''), '')
+         AS punct_str,
+       (CASE WHEN regexp_matches(text, '\.$') THEN 1 ELSE 0 END)::BIGINT AS ends_dot
 FROM documents
 """,
 )
 def punct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12 — punctuation extraction as pure Catalyst regexp_extract_all
-    (metadata_generator.py:92-96)."""
+    (metadata_generator.py:92-96, faithful shape: the ``\\.$`` check runs
+    on the RAW text and the terminal-dot token LEADS punct_str, exactly
+    extract_punctuation's ``end_periods + other_punct``)."""
     d = _t(spark, sf_dir, "documents")
     arr = F.regexp_extract_all(F.col("text"), F.lit('[!?:;%"`~…]'), 0)
+    dot = F.when(F.col("text").rlike(r"\.$"), ".").otherwise("")
     return d.select(
         "doc_id",
         F.size(arr).cast("long").alias("n_punct"),
-        F.concat_ws("", arr).alias("punct_str"),
-        F.when(F.trim(F.col("text")).rlike(r"\.$"), 1).otherwise(0).cast("long").alias("ends_dot"),
+        F.concat(dot, F.concat_ws("", arr)).alias("punct_str"),
+        F.when(F.col("text").rlike(r"\.$"), 1).otherwise(0).cast("long").alias("ends_dot"),
     )
 
 
@@ -1250,8 +1317,10 @@ def pair_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.punct_match").alias("punct_match"),
         F.col("meta.punct_only_kr").alias("punct_only_kr"),
         F.col("meta.punct_only_en").alias("punct_only_en"),
+        F.col("meta.punct_status").alias("punct_status"),
         F.col("meta.number_status").alias("number_status"),
         F.col("meta.word_status").alias("word_status"),
+        F.col("meta.symbol_status").alias("symbol_status"),
         F.col("meta.pair_class").alias("pair_class"),
     ).orderBy("doc_id", "kr_idx", "en_idx")
 

@@ -6,8 +6,22 @@ from pdf_extract_spark.operators import metacompare as MC
 
 
 def test_extract_punct():
-    assert MC.extract_punct("What? Yes: ok; 50% done.") == ["?", ":", ";", "%", "."]
+    # faithful order: end_periods FIRST, then the class matches
+    # (metadata_generator.py:92-96)
+    assert MC.extract_punct("What? Yes: ok; 50% done.") == [".", "?", ":", ";", "%"]
     assert MC.extract_punct("no punct here") == []
+    # the \.$ check runs on the RAW text: trailing whitespace blocks it
+    assert MC.extract_punct("done. ") == []
+    assert MC.extract_punct("") == []
+
+
+def test_punct_status_order_sensitive():
+    """punct_match_type is binary and ORDER-sensitive — same multiset in
+    a different order is no_match (compare_punctuation compares lists)."""
+    assert MC.punct_status("a? b!", "c? d!") == "match"
+    assert MC.punct_status("a? b!", "c! d?") == "no_match"
+    assert MC.punct_status("plain", "plain") == "match"  # [] == []
+    assert MC.punct_status("done.", "done") == "no_match"
 
 
 def test_extract_numbers_cascade_order():
@@ -70,11 +84,22 @@ def test_number_status():
 
 
 def test_pair_class():
+    """Faithful check_only_eng_korean_sentence semantics
+    (metadata_generator.py:383-421): the class detects rows whose
+    'Korean' cell actually holds the English sentence."""
     assert MC.pair_class(None, "x") == "invalid_input"
-    assert MC.pair_class(" ", "x") == "empty"
+    assert MC.pair_class("", "  ") == "empty"  # BOTH sides empty
+    # one empty side is NOT 'empty': falls through to the hangul check
+    assert MC.pair_class(" ", "x") == "no_korean_in_kor"
     assert MC.pair_class("no korean", "none") == "no_korean_in_kor"
-    assert MC.pair_class("좋다.", "Good.") == "all_match"
-    assert MC.pair_class("좋다? 네.", "Good.") == "partial_match"
+    # the kr cell holds the en sentence -> all_match (case-insensitive)
+    assert MC.pair_class("GOOD.", "good.") == "all_match"
+    # equal only after whitespace removal -> partial_match
+    assert MC.pair_class("Good one.", "Goodone.") == "partial_match"
+    # equality is checked BEFORE the hangul test (reference order)
+    assert MC.pair_class("abc", "abc") == "all_match"
+    # a real translation pair is just a valid candidate
+    assert MC.pair_class("좋다.", "Good.") == "valid_candidate"
     assert MC.pair_class("좋다!", "Good?") == "valid_candidate"
 
 
@@ -97,17 +122,53 @@ def test_spark_pair_metadata(spark):
     # a '2' for it -> digit multisets differ on the shared '1234.5',
     # word maps add nothing => partial_match (reference semantics)
     assert got[0]["number_status"] == "partial_match"
-    assert got[2]["pair_class"] == "no_korean_in_kor"
+    # identical kr and en text = the 'English sentence in the Korean
+    # cell' case the reference class exists to catch
+    assert got[2]["pair_class"] == "all_match"
+    assert got[1]["pair_class"] == "valid_candidate"
 
 
 def test_word_status_variants():
-    # untranslated latin terms in the kr side must appear in en
-    assert MC.word_status("IMO 규정에 따라 ballast-water 처리", "per IMO rules, treat ballast water") == "all_match"
-    assert MC.word_status("tanks 점검", "inspect the tank") == "all_match"  # plural variant
-    assert MC.word_status("제 iii 장", "chapter 3") == "all_match"  # roman numeral
+    """Faithful compare_english_words semantics (metadata_generator.py:
+    283-341): EN-side-only variant expansion, Counter multiplicity,
+    distinct-word verdict."""
+    # en 'tanks' credits 'tank' (en-side de-pluralization)...
+    assert MC.word_status("tank 점검", "inspect the tanks") == "all_match"
+    # ...but the direction does NOT reverse: kr plural vs en singular
+    assert MC.word_status("tanks 점검", "inspect the tank") == "no_match"
+    # kr hyphen tokens are one word; en-side hyphen splitting credits
+    # parts, so a kr joined token needs the same joined token in en
+    assert MC.word_status("ballast-water 처리", "treat ballast-water") == "all_match"
+    assert MC.word_status("ballast-water 처리", "treat ballast water") == "no_match"
+    # dotted words are single tokens
+    assert MC.word_status("Ph.D 과정", "the Ph.D program") == "all_match"
+    # roman numeral satisfied by its digit in the raw en text
+    assert MC.word_status("제 iii 장", "chapter 3") == "all_match"
+    # digit-suffix tokens join the en counter ('1st' -> 'st')
+    assert MC.word_status("st 규격", "the 1st standard") == "all_match"
+    # multiplicity: kr needs TWO 'imo', en supplies one -> that word is
+    # missing -> all distinct kr words missing -> no_match
+    assert MC.word_status("IMO 및 IMO", "per IMO") == "no_match"
+    # distinct-word verdict: one of two covered -> partial
     assert MC.word_status("SOLAS 및 MARPOL", "per SOLAS only") == "partial_match"
     assert MC.word_status("ABC 항목", "nothing relevant") == "no_match"
-    assert MC.word_status("한국어만", "english only") == "no_english_in_kr"
+    assert MC.word_status("한국어만", "english only") == "no_eng_in_kor"
+
+
+def test_symbol_status_reference_semantics():
+    """Faithful compare_special_symbols (metadata_generator.py:354-372):
+    NFKC first, wide allowlist, leftover symbols redeemed against the
+    other side's digits."""
+    # ASCII punct / parens / curly quotes are ALLOWED chars, not symbols
+    assert MC.symbol_status("좋다! (주)", "good? “ok”") == "no_special_symbols"
+    # matching symbols cancel
+    assert MC.symbol_status("온도 30℃", "at 30℃") == "all_match"
+    # NFKC collapses ℃ -> °C: the ° symbol remains on the kr side only
+    assert MC.symbol_status("온도 30℃", "at 30 degrees") == "no_match"
+    # superscript digits NFKC into digits and redeem against digits
+    assert MC.symbol_status("면적 m²", "area of m2") == "no_special_symbols"
+    # partial: one of two symbol occurrences cancels
+    assert MC.symbol_status("× 그리고 †", "× only") == "partial_match"
 
 
 def test_month_prefix_abbreviations():
@@ -201,3 +262,41 @@ def test_pair_stats_reference_edge_semantics(spark):
         assert int(ddb.loc[i, "word_count_kr"]) == out[i]["word_count_kr"]
         assert int(ddb.loc[i, "word_count_en"]) == out[i]["word_count_en"]
         assert bool(ddb.loc[i, "potential_split"]) == out[i]["potential_split"]
+
+
+def test_content_filter_kernels():
+    """F7/F8 pure kernels against reference-derived truths
+    (metadata_generator.py:430-463)."""
+    assert MC.is_numbers_only("1,234.5 67") is True
+    assert MC.is_numbers_only("7") is True
+    assert MC.is_numbers_only("   ") is False      # blank -> False
+    assert MC.is_numbers_only("x1") is False
+    assert MC.is_numbers_only(" nan. ") is False
+
+    assert MC.is_symbols_or_single_alphabet_only("x") is True    # lone letter
+    assert MC.is_symbols_or_single_alphabet_only("×") is True    # lone symbol
+    assert MC.is_symbols_or_single_alphabet_only(" nan. ") is True  # -> '.'
+    assert MC.is_symbols_or_single_alphabet_only("7") is False   # digit survives
+    assert MC.is_symbols_or_single_alphabet_only("가") is False  # hangul survives
+    assert MC.is_symbols_or_single_alphabet_only("xy") is False
+    assert MC.is_symbols_or_single_alphabet_only(None) is False
+
+
+def test_content_filters_query_matches_kernels(spark):
+    """The Catalyst twin in the content_filters query must agree with the
+    pure Python kernels row by row."""
+    from pdf_extract_spark.queries import _CF_DECOS, QUERIES
+
+    out = {r["doc_id"]: r for r in
+           QUERIES["content_filters"](spark, "/root/testdata/sf0.001").collect()}
+    import duckdb
+
+    texts = duckdb.sql(
+        "SELECT doc_id, text FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).df().set_index("doc_id")["text"].to_dict()
+    for doc_id, row in out.items():
+        t = _CF_DECOS[doc_id % 8]
+        if t is None:
+            t = texts[doc_id]
+        assert row["numbers_only"] == MC.is_numbers_only(t), (doc_id, t)
+        assert row["single_noise"] == MC.is_symbols_or_single_alphabet_only(t), (doc_id, t)

@@ -279,3 +279,59 @@ SELECT doc_id,
         AND {ratio} >= {min_stopword_ratio}) AS keep
 FROM {table}
 """
+
+
+# ------------------------------------------------- repetition statistics
+#
+# The Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", §A1.1.2 — public paper): repeated n-grams mark
+# boilerplate/templated documents that poison training data. Two signals,
+# both pure Catalyst array expressions (no shuffle, no Python):
+#   * type-token ratio — distinct tokens / tokens (low => repetitive);
+#   * top-bigram fraction — occurrences of the most frequent bigram over
+#     all bigrams (high => a phrase loops).
+# The per-row distinct-scan is O(distinct x tokens) INSIDE one row —
+# document-bounded, embarrassingly parallel, no cross-row state; at
+# 100 TB this stays a map-only pass with column-pruned scans.
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    ttr = F.round(F.size(F.array_distinct(toks)) / n, 6)
+    bg = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda d: F.size(F.filter(bg, lambda x: x == d)),
+        )
+    )
+    top_frac = F.when(F.size(bg) > 0, F.round(top / F.size(bg), 6)).otherwise(0.0)
+    return df.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        ttr.alias("type_token_ratio"),
+        top_frac.alias("top_bigram_frac"),
+    )
+
+
+def repetition_stats_sql(table: str = "documents", text_expr: str = "text") -> str:
+    toks = tokens_sql(text_expr)
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM {table}),
+b AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bg
+  FROM t)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio,
+       CASE WHEN len(bg) > 0 THEN
+         round(list_max(list_transform(list_distinct(bg),
+               d -> len(list_filter(bg, x -> x = d)))) * 1.0 / len(bg), 6)
+       ELSE 0.0 END AS top_bigram_frac
+FROM b
+"""

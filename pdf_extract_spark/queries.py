@@ -969,6 +969,15 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query("repetition_stats", textstats.repetition_stats_sql())
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 A1.1.2): per-doc
+    type-token ratio and top-bigram fraction, pure Catalyst array
+    expressions — the boilerplate/looped-phrase detector a training-data
+    pipeline runs before dedup."""
+    return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 @query("quality_filter", textstats.quality_filter_sql(min_tokens=25, min_stopword_ratio=0.01))
 def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative quality gate with auditable verdicts: every doc keeps

@@ -60,7 +60,9 @@ def test_agg_is_partial_and_jvm_side(spark):
     assert "*(" in final  # the WholeStageCodegen stage marker
 
 
-@pytest.mark.parametrize("name", ["token_count", "quality_score", "lang_id", "textclean"])
+@pytest.mark.parametrize(
+    "name", ["token_count", "quality_score", "lang_id", "textclean", "repetition_stats"]
+)
 def test_text_ops_are_jvm_side(spark, name):
     """Text-analysis queries must compile to pure Catalyst expressions —
     no Python evaluation nodes anywhere in the plan."""

@@ -305,10 +305,13 @@ def write_bench_md(result: dict) -> None:
             f"PARTITION FILTER (plan-verified: {d.get('partition_filters_pushed')}),",
             "so each commit group reads only its own buckets of the ingested",
             "table. At THIS local scale the input is ~60 MB and largely",
-            "page-cached, so pruning shows only a modest wall-clock edge",
-            f"(unpartitioned control: {d['unpartitioned_sec']} s, "
-            f"{round((d['unpartitioned_sec'] / d['partitioned_sec'] - 1) * 100):+d}%); "
-            "it pays at petabyte inputs,",
+            "page-cached, so the pruning effect on wall clock sits inside",
+            "the sandbox's ±20-30% run-to-run noise band (unpartitioned",
+            f"control: {d['unpartitioned_sec']} s, "
+            f"{round((d['unpartitioned_sec'] / d['partitioned_sec'] - 1) * 100):+d}% "
+            "this run — the sign has flipped across rounds); what the run",
+            "proves here is pushdown + exactly-once, not a speedup.",
+            "Pruning pays at petabyte inputs,",
             "where unpruned lineage IO is O(groups x corpus) instead of",
             "O(corpus). (An earlier figure showing a large gap measured a",
             "non-materialized generator input being recomputed per group —",
@@ -318,6 +321,19 @@ def write_bench_md(result: dict) -> None:
             "",
         ]
     lines += [
+        "## Round-to-round variance caveat",
+        "",
+        "The sandbox is a shared-host VM: identical code measured on",
+        "different days drifts ±20-30% on sub-second Catalyst queries",
+        "(observed r2 → r3 on queries whose plans did not change at all,",
+        "e.g. mode_quantity 0.90 s → 1.24 s). Cross-ROUND suite deltas on",
+        "individual queries are therefore only meaningful beyond that",
+        "band, or when confirmed by an isolated warm re-run on an idle",
+        "machine (e.g. pdf_bytes_extract's r2 drift was confirmed real at",
+        "5.2 s suite / reproduced isolated, then fixed to 3.8 s warm in",
+        "r3 by fast-pathing clean batches). Within-run comparisons (the",
+        "scaling table above, pinned cores, same minute) are unaffected.",
+        "",
         "## Iceberg commit overhead — not measurable in this sandbox",
         "",
         "The lake's `table_format=\"iceberg\"` branch issues the real",

@@ -39,3 +39,23 @@ def format_duration(duration_seconds: float) -> str:
     if minutes > 0:
         return f"{minutes}분 {seconds}초"
     return f"{seconds}초"
+
+
+def estimate_processing_time(
+    total_pages: int, batch_size: int, avg_batch_time: float = 30.0
+) -> tuple[int, str]:
+    """utils.py:269-284 — (total_batches, '약 X시간 Y분' estimate):
+    ceil-div pages into batches, multiply by the average batch seconds,
+    format hours/minutes with the reference's exact branching ('1분
+    이내' floor under a minute; the hours branch always shows minutes)."""
+    total_batches = (total_pages + batch_size - 1) // batch_size
+    estimated_seconds = total_batches * avg_batch_time
+    hours = int(estimated_seconds // 3600)
+    minutes = int((estimated_seconds % 3600) // 60)
+    if hours > 0:
+        time_str = f"약 {hours}시간 {minutes}분"
+    elif minutes > 0:
+        time_str = f"약 {minutes}분"
+    else:
+        time_str = "1분 이내"
+    return total_batches, time_str

@@ -21,3 +21,15 @@ def test_format_duration():
     assert format_duration(61) == "1분 1초"
     assert format_duration(3600) == "1시간 0분 0초"
     assert format_duration(3725.8) == "1시간 2분 5초"
+
+
+def test_estimate_processing_time():
+    """utils.py:269-284 — ceil-div batching and the exact Korean strings."""
+    from pdf_extract_spark.reporting import estimate_processing_time
+
+    assert estimate_processing_time(100, 10, 30.0) == (10, "약 5분")
+    assert estimate_processing_time(101, 10, 30.0) == (11, "약 5분")  # ceil
+    assert estimate_processing_time(10, 10, 30.0) == (1, "1분 이내")
+    assert estimate_processing_time(1000, 10, 40.0) == (100, "약 1시간 6분")
+    # the hours branch always shows minutes, even zero
+    assert estimate_processing_time(1200, 10, 30.0) == (120, "약 1시간 0분")

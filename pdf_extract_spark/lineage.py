@@ -305,9 +305,35 @@ def retry_bucket(
     overwrite replaces exactly that bucket's spans partition, and a fresh
     ``completed`` lineage row records the retry (the bucket's history
     stays append-only, latest row wins — completed_buckets_df
-    semantics)."""
+    semantics).
+
+    Validates ``n_buckets`` against the EXISTING lake before writing: a
+    retry with a different bucket count than the lake was built with
+    would make the dynamic partition overwrite silently drop every doc
+    whose old-scheme bucket is ``bucket`` but new-scheme bucket isn't
+    (and duplicate the converse), so a mismatch raises instead (one
+    cheap two-column scan with an early-out limit — the same guard
+    run_extraction_with_lineage applies to pre-bucketed inputs)."""
     if not 0 <= bucket < n_buckets:
         raise ValueError(f"bucket must be in [0, {n_buckets}), got {bucket}")
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = lake.read_spans_out()
+    except AnalysisException:
+        existing = None  # empty lake: retry degenerates to a plain extract
+    if existing is not None:
+        bad = existing.filter(
+            F.col("bucket") != bucket_of(F.col("doc_id"), n_buckets)
+        ).limit(1)
+        if bad.count() > 0:
+            raise ValueError(
+                f"lake at {lake.spans_out} was not bucketed with "
+                f"n_buckets={n_buckets}: at least one stored row's bucket "
+                "does not equal bucket_of(doc_id); pass the bucket count "
+                "the lake was created with (a mismatched retry would "
+                "silently drop/duplicate documents)"
+            )
     docs = _with_bucket(documents, n_buckets)
     report = RunReport(run_id=run_id, buckets_total=n_buckets)
     _process_group(lake, docs, run_id, [bucket], n_buckets, num_partitions, report)
@@ -319,6 +345,8 @@ def count_summary(lake: Lake) -> dict:
     ``--count`` path, /root/reference/cli.py:113-120): documents and
     spans in spans_out, per-status bucket counts from the LATEST lineage
     row per bucket, and the distinct run count."""
+    from pyspark.errors import AnalysisException
+
     out = {"docs": 0, "spans": 0, "runs": 0, "buckets": {}}
     try:
         spans = lake.read_spans_out()
@@ -327,8 +355,10 @@ def count_summary(lake: Lake) -> dict:
         ).collect()[0]
         out["docs"] = int(agg["docs"])
         out["spans"] = int(agg["spans"] or 0)
-    except Exception:
-        pass  # no spans_out yet
+    except AnalysisException:
+        pass  # no spans_out yet (missing path / unknown table)
+    # any OTHER failure (corrupt parquet, catalog misconfig, permissions)
+    # must surface, not read as "0 docs" next to completed lineage rows
     lin = lake.read_lineage()
     if lin is not None:
         latest = lin.groupBy("bucket").agg(

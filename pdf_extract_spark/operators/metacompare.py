@@ -30,6 +30,7 @@ a struct column — one Python pass per batch, not per row.
 from __future__ import annotations
 
 import re
+import unicodedata
 from collections import Counter
 
 import pandas as pd
@@ -112,8 +113,11 @@ from pdf_extract_spark.rules import RE_KOREAN  # C17 — single source of truth
 def extract_punct(t: str) -> list[str]:
     """C12 (metadata_generator.py:92-96), faithful: the terminal-dot
     token comes FIRST (``end_periods + other_punct``), and the ``\\.$``
-    check runs on the RAW text — trailing whitespace blocks it (the
-    reference does not strip)."""
+    check runs on the RAW text (the reference does not strip) — so
+    trailing spaces/tabs block it, but Python's ``$`` still matches
+    before ONE final newline ('done.\\n' counts the dot). The SQL
+    mirrors spell this out as ``\\.\\n?`` + end-of-input, since RE2's
+    ``$`` is \\z and Java's also fires before ``\\r``."""
     if not t:
         return []
     out = ["."] if RE_TERMINAL_DOT.search(t) else []
@@ -403,8 +407,6 @@ def symbol_status(kr: str, en: str) -> str:
     leftovers against the other side's digit supply via SPECIAL_DIGIT_MAP
     (bounded by count); no_special_symbols / all_match / partial_match /
     no_match on the remaining mass."""
-    import unicodedata
-
     krn = unicodedata.normalize("NFKC", kr or "")
     enn = unicodedata.normalize("NFKC", en or "")
     k_sym = Counter(extract_special_symbols(krn))
@@ -443,7 +445,8 @@ def symbol_status(kr: str, en: str) -> str:
 def compare_pair(kr: str, en: str) -> dict:
     """The full per-pair metadata record (one row of the reference's
     metadata workbook, metadata_generator.py:466-689)."""
-    pm, pk, pe = counter_diff(extract_punct(kr or ""), extract_punct(en or ""))
+    punct_kr, punct_en = extract_punct(kr or ""), extract_punct(en or "")
+    pm, pk, pe = counter_diff(punct_kr, punct_en)
     sm, sk, se = counter_diff(extract_symbols(kr or ""), extract_symbols(en or ""))
     num_status, kr_nums, en_nums = compare_numbers(kr or "", en or "")
     return {
@@ -451,8 +454,10 @@ def compare_pair(kr: str, en: str) -> dict:
         # the pair_symbols query)
         "punct_match": pm, "punct_only_kr": pk, "punct_only_en": pe,
         "symbol_match": sm, "symbol_only_kr": sk, "symbol_only_en": se,
-        # the reference workbook's verdict columns, faithful
-        "punct_status": punct_status(kr or "", en or ""),
+        # the reference workbook's verdict columns, faithful (the punct
+        # verdict compares the lists already in hand — list equality IS
+        # punct_status's definition)
+        "punct_status": "match" if punct_kr == punct_en else "no_match",
         "number_status": num_status,
         "word_status": word_status(kr or "", en or ""),
         "symbol_status": symbol_status(kr or "", en or ""),
@@ -629,9 +634,13 @@ def pair_symbols_sql(pairs_cte: str) -> str:
     def punct(c: str) -> str:
         # kernel parity: the \.$ check runs on the RAW text (no strip),
         # and the dot token leads — order is irrelevant to the multiset
-        # counts but the mirror keeps the faithful shape anyway
+        # counts but the mirror keeps the faithful shape anyway.
+        # Python's $ also matches just BEFORE one final newline while
+        # RE2's matches end-of-string only, so the mirror spells it out
+        # as '\.\n?$' (RE2 $ == \z here) — 'done.\n' counts the dot in
+        # both engines, 'done.\n\n' in neither
         return (
-            f"((CASE WHEN regexp_matches({c}, '\\.$') THEN ['.'] "
+            f"((CASE WHEN regexp_matches({c}, '\\.\\n?$') THEN ['.'] "
             f"ELSE []::VARCHAR[] END) || "
             f"regexp_extract_all({c}, '{_SQL_PUNCT_CLASS}'))"
         )

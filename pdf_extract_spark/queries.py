@@ -1249,10 +1249,10 @@ def earliest_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 SELECT doc_id,
        len(regexp_extract_all(text, '[!?:;%"`~…]')) AS n_punct,
-       (CASE WHEN regexp_matches(text, '\.$') THEN '.' ELSE '' END) ||
+       (CASE WHEN regexp_matches(text, '\.\n?$') THEN '.' ELSE '' END) ||
          coalesce(list_aggregate(regexp_extract_all(text, '[!?:;%"`~…]'), 'string_agg', ''), '')
          AS punct_str,
-       (CASE WHEN regexp_matches(text, '\.$') THEN 1 ELSE 0 END)::BIGINT AS ends_dot
+       (CASE WHEN regexp_matches(text, '\.\n?$') THEN 1 ELSE 0 END)::BIGINT AS ends_dot
 FROM documents
 """,
 )
@@ -1260,15 +1260,19 @@ def punct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12 — punctuation extraction as pure Catalyst regexp_extract_all
     (metadata_generator.py:92-96, faithful shape: the ``\\.$`` check runs
     on the RAW text and the terminal-dot token LEADS punct_str, exactly
-    extract_punctuation's ``end_periods + other_punct``)."""
+    extract_punctuation's ``end_periods + other_punct``). The anchor is
+    spelled ``\\.\\n?\\z`` (Java) / ``\\.\\n?$`` (RE2): Python's ``$``
+    matches before ONE final newline, Java's before any final line
+    terminator incl. ``\\r`` — the explicit form pins all three engines
+    to the kernel's Python semantics."""
     d = _t(spark, sf_dir, "documents")
     arr = F.regexp_extract_all(F.col("text"), F.lit('[!?:;%"`~…]'), 0)
-    dot = F.when(F.col("text").rlike(r"\.$"), ".").otherwise("")
+    ends = F.col("text").rlike("\\.\\n?\\z")
     return d.select(
         "doc_id",
         F.size(arr).cast("long").alias("n_punct"),
-        F.concat(dot, F.concat_ws("", arr)).alias("punct_str"),
-        F.when(F.col("text").rlike(r"\.$"), 1).otherwise(0).cast("long").alias("ends_dot"),
+        F.concat(F.when(ends, ".").otherwise(""), F.concat_ws("", arr)).alias("punct_str"),
+        F.when(ends, 1).otherwise(0).cast("long").alias("ends_dot"),
     )
 
 

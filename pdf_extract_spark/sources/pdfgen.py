@@ -378,14 +378,35 @@ def _serialize_hybrid(objects: dict[int, bytes]) -> bytes:
     )
     in_stream = {oid: (objstm_id, idx) for idx, oid in enumerate(dict_ids)}
 
-    # the xref STREAM covers the packed objects + the objstm + itself
+    # the xref STREAM covers ONLY the packed objects + the objstm +
+    # itself, restricted via /Index subsection ranges (PDF 32000
+    # §7.5.8.4) — real hybrid files do NOT declare the table-covered
+    # objects free in the stream, so neither does this fixture
     n = xref_id + 1
     xrefstm_at = len(out)
-    stream_only = {objstm_id: offsets[objstm_id]}
-    entries = _xref_stream_entries(n, stream_only, in_stream, xref_id, xrefstm_at)
-    xcomp = zlib.compress(entries)
+    covered = sorted([*dict_ids, objstm_id, xref_id])
+    ranges: list[tuple[int, int]] = []
+    for oid in covered:
+        if ranges and oid == ranges[-1][0] + ranges[-1][1]:
+            ranges[-1] = (ranges[-1][0], ranges[-1][1] + 1)
+        else:
+            ranges.append((oid, 1))
+    rows = bytearray()
+    for oid in covered:
+        if oid == xref_id:
+            t, f2, f3 = 1, xrefstm_at, 0
+        elif oid == objstm_id:
+            t, f2, f3 = 1, offsets[objstm_id], 0
+        else:
+            t, f2, f3 = 2, in_stream[oid][0], in_stream[oid][1]
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    xcomp = zlib.compress(bytes(rows))
+    index = b" ".join(
+        str(x).encode() for pair in ranges for x in pair
+    )
     out += (
         str(xref_id).encode() + b" 0 obj\n<< /Type /XRef /Size " + str(n).encode()
+        + b" /Index [" + index + b"]"
         + b" /W [1 4 2] /Root 1 0 R /Filter /FlateDecode /Length "
         + str(len(xcomp)).encode() + b" >>\nstream\n" + xcomp + b"\nendstream\nendobj\n"
     )

@@ -241,6 +241,14 @@ def test_retry_bucket_and_count_summary(spark, docs_df, tmp_path):
     with pytest.raises(ValueError):
         retry_bucket(lake, docs_df, run_id="r3", bucket=99, n_buckets=N_BUCKETS)
 
+    # a retry with a DIFFERENT bucket count than the lake was built with
+    # would silently drop/duplicate docs through the dynamic partition
+    # overwrite — it must refuse up front
+    with pytest.raises(ValueError, match="not bucketed with"):
+        retry_bucket(lake, docs_df, run_id="r4", bucket=1,
+                     n_buckets=N_BUCKETS * 4)
+    assert _collect_spans(lake.read_spans_out()) == before  # untouched
+
     # empty lake: count_summary degrades gracefully
     empty = count_summary(Lake(spark, str(tmp_path / "nolake")))
     assert empty == {"docs": 0, "spans": 0, "runs": 0, "buckets": {}}

@@ -10,8 +10,11 @@ def test_extract_punct():
     # (metadata_generator.py:92-96)
     assert MC.extract_punct("What? Yes: ok; 50% done.") == [".", "?", ":", ";", "%"]
     assert MC.extract_punct("no punct here") == []
-    # the \.$ check runs on the RAW text: trailing whitespace blocks it
+    # the \.$ check runs on the RAW text: a trailing space blocks it,
+    # but Python's $ matches before ONE final newline
     assert MC.extract_punct("done. ") == []
+    assert MC.extract_punct("done.\n") == ["."]
+    assert MC.extract_punct("done.\n\n") == []
     assert MC.extract_punct("") == []
 
 

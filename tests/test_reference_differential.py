@@ -135,3 +135,137 @@ def test_differential_content_filters(ref):
             MC.is_symbols_or_single_alphabet_only(t)
             == ref.is_symbols_or_single_alphabet_only(t)
         ), t
+
+
+# ---------------------------------------------------------------------------
+# export joins (create_csv.py) vs operators/align.py export functions
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_csv():
+    sys.path.insert(0, REF_DIR)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_create_csv", os.path.join(REF_DIR, "create_csv.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        sys.path.remove(REF_DIR)
+
+
+def _fixture_files(tmp_path):
+    """One document pair in the reference's file shapes: 6 kr fragments,
+    7 en fragments, 4 aligned pairs — kr idx 2/5 and en idx 3/5/6 left
+    unmatched so every branch of the three merges fires."""
+    import json
+
+    kr = [{"id": f"k{i}", "text": f"한국어 문장 {i}", "source_type": ["text", "table"][i % 2]}
+          for i in range(6)]
+    en = [{"id": f"e{i}", "text": f"english sentence {i}", "source_type": ["text", "caption"][i % 2]}
+          for i in range(7)]
+    pairs = [
+        {"kr_original_idx": k, "en_original_idx": e,
+         "kr": kr[k], "en": en[e], "similarity": s, "type": t}
+        for k, e, s, t in [(0, 0, 0.875, "P"), (1, 2, 0.75, "H"),
+                           (3, 1, 0.5, "G"), (4, 4, 0.625, "P")]
+    ]
+    kp, ep, ap = (str(tmp_path / n) for n in ("kr.json", "en.json", "al.json"))
+    with open(kp, "w") as f:
+        json.dump({"data": kr}, f, ensure_ascii=False)
+    with open(ep, "w") as f:
+        json.dump({"data": en}, f, ensure_ascii=False)
+    with open(ap, "w") as f:
+        json.dump({"aligned_pairs": pairs}, f, ensure_ascii=False)
+    return kr, en, pairs, kp, ep, ap
+
+
+def _spark_frames(spark, kr, en, pairs):
+    kr_df = spark.createDataFrame(
+        [("d0", i, r["text"], r["source_type"]) for i, r in enumerate(kr)],
+        "doc_id string, idx long, text string, source_type string",
+    )
+    en_df = spark.createDataFrame(
+        [("d0", i, r["text"], r["source_type"]) for i, r in enumerate(en)],
+        "doc_id string, idx long, text string, source_type string",
+    )
+    p_df = spark.createDataFrame(
+        [("d0", p["kr_original_idx"], p["en_original_idx"], p["similarity"], p["type"])
+         for p in pairs],
+        "doc_id string, kr_idx long, en_idx long, similarity double, type string",
+    )
+    return kr_df, en_df, p_df
+
+
+def _norm_ref(df, cols):
+    """Reference CSVs encode 'no partner' as '' strings and
+    match_type='unmatched'; the distributed re-expression uses NULLs.
+    Normalize the reference rows onto the NULL convention."""
+    out = []
+    for _, r in df.iterrows():
+        row = []
+        for c in cols:
+            v = r[c]
+            if v == "" or (c == "match_type" and v == "unmatched"):
+                v = None
+            if v is not None and c in ("kr_idx", "en_idx"):
+                v = int(v)
+            row.append(v)
+        out.append(tuple(row))
+    return sorted(out, key=repr)
+
+
+def test_differential_export_kr_anchored(ref_csv, spark, tmp_path):
+    from pdf_extract_spark.operators import align
+
+    kr, en, pairs, kp, ep, ap = _fixture_files(tmp_path)
+    want = ref_csv.create_merged_csv(kp, ap, str(tmp_path / "out1.csv"))
+    kr_df, en_df, p_df = _spark_frames(spark, kr, en, pairs)
+    got_df = align.export_kr_anchored(kr_df, p_df, en_df)
+    got = sorted(
+        [(r["kr_idx"], r["kr_text"], r["source_type"], r["en_idx"],
+          r["en_text"], r["similarity"], r["type"]) for r in got_df.collect()],
+        key=repr,
+    )
+    assert got == _norm_ref(
+        want, ["kr_idx", "kr_text", "kr_source_type", "en_idx", "en_text",
+               "similarity", "match_type"]
+    )
+
+
+def test_differential_export_en_anchored(ref_csv, spark, tmp_path):
+    from pdf_extract_spark.operators import align
+
+    kr, en, pairs, kp, ep, ap = _fixture_files(tmp_path)
+    want = ref_csv.create_merged_csv_en(ep, ap, str(tmp_path / "out2.csv"))
+    kr_df, en_df, p_df = _spark_frames(spark, kr, en, pairs)
+    got_df = align.export_en_anchored(kr_df, p_df, en_df)
+    got = sorted(
+        [(r["en_idx"], r["en_text"], r["en_source_type"], r["kr_idx"],
+          r["kr_text"], r["kr_source_type"], r["similarity"], r["type"])
+         for r in got_df.collect()],
+        key=repr,
+    )
+    assert got == _norm_ref(
+        want, ["en_idx", "en_text", "en_source_type", "kr_idx", "kr_text",
+               "kr_source_type", "similarity", "match_type"]
+    )
+
+
+def test_differential_export_full_outer(ref_csv, spark, tmp_path):
+    from pdf_extract_spark.operators import align
+
+    kr, en, pairs, kp, ep, ap = _fixture_files(tmp_path)
+    want = ref_csv.create_outer_join_csv(kp, ep, ap, str(tmp_path / "out3.csv"))
+    kr_df, en_df, p_df = _spark_frames(spark, kr, en, pairs)
+    got_df = align.export_full_outer(kr_df, p_df, en_df)
+    got = sorted(
+        [(r["kr_idx"], r["kr_text"], r["en_idx"], r["en_text"],
+          r["similarity"], r["type"]) for r in got_df.collect()],
+        key=repr,
+    )
+    assert got == _norm_ref(
+        want, ["kr_idx", "kr_text", "en_idx", "en_text", "similarity",
+               "match_type"]
+    )

@@ -269,3 +269,41 @@ def test_differential_export_full_outer(ref_csv, spark, tmp_path):
         want, ["kr_idx", "kr_text", "en_idx", "en_text", "similarity",
                "match_type"]
     )
+
+
+# ---------------------------------------------------------------------------
+# C7 remove_numbering — application-semantics differential: the reference
+# ships no config.json (the pattern LISTS are user-supplied), so inject
+# the repo's own pattern strings into the reference's globals and assert
+# the application machinery (match-at-start only, single sub(' ', count=1),
+# first-match-only break, context split, final lstrip) behaves identically
+# ---------------------------------------------------------------------------
+
+def test_differential_remove_numbering(ref):
+    import re as _re
+
+    from pdf_extract_spark import rules
+
+    ref.COMMON_NUMBERING_PATTERNS = [
+        _re.compile(p.pattern, _re.IGNORECASE) for p in rules.COMMON_NUMBERING_PATTERNS
+    ]
+    ref.TEXT_ONLY_NUMBERING_PATTERNS = [
+        _re.compile(p.pattern) for p in rules.TEXT_ONLY_NUMBERING_PATTERNS
+    ]
+    heads = ["", " ", "(1) ", "(1.2) ", "1.2 ", "1.2.3. ", "IV. ", "iv. ",
+             "B. ", "b. ", "1. ", "1) ", "12. ", "  3) ", "(12) x", "x (1) "]
+    bodies = ["제목", "1. nested 2)", "IV. twice", "", "b. tail", "table row"]
+    for h in heads:
+        for b in bodies:
+            s = h + b
+            for context in ("text", "table"):
+                assert rules.remove_numbering(s, context) == ref.remove_numbering(
+                    s, context
+                ), (s, context)
+    rng = random.Random(42424)
+    for _ in range(800):
+        s = _gen(rng)
+        for context in ("text", "table"):
+            assert rules.remove_numbering(s, context) == ref.remove_numbering(
+                s, context
+            ), (s, context)

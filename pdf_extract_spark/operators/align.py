@@ -28,6 +28,27 @@ Design:
   * Hungarian assignment is a self-contained O(n^3) augmenting-path
     implementation (scipy is not assumed present); groups have tens of
     headers at most, exactly like the reference's per-type header sets.
+
+Deliberate divergences from aligner.py (this is a RE-EXPRESSION around a
+different similarity backbone, not a faithful mirror — the export joins
+downstream ARE differential-tested against create_csv.py execution in
+tests/test_reference_differential.py):
+  * anchors: one match per keyword hit (the reference keeps only the
+    single EARLIEST pattern anchor, :121-134) and the keyword set is
+    shared-title tokens rather than the bilingual 목차/contents pairs
+    (the fixtures are pseudo-translations, not Korean documents);
+  * Hungarian matches must clear CAND_MIN_SIM=0.7 (the reference keeps
+    every monotonic assignment regardless of similarity — with LaBSE a
+    low-cosine assignment is still meaningful; with hashed BoW it is
+    noise, so we gate);
+  * monotonic pruning is GLOBAL over all header matches (the reference
+    enforces it within each header type only, so its cross-type merge
+    can interleave non-monotonically, :166-211);
+  * P items before the first matched header align preamble-to-preamble
+    (the reference drops them — its sections start AT the first match);
+  * pair 'type' labels name the producing mechanism
+    (anchor/first_anchor/hungarian/greedy) rather than the reference's
+    header/paragraph.
 """
 
 from __future__ import annotations

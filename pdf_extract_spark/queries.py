@@ -1004,19 +1004,32 @@ def pack_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CURATE_RATES = {"en": 0.5, "de": 1.0, "zh": 0.1}
 
 
+# quality gate inside the composed pipeline — same thresholds as the
+# standalone quality_filter query
+_CURATE_MIN_TOKENS, _CURATE_MIN_STOP = 25, 0.01
+
+
 def curate_corpus_sql() -> str:
     pairs = (
         "pairs AS (SELECT id_a, id_b FROM "
         f"({dedup.minhash_lsh_pairs_sql()}))"
     )
     comp_ctes = dedup.dedup_components_ctes(pairs, "documents")
-    sampled = textstats.stratified_sample_sql(_CURATE_RATES, table="keepers")
+    qf = textstats.quality_filter_sql(
+        table="keepers", min_tokens=_CURATE_MIN_TOKENS,
+        min_stopword_ratio=_CURATE_MIN_STOP,
+    )
+    sampled = textstats.stratified_sample_sql(_CURATE_RATES, table="quality")
     pack_ctes = packing.pack_documents_ctes(table="sampled")
     return f"""
 WITH RECURSIVE {comp_ctes},
 keepers AS (
   SELECT d.* FROM documents d JOIN allc a ON a.doc_id = d.doc_id
   WHERE a.doc_id = a.component),
+qualified AS ({qf}),
+quality AS (
+  SELECT k.* FROM keepers k JOIN qualified q ON q.doc_id = k.doc_id
+  WHERE q.keep),
 sampled AS ({sampled}),
 {pack_ctes}
 SELECT doc_id, bucket, pack_id, n_tokens FROM walk
@@ -1029,17 +1042,25 @@ def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     item 5): each stage is the already-verified operator — banded
     MinHash-LSH pairs (band join carries only ids), pointer-jumping
     component resolution, keeper semi-join (keep-first per cluster),
-    salted-hash stratified sampling (map-side, shuffle-free), greedy
-    per-bucket sequence packing (one Exchange + Arrow kernel) — so the
-    oracle verifies the COMPOSED semantics: what feeds forward between
-    stages, not just each stage over pristine inputs."""
+    auditable quality gate (map-only keep verdicts), salted-hash
+    stratified sampling (map-side, shuffle-free), greedy per-bucket
+    sequence packing (one Exchange + Arrow kernel) — so the oracle
+    verifies the COMPOSED semantics: what feeds forward between stages,
+    not just each stage over pristine inputs."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs).select("id_a", "id_b")
     comps = dedup.dedup_components(pairs, universe=docs)
     keepers = docs.join(
         comps.filter(F.col("is_keeper")).select("doc_id"), "doc_id", "semi"
     )
-    sampled = textstats.stratified_sample(keepers, _CURATE_RATES)
+    verdicts = textstats.quality_filter(
+        keepers, min_tokens=_CURATE_MIN_TOKENS,
+        min_stopword_ratio=_CURATE_MIN_STOP,
+    )
+    quality = keepers.join(
+        verdicts.filter(F.col("keep")).select("doc_id"), "doc_id", "semi"
+    )
+    sampled = textstats.stratified_sample(quality, _CURATE_RATES)
     return packing.pack_documents(sampled).orderBy("doc_id")
 
 

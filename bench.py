@@ -253,12 +253,19 @@ def write_bench_md(result: dict) -> None:
         "| ann_lsh_topk | one 8-plane sign-LSH table (256 buckets) | 0.04 |",
         "| ann_lsh_multiprobe | + Hamming-1 probes (9 buckets/query) | 0.14 |",
         "| ann_lsh_multitable | 4 tables x 4 planes, any-collision | 0.42 |",
+        "| ann_ivf_fixed_topk | 8 UNTRAINED seed cells, probe 2 | 0.94 |",
         "| ann_ivf_topk | 8 Lloyd-trained cells, probe 2 | 0.90 |",
         "| cosine_topk | exact cross join (the ground truth) | 1.00 |",
         "",
         "The synthetic embeddings are weakly clustered, the hardest regime",
         "for sign-LSH (true neighbours rarely agree on many sign bits);",
-        "distance-trained IVF adapts to the data and dominates. All",
+        "distance-based IVF dominates. Honest footnote: the UNTRAINED seed",
+        "quantizer slightly beats the Lloyd-trained one here — with weak",
+        "clusters, training pulls centroids toward the global mean and",
+        "trades probe diversity for within-cell fit; on genuinely",
+        "clustered corpora the trained variant wins, and ann_ivf_fixed",
+        "exists primarily as the value-exact oracle for the probe/rank",
+        "machinery. All",
         "variants bound shuffle volume by bucket/cell size — none cross",
         "joins — so the recall column is the only cost of scale.",
         "",

@@ -171,6 +171,7 @@ def ann_recall_at_k(spark, sf_dir, n_queries=5, k=10):
         "lsh": S.ann_lsh_topk(emb, n_queries=n_queries, k=k, dim=64),
         "multiprobe": S.ann_lsh_multiprobe_topk(emb, n_queries=n_queries, k=k, dim=64),
         "multitable": S.ann_lsh_multitable_topk(emb, n_queries=n_queries, k=k, dim=64),
+        "ivf_fixed": S.ann_ivf_fixed_topk(emb, n_queries=n_queries, k=k),
         "ivf": S.ann_ivf_topk(emb, n_queries=n_queries, k=k),
     }
     for name, df in variants.items():
@@ -192,6 +193,14 @@ def test_ann_recall_measured(spark):
     assert recalls["multitable"] >= 0.25
     assert recalls["multitable"] > recalls["multiprobe"]
     assert recalls["ivf"] >= 0.5
+    # the fixed (untrained-seed) quantizer shares the probe machinery, so
+    # its recall lands in the same band — on THIS weakly-clustered
+    # synthetic corpus it is competitive with the trained one (at sf0.01
+    # it even edges it out, 0.94 vs 0.90: Lloyd pulls centroids toward
+    # the global mean when clusters are weak, trading probe diversity for
+    # within-cell fit). Training pays on genuinely clustered data;
+    # ann_ivf_fixed exists for oracle exactness either way.
+    assert recalls["ivf_fixed"] >= 0.5
 
 
 def test_dedup_components_transitive_chain(spark):

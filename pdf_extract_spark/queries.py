@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from pdf_extract_spark.operators import dedup, metacompare as MC, packing, similarity, textstats
@@ -1914,6 +1915,135 @@ def extract_spans_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
+    )
+
+
+# ---------------------------------------------------------------------
+# table_detect — the 'table' member of the reference's source_type
+# taxonomy {table,image,text} (main.py:316-338), which the LLM assigned
+# per sentence there and the north rule re-derives from layout geometry
+# (rules.detect_table_lines, consumed by rules.layout_document).
+#
+# The query runs the REAL Python kernel (via a vectorized pandas UDF)
+# over deterministic per-doc line geometry synthesized from the
+# documents table; the oracle re-derives the same grid rule as
+# independent set-based SQL (bucket -> multi-cell rows -> recurring
+# columns -> adjacency runs), so this is a kernel-vs-SQL differential,
+# not code checked against itself. Four geometry classes by doc_id % 4:
+#   0: true 3-column grid, 30pt row pitch      -> cells flagged
+#   1: TWO recurring columns (a two-column body layout's signature)
+#                                              -> rejected (min-cols gate)
+#   2: 3 columns but 60pt row pitch            -> rejected (adjacency gate)
+#   3: single column, one line per row         -> rejected (no multi rows)
+# Map-only plan: no shuffle, no collect.
+# ---------------------------------------------------------------------
+
+TABLE_DETECT_SQL = """
+WITH base AS (
+  SELECT doc_id, least(len(string_split(text, ' ')), 12) AS n FROM documents),
+lines AS (
+  SELECT doc_id, n, unnest(range(0, n)) AS i FROM base),
+geo AS (
+  SELECT doc_id, i,
+    CASE doc_id % 4
+      WHEN 0 THEN 60 + 80 * (i % 3)
+      WHEN 1 THEN CASE WHEN i % 2 = 0 THEN 60 ELSE 140 END
+      WHEN 2 THEN 60 + 80 * (i % 3)
+      ELSE 60 END AS x0,
+    CASE doc_id % 4
+      WHEN 0 THEN 100 + 30 * (i // 3)
+      WHEN 1 THEN 100 + 30 * (i // 2)
+      WHEN 2 THEN 100 + 60 * (i // 3)
+      ELSE 100 + 25 * i END AS y0
+  FROM lines),
+q AS (SELECT doc_id, i, x0 // 2 AS qx, y0 // 2 AS qy FROM geo),
+multi AS (
+  SELECT doc_id, qy FROM q GROUP BY doc_id, qy
+  HAVING COUNT(DISTINCT qx) >= 2),
+gridcols AS (
+  SELECT q.doc_id, q.qx FROM q
+  JOIN multi m ON m.doc_id = q.doc_id AND m.qy = q.qy
+  GROUP BY q.doc_id, q.qx HAVING COUNT(DISTINCT q.qy) >= 2),
+gdoc AS (SELECT doc_id FROM gridcols GROUP BY doc_id HAVING COUNT(*) >= 3),
+cand AS (
+  SELECT q.doc_id, q.qy FROM q
+  JOIN multi m ON m.doc_id = q.doc_id AND m.qy = q.qy
+  JOIN gridcols g ON g.doc_id = q.doc_id AND g.qx = q.qx
+  JOIN gdoc d ON d.doc_id = q.doc_id
+  GROUP BY q.doc_id, q.qy HAVING COUNT(DISTINCT q.qx) >= 3),
+runs AS (
+  SELECT doc_id, qy,
+    SUM(CASE WHEN lag_qy IS NULL OR qy - lag_qy > 20 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY qy) AS run_id
+  FROM (SELECT doc_id, qy,
+          lag(qy) OVER (PARTITION BY doc_id ORDER BY qy) AS lag_qy
+        FROM cand)),
+keeprows AS (
+  SELECT doc_id, qy FROM (
+    SELECT doc_id, qy, COUNT(*) OVER (PARTITION BY doc_id, run_id) AS rl
+    FROM runs)
+  WHERE rl >= 2),
+cells AS (
+  SELECT q.doc_id, COUNT(*) AS cnt FROM q
+  JOIN keeprows k ON k.doc_id = q.doc_id AND k.qy = q.qy
+  JOIN gridcols g ON g.doc_id = q.doc_id AND g.qx = q.qx
+  GROUP BY q.doc_id)
+SELECT b.doc_id, b.n::BIGINT AS n_lines,
+       COALESCE(c.cnt, 0)::BIGINT AS n_table
+FROM base b LEFT JOIN cells c ON c.doc_id = b.doc_id
+"""
+
+
+@query("table_detect", TABLE_DETECT_SQL)
+def table_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source_type 'table' classification (reference main.py:316-338;
+    heuristic contract SURVEY.md §2.8): counts grid cells the layout
+    kernel flags per document over synthesized line geometry."""
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def count_table_cells(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        from pdf_extract_spark.rules import detect_table_lines
+
+        def one(xv, yv):
+            lines = [
+                {"block_type": 0, "bbox": {"x0": float(x), "y0": float(y)}}
+                for x, y in zip(xv, yv)
+            ]
+            return sum(detect_table_lines(lines))
+
+        return pd.Series([one(a, b) for a, b in zip(xs, ys)], dtype="int64")
+
+    docs = _t(spark, sf_dir, "documents")
+    n = F.least(F.size(F.split(F.col("text"), " ")), F.lit(12))
+    cls = F.col("doc_id") % 4
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def x_of(i):
+        return (
+            F.when(cls == 0, 60 + 80 * (i % 3))
+            .when(cls == 1, F.when(i % 2 == 0, F.lit(60)).otherwise(F.lit(140)))
+            .when(cls == 2, 60 + 80 * (i % 3))
+            .otherwise(F.lit(60))
+            .cast("double")
+        )
+
+    def y_of(i):
+        return (
+            F.when(cls == 0, 100 + 30 * F.floor(i / 3))
+            .when(cls == 1, 100 + 30 * F.floor(i / 2))
+            .when(cls == 2, 100 + 60 * F.floor(i / 3))
+            .otherwise(100 + 25 * i)
+            .cast("double")
+        )
+
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_lines"),
+        count_table_cells(
+            F.transform(idx, x_of), F.transform(idx, y_of)
+        ).alias("n_table"),
     )
 
 

@@ -46,6 +46,26 @@ FLAG_ITALIC = 2  # layout_analyzer.py:151
 HEADER_KINDS = ("H1", "H2", "H3")
 TERMINALS = ".?!"
 
+# table detection (the reference's source_type ∈ {table,image,text}
+# contract, main.py:316-338 — classified there by the LLM per sentence;
+# the north rule replaces the LLM with layout heuristics, so table-ness
+# comes from bbox geometry). Quantization buckets, not distance
+# clustering: deterministic and independent of line order.
+TABLE_X_TOL = 2.0  # x0 bucket width (points) — lines in one bucket share a column
+TABLE_Y_TOL = 2.0  # y0 bucket width — lines in one bucket share a row
+# >= 3 recurring columns: a TWO-column grid is indistinguishable from a
+# two-column BODY layout (both columns start at the same top margin and
+# similar line heights routinely y-align the first rows), so 2-column
+# tables are deliberately sacrificed for precision — mis-tagging body
+# text as table cells would bypass sentence composition for it.
+TABLE_MIN_COLS = 3
+TABLE_MIN_ROWS = 2  # each grid column must recur in >= 2 multi-cell rows
+# grid rows must also be vertically ADJACENT: consecutive candidate rows
+# at most this many y-buckets apart (20 buckets * 2pt = 40pt — about two
+# text-line heights); chance y-alignments in column layouts are
+# scattered down the page, real table rows are consecutive.
+TABLE_ROW_PITCH = 20
+
 # boilerplate strip for style-less span input: a short line repeated this
 # many times in one document is a running header/footer
 BOILERPLATE_MIN_REPEATS = 3
@@ -534,15 +554,85 @@ def extract_document(spans: list[dict]) -> list[dict]:
 # the layout-path contract: parsed styled lines -> tagged fragments
 # --------------------------------------------------------------------------
 
+def detect_table_lines(lines: list[dict]) -> list[bool]:
+    """Grid-aligned bbox clusters -> ``table`` source_type (the third
+    member of the reference's {table,image,text} taxonomy,
+    main.py:316-338; image -> 'media' and text -> H*/P are already
+    covered). Heuristic over one page's in-body lines:
+
+      * bucket text lines into ROWS by quantized y0 (TABLE_Y_TOL);
+      * a row holding lines at >= 2 distinct quantized x0 is a
+        multi-cell row;
+      * x0 buckets recurring in >= TABLE_MIN_ROWS multi-cell rows are
+        grid COLUMNS;
+      * CANDIDATE rows are multi-cell rows holding >= TABLE_MIN_COLS
+        grid columns;
+      * candidate rows must be vertically adjacent: only maximal runs
+        of candidates whose consecutive qy gaps are <= TABLE_ROW_PITCH
+        and whose length is >= TABLE_MIN_ROWS survive (a two-column
+        BODY layout also has 2 recurring x0 columns with occasional
+        chance y-alignments, but those are scattered, not consecutive);
+      * every line sitting at a grid column inside a surviving row is a
+        table cell.
+
+    Returns a list of booleans parallel to ``lines``. Non-text lines
+    (block_type != 0) are never cells. Pure bucket arithmetic — no
+    pairwise distances, so the result is order-independent and exactly
+    reproducible in set-based SQL (the table_detect oracle)."""
+    rows: dict[int, list[tuple[int, int]]] = {}
+    for i, ln in enumerate(lines):
+        if ln["block_type"] != 0:
+            continue
+        qx = int(ln["bbox"]["x0"] // TABLE_X_TOL)
+        qy = int(ln["bbox"]["y0"] // TABLE_Y_TOL)
+        rows.setdefault(qy, []).append((i, qx))
+
+    multi = {qy: items for qy, items in rows.items()
+             if len({qx for _, qx in items}) >= 2}
+    col_rows: dict[int, set[int]] = {}
+    for qy, items in multi.items():
+        for _, qx in items:
+            col_rows.setdefault(qx, set()).add(qy)
+    grid_cols = {qx for qx, ys in col_rows.items() if len(ys) >= TABLE_MIN_ROWS}
+
+    flags = [False] * len(lines)
+    if len(grid_cols) < TABLE_MIN_COLS:
+        return flags
+
+    candidates = sorted(
+        qy for qy, items in multi.items()
+        if len({qx for _, qx in items if qx in grid_cols}) >= TABLE_MIN_COLS
+    )
+    keep: set[int] = set()
+    run: list[int] = []
+    for qy in candidates:
+        if run and qy - run[-1] > TABLE_ROW_PITCH:
+            if len(run) >= TABLE_MIN_ROWS:
+                keep.update(run)
+            run = []
+        run.append(qy)
+    if len(run) >= TABLE_MIN_ROWS:
+        keep.update(run)
+
+    for qy in keep:
+        for i, qx in multi[qy]:
+            if qx in grid_cols:
+                flags[i] = True
+    return flags
+
+
 def layout_document(pages: list[dict]) -> list[dict]:
     """Layout reconstruction for one document of parsed pages
     (each: {page, page_w, page_h, lines:[{text,size,flags,font,color,bbox,
     block_type, media_ref}]}).
 
-    Margin strip (F1) -> reading-order two-column sort (W3) -> body-size
+    Margin strip (F1) -> table-grid detection (source_type contract,
+    main.py:316-338) -> reading-order two-column sort (W3) -> body-size
     mode (A3) -> style tagging (§2.7) -> cleanup -> run merge (W4).
     Image lines (block_type != 0) become kind='media' spans kept at their
-    reading-order position (F2 inversion per the north rule).
+    reading-order position (F2 inversion per the north rule); grid cells
+    become kind='table' (passed through the FSM 1:1 like headers, and
+    eligible for remove_numbering's 'table' context downstream).
     Returns fragments {kind, text, media_ref} in final order.
     """
     frags: list[dict] = []
@@ -558,19 +648,24 @@ def layout_document(pages: list[dict]) -> list[dict]:
             kept.append(ln)
             if ln["block_type"] == 0:
                 all_sizes.append(ln["size"])
-        kept.sort(key=lambda ln: reading_order_key(ln["bbox"]["x0"], ln["bbox"]["y0"], pg["page_w"]))
-        kept_pages.append(kept)
+        pairs = list(zip(kept, detect_table_lines(kept)))
+        pairs.sort(key=lambda p: reading_order_key(
+            p[0]["bbox"]["x0"], p[0]["bbox"]["y0"], pg["page_w"]))
+        kept_pages.append(pairs)
     body = body_size_mode(all_sizes)
 
-    for kept in kept_pages:
-        for ln in kept:
+    for pairs in kept_pages:
+        for ln, is_table in pairs:
             if ln["block_type"] != 0:
                 frags.append({"kind": "media", "text": "", "media_ref": ln["media_ref"] or ""})
                 continue
             t = clean_fragment(ln["text"] or "")
             if not t:
                 continue
-            tag = tag_by_style(ln["size"], ln["flags"], ln["color"], body)
+            if is_table:
+                tag = "table"
+            else:
+                tag = tag_by_style(ln["size"], ln["flags"], ln["color"], body)
             frags.append({"kind": tag, "text": t, "media_ref": ""})
 
     return merge_consecutive_tags(frags)

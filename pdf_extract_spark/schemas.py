@@ -32,7 +32,8 @@ DOCUMENTS = T.StructType(
     ]
 )
 
-# Output table has the same shape; kind ∈ {H1,H2,H3,P,media} after extraction.
+# Output table has the same shape; kind ∈ {H1,H2,H3,P,table,media} after
+# extraction (layout path adds grid-detected 'table' cells).
 SPANS_OUT = DOCUMENTS
 
 # ------------------------------------------------------------ layout IR

@@ -36,11 +36,38 @@ def _esc(t: str) -> str:
 # document model -> PDF bytes
 # --------------------------------------------------------------------------
 
-def doc_lines(doc_index: int, seed: int = 42) -> list[list[dict]]:
+def _grid_page_lines(doc_index: int) -> list[dict]:
+    """A deterministic 3x3 table grid (plus the standard margin
+    boilerplate): three x0-aligned columns at 60/140/220 over three y0
+    rows at 100/130/160 — the shape rules.detect_table_lines must
+    classify as kind='table' (the reference's 'table' source_type,
+    main.py:316-338). All columns sit left of page_w/2 so the two-column
+    reading-order sweep keeps the grid row-major."""
+    lines: list[dict] = [
+        {"text": "CONFIDENTIAL DRAFT", "size": 8.0, "bold": False,
+         "color": 0, "x": 200.0, "y_top": 15.0, "media_ref": ""},
+    ]
+    for r in range(3):
+        for c in range(3):
+            lines.append({
+                "text": f"cell r{r} c{c} d{doc_index}", "size": BODY_SIZE,
+                "bold": False, "color": 0,
+                "x": 60.0 + 80.0 * c, "y_top": 100.0 + 30.0 * r,
+                "media_ref": "",
+            })
+    return lines
+
+
+def doc_lines(doc_index: int, seed: int = 42,
+              with_table: bool = False) -> list[list[dict]]:
     """The structural truth for one synthetic document: per page, a list of
     {text, size, bold, color, x, y_top, media_ref} in EMISSION order
     (which is not reading order — two-column pages interleave columns, so
-    the parser+layout stage must re-sort, exercising W3)."""
+    the parser+layout stage must re-sort, exercising W3).
+
+    ``with_table`` appends one extra grid-only page (after the rng-driven
+    pages, so the random sequence — and every existing golden — is
+    untouched)."""
     rng = random.Random((seed << 23) ^ doc_index)
     n_pages = rng.randint(1, 3)
     pages: list[list[dict]] = []
@@ -83,6 +110,8 @@ def doc_lines(doc_index: int, seed: int = 42) -> list[list[dict]]:
                               "bold": False, "color": 0,
                               "x": c, "y_top": y, "media_ref": ""})
         pages.append(lines)
+    if with_table:
+        pages.append(_grid_page_lines(doc_index))
     return pages
 
 
@@ -111,7 +140,8 @@ def _content_stream(lines: list[dict]) -> bytes:
     return ("\n".join(ops)).encode("latin-1", "replace")
 
 
-def build_pdf(doc_index: int, seed: int = 42, variant: str = "classic") -> bytes:
+def build_pdf(doc_index: int, seed: int = 42, variant: str = "classic",
+              with_table: bool = False) -> bytes:
     """Assemble the full PDF file: catalog(1) pages(2) fonts(3,4) then per
     page [page obj, content obj, image XObjects...], xref, trailer.
 
@@ -127,7 +157,7 @@ def build_pdf(doc_index: int, seed: int = 42, variant: str = "classic") -> bytes
       * ``incremental`` — classic objects split across TWO xref sections
         chained by /Prev (an incrementally-updated file).
     """
-    pages = doc_lines(doc_index, seed)
+    pages = doc_lines(doc_index, seed, with_table=with_table)
     objects: dict[int, bytes] = {}
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objects[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
@@ -428,11 +458,12 @@ def _serialize_hybrid(objects: dict[int, bytes]) -> bytes:
 # the structural truth in parser-output shape (for parity tests)
 # --------------------------------------------------------------------------
 
-def expected_pages(doc_index: int, seed: int = 42) -> list[dict]:
+def expected_pages(doc_index: int, seed: int = 42,
+                   with_table: bool = False) -> list[dict]:
     """What pdfparse.parse_pdf must return for build_pdf(doc_index):
     the doc_lines model re-expressed as PARSED_PAGE dicts."""
     pages = []
-    for p, lines in enumerate(doc_lines(doc_index, seed), 1):
+    for p, lines in enumerate(doc_lines(doc_index, seed, with_table=with_table), 1):
         out_lines = []
         for ln in lines:
             # coordinates round-trip through the writer's %.1f formatting —

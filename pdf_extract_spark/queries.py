@@ -1421,6 +1421,91 @@ def pair_symbols_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# pair_status_counts — the number/word regex CASCADE's distribution,
+# made driver-checkable. The per-row cascade verdicts are rightly
+# rows-only (sequential masking + conditional word maps are not
+# ANSI-SQL-expressible), but over a CLASS-CONSTANT fixture each class's
+# verdict is a fixed triple, so groupBy(statuses).count() has an exact
+# SQL oracle: per-class doc counts joined to the documented expected
+# triples. The triples below are kernel outputs, pinned as golden data;
+# tests/test_metacompare.py recomputes them from compare_pair every run,
+# so a kernel change that shifts any verdict fails pytest BEFORE the
+# oracle could silently drift. Classes cover: digit match/mismatch/
+# partial, BOTH word-map rescue directions (kr 이중→2, en double→2),
+# word coverage all/partial/none/no-latin, and every pair_class.
+# ---------------------------------------------------------------------
+
+_PAIR_STATUS_FIXTURE: list[tuple[str, str, str, str, str]] = [
+    # (kr_text, en_text, number_status, word_status, pair_class)
+    ("조항 3 및 1,000 적용.", "Clause 3 and 1,000 apply.",
+     "all_match", "no_eng_in_kor", "valid_candidate"),
+    ("조항 5 적용.", "Clause 7 applies.",
+     "no_match", "no_eng_in_kor", "valid_candidate"),
+    ("이중 구조 기준.", "2 hull structure.",          # kr-side word-map rescue
+     "all_match", "no_eng_in_kor", "valid_candidate"),
+    ("격벽 2개 기준.", "double hull standard.",       # en-side word-map rescue
+     "all_match", "no_eng_in_kor", "valid_candidate"),
+    ("조항 3 과 5.", "Clause 3 and 8.",
+     "partial_match", "no_eng_in_kor", "valid_candidate"),
+    ("IMO 코드 적용.", "the IMO code applies.",
+     "no_numbers", "all_match", "valid_candidate"),
+    ("IMO 와 SOLAS 기준.", "the IMO standard.",
+     "no_numbers", "partial_match", "valid_candidate"),
+    ("ABS 기준.", "the standard.",
+     "no_numbers", "no_match", "valid_candidate"),
+    ("동일 문장.", "동일 문장.",
+     "no_numbers", "no_eng_in_kor", "all_match"),
+    ("동일문장.", "동일 문장.",
+     "no_numbers", "no_eng_in_kor", "partial_match"),
+    ("plain latin only.", "other text.",
+     "no_numbers", "no_match", "no_korean_in_kor"),
+    ("", "",
+     "no_numbers", "no_eng_in_kor", "empty"),
+]
+
+
+def _pair_status_counts_sql() -> str:
+    rows = ", ".join(
+        f"({i}, '{n}', '{w}', '{p}')"
+        for i, (_, _, n, w, p) in enumerate(_PAIR_STATUS_FIXTURE)
+    )
+    return f"""
+WITH cc AS (SELECT doc_id % 12 AS c, COUNT(*) AS n FROM documents GROUP BY 1),
+m(c, number_status, word_status, pair_class) AS (VALUES {rows})
+SELECT m.number_status, m.word_status, m.pair_class,
+       SUM(cc.n)::BIGINT AS n_pairs
+FROM cc JOIN m ON m.c = cc.c
+GROUP BY 1, 2, 3
+"""
+
+
+@query("pair_status_counts", _pair_status_counts_sql())
+def pair_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/C13-C17 distribution gate: the REAL cascade kernel
+    (metacompare.compare_pair via pair_metadata) runs over every
+    document row with class-constant pair texts; the aggregated status
+    distribution is value-exact against the pinned per-class triples."""
+    fix = _PAIR_STATUS_FIXTURE
+
+    def pick(idx: int):
+        return F.element_at(
+            F.array(*[F.lit(t[idx]) for t in fix]),
+            (F.col("doc_id") % 12 + 1).cast("int"),
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    prs = docs.select(
+        "doc_id", pick(0).alias("kr_text"), pick(1).alias("en_text")
+    )
+    out = MC.pair_metadata(prs)
+    return out.groupBy(
+        F.col("meta.number_status").alias("number_status"),
+        F.col("meta.word_status").alias("word_status"),
+        F.col("meta.pair_class").alias("pair_class"),
+    ).agg(F.count("*").cast("long").alias("n_pairs"))
+
+
 # =====================================================================
 # multimodal (binary payload columns + typed metadata)
 # =====================================================================

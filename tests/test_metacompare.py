@@ -303,3 +303,16 @@ def test_content_filters_query_matches_kernels(spark):
             t = texts[doc_id]
         assert row["numbers_only"] == MC.is_numbers_only(t), (doc_id, t)
         assert row["single_noise"] == MC.is_symbols_or_single_alphabet_only(t), (doc_id, t)
+
+
+def test_pair_status_fixture_triples_match_kernel():
+    """Guards the pair_status_counts oracle: its SQL inlines the
+    per-class (number_status, word_status, pair_class) triples as pinned
+    golden data — recompute every one through the real cascade kernel so
+    a kernel change fails HERE before the driver oracle could drift."""
+    from pdf_extract_spark.queries import _PAIR_STATUS_FIXTURE
+
+    for i, (kr, en, num, word, cls) in enumerate(_PAIR_STATUS_FIXTURE):
+        m = MC.compare_pair(kr, en)
+        got = (m["number_status"], m["word_status"], m["pair_class"])
+        assert got == (num, word, cls), f"class {i}: {got}"

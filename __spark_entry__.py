@@ -20,13 +20,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def _ensure_shipped(spark: SparkSession) -> None:
     """Make the package importable on executors even when the driver
-    process didn't create the session through build_spark."""
+    process didn't create the session through build_spark.
+
+    Only the known-benign failure is swallowed: re-registering the
+    pyfiles zip under a different temp path when an equivalent copy was
+    already shipped ("exists and does not match contents" — re-adding
+    the SAME path is already a silent no-op in Spark). Anything else is
+    a real packaging failure and must surface here at entry, not later
+    as an opaque executor ImportError."""
     from pdf_extract_spark.packaging import ship_package
 
     try:
         ship_package(spark)
-    except Exception:
-        pass  # already added or local-threads-only master
+    except Exception as e:
+        if "exists and does not match contents" in str(e):
+            return  # an equivalent zip is already registered
+        raise
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -156,15 +156,25 @@ class Lake:
         lin = self.read_lineage()
         if lin is None:
             return None
-        latest = lin.groupBy("bucket").agg(
-            F.max_by("status", F.col("completed_at")).alias("status")
-        )
+        latest = lin.groupBy("bucket").agg(_latest_status().alias("status"))
         return latest.filter(F.col("status") == COMPLETED).select("bucket")
 
     def read_spans_out(self) -> DataFrame:
         if self.table_format == "iceberg":
             return self.spark.table(self.spans_out)
         return self.spark.read.parquet(self.spans_out)
+
+
+def _latest_status() -> F.Column:
+    """A bucket's effective status: the row with the greatest
+    ``completed_at`` wins, and on an exact timestamp tie ``completed``
+    beats ``failed`` — all rows of a commit group share one
+    completed_at, and a retry finishing in the same float-second must
+    not make the verdict depend on row order (a failure after an
+    earlier same-instant success keeps the bucket completed, matching
+    completed_buckets_df's documented output-is-kept semantics)."""
+    rank = F.when(F.col("status") == COMPLETED, 1).otherwise(0)
+    return F.max_by("status", F.struct(F.col("completed_at"), rank))
 
 
 def bucket_of(doc_id_col: F.Column, n_buckets: int) -> F.Column:
@@ -361,9 +371,7 @@ def count_summary(lake: Lake) -> dict:
     # must surface, not read as "0 docs" next to completed lineage rows
     lin = lake.read_lineage()
     if lin is not None:
-        latest = lin.groupBy("bucket").agg(
-            F.max_by("status", F.col("completed_at")).alias("status")
-        )
+        latest = lin.groupBy("bucket").agg(_latest_status().alias("status"))
         out["buckets"] = {
             r["status"]: r["n"]
             for r in latest.groupBy("status").agg(F.count("*").alias("n")).collect()

@@ -43,24 +43,26 @@ def parse_pdf_safe_udf(content: pd.Series) -> pd.DataFrame:
     single corrupt file would otherwise fail the whole job through task
     retries. Returns (pages, parse_error); exactly one side is set.
 
-    Clean batches take a FAST PATH with no per-document bookkeeping: one
-    list comprehension, errors column all-NULL. Only when a batch
-    actually contains a corrupt/null payload does the per-document
-    quarantine loop run (re-parsing the batch — corrupt docs are rare,
-    so the amortized cost is the clean path; measured ~10% kernel win
-    over unconditionally per-doc try/except, which BENCH r02 flagged as
-    the pdf_bytes_extract drift)."""
+    Clean batches take a FAST PATH with no per-document try/except,
+    errors column all-NULL (measured ~10% kernel win over
+    unconditionally per-doc try/except, which BENCH r02 flagged as the
+    pdf_bytes_extract drift). When a payload IS corrupt/null, the
+    quarantine loop resumes AT the failing payload — the successfully
+    parsed prefix is reused, so a tainted batch pays at most one extra
+    parse attempt, not a full re-parse of its clean documents."""
     from pdf_extract_spark.sources.pdfparse import PdfError, parse_pdf
 
     vals = content.tolist()
+    pages_out: list = []
     try:
-        # bytes(None) raises TypeError, routing null payloads to the
-        # quarantine loop along with PdfError corruption
-        pages_out = [parse_pdf(bytes(b)) for b in vals]
+        for b in vals:
+            # bytes(None) raises TypeError, routing null payloads to the
+            # quarantine loop along with PdfError corruption
+            pages_out.append(parse_pdf(bytes(b)))
         errs: list = [None] * len(vals)
     except (PdfError, TypeError):
-        pages_out, errs = [], []
-        for b in vals:
+        errs = [None] * len(pages_out)
+        for b in vals[len(pages_out):]:
             if b is None:
                 pages_out.append(None)
                 errs.append("null content")

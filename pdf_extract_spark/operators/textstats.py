@@ -298,9 +298,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     ttr = F.round(F.size(F.array_distinct(toks)) / n, 6)
+    # slice length clamped: tokens() never yields an empty array for
+    # non-null text (split('') is ['']), but greatest() keeps a
+    # hypothetical 0-length array from turning into a runtime error
+    blen = F.greatest(n - 1, F.lit(0))
     bg = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
+        F.slice(toks, 1, blen),
+        F.slice(toks, 2, blen),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     top = F.array_max(
@@ -309,7 +313,12 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             lambda d: F.size(F.filter(bg, lambda x: x == d)),
         )
     )
-    top_frac = F.when(F.size(bg) > 0, F.round(top / F.size(bg), 6)).otherwise(0.0)
+    # NULL text -> all three stats NULL (without the isNull guard the
+    # when() condition is NULL and falls through to 0.0, disagreeing
+    # with the NULL n_tokens/type_token_ratio)
+    top_frac = F.when(n.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(F.size(bg) > 0, F.round(top / F.size(bg), 6)).otherwise(0.0)
+    )
     return df.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
@@ -329,7 +338,8 @@ b AS (
 SELECT doc_id,
        len(toks)::BIGINT AS n_tokens,
        round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio,
-       CASE WHEN len(bg) > 0 THEN
+       CASE WHEN toks IS NULL THEN NULL
+            WHEN len(bg) > 0 THEN
          round(list_max(list_transform(list_distinct(bg),
                d -> len(list_filter(bg, x -> x = d)))) * 1.0 / len(bg), 6)
        ELSE 0.0 END AS top_bigram_frac

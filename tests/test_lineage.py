@@ -252,3 +252,22 @@ def test_retry_bucket_and_count_summary(spark, docs_df, tmp_path):
     # empty lake: count_summary degrades gracefully
     empty = count_summary(Lake(spark, str(tmp_path / "nolake")))
     assert empty == {"docs": 0, "spans": 0, "runs": 0, "buckets": {}}
+
+
+def test_same_instant_tie_prefers_completed(spark, tmp_path):
+    """All rows of a commit group share one completed_at, and a retry can
+    finish in the same float-second: on an exact timestamp tie the bucket
+    verdict must be deterministic and prefer 'completed' (output is
+    kept), regardless of row order."""
+    from pdf_extract_spark.lineage import COMPLETED, FAILED, LINEAGE_WRITE, count_summary
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    t = 1700000000.0
+    for status_order in ([COMPLETED, FAILED], [FAILED, COMPLETED]):
+        rows = [("r1", 0, s, 5, 50, t, t, None) for s in status_order]
+        lake._append(rows, LINEAGE_WRITE, lake.lineage)
+
+    done = {r["bucket"] for r in lake.completed_buckets_df().collect()}
+    assert done == {0}
+    summary = count_summary(lake)
+    assert summary["buckets"] == {COMPLETED: 1}

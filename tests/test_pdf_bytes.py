@@ -119,3 +119,29 @@ def test_corrupt_pdf_quarantined_not_fatal(spark):
     # convenience views over raw bytes agree
     assert {r["doc_id"] for r in L.pdf_to_spans(df).collect()} == {"ok"}
     assert {r["doc_id"] for r in L.pdf_parse_errors(df).collect()} == {"truncated", "garbage"}
+
+
+def test_quarantine_reuses_parsed_prefix(monkeypatch):
+    """A tainted batch must not re-parse its clean prefix: the
+    quarantine loop resumes at the failing payload, so each clean doc
+    is parsed exactly once and the corrupt one at most twice."""
+    import pandas as pd
+    from pdf_extract_spark.sources import pdfparse
+
+    calls: list[int] = []
+    real = pdfparse.parse_pdf
+
+    def counting(b):
+        calls.append(1)
+        return real(b)
+
+    monkeypatch.setattr(pdfparse, "parse_pdf", counting)
+    clean = [pdfgen.build_pdf(d, seed=SEED) for d in range(4)]
+    batch = clean[:2] + [b"%PDF-1.4 garbage", None] + clean[2:]
+    out = layout.parse_pdf_safe_udf.func(pd.Series(batch))
+    assert list(out["parse_error"].isna()) == [True, True, False, False, True, True]
+    # 4 clean parses + 2 attempts on the corrupt payload (fast path +
+    # quarantine retry); the null payload never reaches parse_pdf
+    assert len(calls) == 6, len(calls)
+    for i, d in zip((0, 1, 4, 5), (0, 1, 2, 3)):
+        assert out["pages"][i] == pdfgen.expected_pages(d, seed=SEED)

@@ -86,7 +86,7 @@ _ASSEMBLED = T.StructType(
 _STATE = T.StructType([T.StructField("chunks_json", T.StringType(), True)])
 
 
-def _assemble_fn(key, pdfs, state):
+def _assemble_fn(key, pdfs, state, tombstone_ttl_ms: int | None = None):
     """applyInPandasWithState kernel: buffer span-chunks per doc_id across
     micro-batches (arrival order arbitrary); once chunk indices 0..n-1 are
     ALL present, run the full deterministic extraction on the reassembled
@@ -108,17 +108,38 @@ def _assemble_fn(key, pdfs, state):
     eventually emitting a DUPLICATE output row (or a never-completable
     buffer, for quarantined docs). Tombstones are a few bytes per
     finished doc; a deployment with unbounded doc cardinality should add
-    a state timeout to bound retention (availableNow drains don't need
-    one). Checkpoints written by the pre-"expected" state format (a flat
+    a state timeout to bound retention: ``tombstone_ttl_ms`` (plumbed
+    from ``assemble_and_extract_stream(tombstone_ttl_seconds=...)``)
+    arms a ProcessingTimeTimeout on each TERMINAL state, and the timeout
+    invocation removes it. In-flight buffers never time out (they are
+    legitimately waiting for chunks). THE ACCEPTED TRADE: a chunk
+    replayed AFTER its doc's tombstone expired rebuilds a fresh buffer
+    and, if the full set is replayed, emits a duplicate output row — so
+    the TTL must exceed the source's replay horizon; downstream lineage
+    keyed on doc_id dedups stragglers. availableNow drains don't need a
+    TTL (default None = NoTimeout, tombstones retained forever).
+    Checkpoints written by the pre-"expected" state format (a flat
     {idx: payload} blob) are migrated transparently."""
     from pdf_extract_spark import rules
 
     (doc_id,) = key
+    if tombstone_ttl_ms is not None and state.hasTimedOut:
+        # an expired tombstone (only terminal states arm the timeout)
+        state.remove()
+        yield pd.DataFrame([], columns=["doc_id", "spans_json", "status"])
+        return
+
+    def _arm_ttl():
+        if tombstone_ttl_ms is not None:
+            state.setTimeoutDuration(tombstone_ttl_ms)
+
     st = json.loads(state.get[0]) if state.exists else {}
     if st.get("quarantined") or st.get("done"):
         # terminal in an earlier batch: swallow redeliveries (emitting
-        # again would duplicate the doc's output row)
+        # again would duplicate the doc's output row); re-arm the TTL —
+        # redelivery proves the replay horizon hasn't passed yet
         state.update((json.dumps(st),))
+        _arm_ttl()
         yield pd.DataFrame([], columns=["doc_id", "spans_json", "status"])
         return
     if "chunks" in st or "expected" in st:
@@ -150,6 +171,7 @@ def _assemble_fn(key, pdfs, state):
             break
     if error is not None:
         state.update((json.dumps({"quarantined": True}),))
+        _arm_ttl()
         yield pd.DataFrame(
             [{"doc_id": doc_id, "spans_json": json.dumps({"error": error}),
               "status": "malformed"}]
@@ -163,10 +185,13 @@ def _assemble_fn(key, pdfs, state):
         # source a chunk replayed after completion must not rebuild a
         # fresh buffer and emit a duplicate status='ok' row
         state.update((json.dumps({"done": True}),))
+        _arm_ttl()
         yield pd.DataFrame(
             [{"doc_id": doc_id, "spans_json": json.dumps(out), "status": "ok"}]
         )
     else:
+        # in-flight buffer: deliberately NO timeout — it is waiting for
+        # its remaining chunks, however long that takes
         state.update((json.dumps({"expected": expected, "chunks": buffered}),))
         yield pd.DataFrame([], columns=["doc_id", "spans_json", "status"])
 
@@ -176,29 +201,53 @@ def assemble_and_extract_stream(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    tombstone_ttl_seconds: int | None = None,
 ) -> StreamingQuery:
     """Chunked-arrival extraction: documents stream in as out-of-order
     span-chunks (doc_id, chunk_idx, n_chunks, payload); a stateful
     groupBy(doc_id).applyInPandasWithState operator assembles them and
     emits each document's extracted spans exactly once, when complete.
     The stateful analog of the reference's batch_progress accumulation
-    (/root/reference/database.py:76-93) as a true streaming operator."""
+    (/root/reference/database.py:76-93) as a true streaming operator.
+
+    ``tombstone_ttl_seconds`` bounds terminal-tombstone retention for
+    CONTINUOUS deployments with unbounded doc cardinality (see
+    _assemble_fn for the replay-horizon trade). Setting it switches the
+    trigger from availableNow to a processing-time micro-batch loop —
+    Spark does not support availableNow with processing-time timeouts
+    (the drain never terminates: it keeps scheduling state-cleanup
+    batches); a TTL'd query is long-running by definition, so the
+    caller stops it. The default ``None`` keeps NoTimeout +
+    availableNow — right for drains, where state dies with the run
+    anyway."""
     chunks = spark.readStream.schema(CHUNK_SCHEMA).parquet(input_dir)
+    if tombstone_ttl_seconds is None:
+        fn, timeout = _assemble_fn, GroupStateTimeout.NoTimeout
+    else:
+        ttl_ms = int(tombstone_ttl_seconds) * 1000
+
+        def fn(key, pdfs, state):
+            yield from _assemble_fn(key, pdfs, state, tombstone_ttl_ms=ttl_ms)
+
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     assembled = chunks.groupBy("doc_id").applyInPandasWithState(
-        _assemble_fn,
+        fn,
         outputStructType=_ASSEMBLED,
         stateStructType=_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
-    return (
+    writer = (
         assembled.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
+    if tombstone_ttl_seconds is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")
+    return writer.start()
 
 
 # --------------------------------------------------------------------------

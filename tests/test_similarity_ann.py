@@ -162,23 +162,9 @@ def test_minhash_hot_bucket_cap_and_plan(spark):
 
 def ann_recall_at_k(spark, sf_dir, n_queries=5, k=10):
     """recall@k of each ANN variant vs cosine_topk ground truth — the
-    accuracy side of the accuracy/cost trade (numbers recorded in
-    BENCH.md)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    truth = _by_query(S.cosine_topk(emb, n_queries=n_queries, k=k).collect())
-    out = {}
-    variants = {
-        "lsh": S.ann_lsh_topk(emb, n_queries=n_queries, k=k, dim=64),
-        "multiprobe": S.ann_lsh_multiprobe_topk(emb, n_queries=n_queries, k=k, dim=64),
-        "multitable": S.ann_lsh_multitable_topk(emb, n_queries=n_queries, k=k, dim=64),
-        "ivf_fixed": S.ann_ivf_fixed_topk(emb, n_queries=n_queries, k=k),
-        "ivf": S.ann_ivf_topk(emb, n_queries=n_queries, k=k),
-    }
-    for name, df in variants.items():
-        got = _by_query(df.collect())
-        hits = sum(len(set(got.get(q, {})) & set(truth[q])) for q in truth)
-        out[name] = round(hits / max(sum(len(truth[q]) for q in truth), 1), 4)
-    return out
+    accuracy side of the accuracy/cost trade. Lives in similarity.py so
+    bench.py measures the same numbers it writes into BENCH.md."""
+    return S.measure_ann_recall(spark, sf_dir, n_queries=n_queries, k=k)
 
 
 def test_ann_recall_measured(spark):
@@ -295,3 +281,17 @@ def test_pack_documents_greedy_semantics(spark):
     assert len(packs[alone[0]]) == 1
     # every doc packed exactly once
     assert sorted(d for m in packs.values() for d, _ in m) == [0, 1, 2, 3, 4, 5]
+
+
+def test_trained_ivf_wins_on_clustered_corpus(spark):
+    """On the planted-cluster corpus with a degenerate seeding prefix
+    (similarity.make_clustered_embeddings), Lloyd training must
+    decisively beat the untrained seed quantizer — the evidence behind
+    BENCH.md's 'training pays on clustered corpora' claim (the sf
+    embeddings show the opposite regime: weak clusters, where untrained
+    seeds are competitive)."""
+    recalls = S.measure_clustered_ivf_recall(spark)
+    print(f"\nclustered-corpus IVF recall@10: {recalls}")
+    assert recalls["ivf"] >= 0.7, recalls
+    assert recalls["ivf_fixed"] <= 0.4, recalls
+    assert recalls["ivf"] - recalls["ivf_fixed"] >= 0.3, recalls

@@ -270,3 +270,72 @@ def test_foreach_batch_lake_sink_idempotent(spark, tmp_path):
         for r in after.collect()
     }
     assert got == oracle.expected_corpus(w1 + w2)
+
+
+def test_tombstone_ttl_bounds_state(spark, tmp_path):
+    """With tombstone_ttl_seconds set (continuous processing-time
+    trigger): (1) a full redelivery within the TTL is swallowed by the
+    tombstone; (2) after the TTL passes with no redeliveries, the
+    tombstone is removed and a full replay re-emits the doc - the
+    documented accepted trade (TTL must exceed the replay horizon;
+    downstream lineage keyed on doc_id dedups stragglers).
+
+    With ProcessingTimeTimeout the query runs a state-cleanup batch
+    every trigger, so processAllAvailable never settles; assertions
+    poll the output with deadlines instead."""
+    import collections
+    import json
+    import time
+
+    from pdf_extract_spark.streaming import CHUNK_SCHEMA, assemble_and_extract_stream
+
+    doc_a = generator.make_corpus(1, seed=31)[0]
+    a_id = doc_a["doc_id"]
+    spans = doc_a["spans"]
+    mid = len(spans) // 2
+    full_set = [
+        {"doc_id": a_id, "chunk_idx": 0, "n_chunks": 2,
+         "payload": json.dumps(spans[:mid])},
+        {"doc_id": a_id, "chunk_idx": 1, "n_chunks": 2,
+         "payload": json.dumps(spans[mid:])},
+    ]
+
+    inp = str(tmp_path / "chunks")
+    outp, ckpt = str(tmp_path / "assembled"), str(tmp_path / "ck")
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema=CHUNK_SCHEMA).write.mode("append").parquet(inp)
+
+    def ok_count():
+        try:
+            rows = spark.read.parquet(outp).collect()
+        except Exception:
+            return 0
+        return sum(1 for r in rows if r["status"] == "ok" and r["doc_id"] == a_id)
+
+    def wait_for(n, timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if ok_count() >= n:
+                return True
+            time.sleep(0.5)
+        return False
+
+    feed([])  # the source path must exist before the stream starts
+    q = assemble_and_extract_stream(spark, inp, outp, ckpt, tombstone_ttl_seconds=5)
+    try:
+        feed(full_set)                      # doc A completes
+        assert wait_for(1)
+        t_done = time.time()
+
+        feed(full_set)                      # FULL redelivery within the TTL
+        time.sleep(4)                       # several triggers pass...
+        assert ok_count() == 1              # ...swallowed by the tombstone
+        assert time.time() - t_done < 15    # sanity: we are near the TTL window
+
+        time.sleep(12)                      # no redeliveries: tombstone expires
+                                            # and a cleanup batch removes it
+        feed(full_set)                      # full replay AFTER expiry:
+        assert wait_for(2)                  # duplicate = the documented trade
+    finally:
+        q.stop()

@@ -384,6 +384,15 @@ def write_bench_md(result: dict) -> None:
         "r3 by fast-pathing clean batches). Within-run comparisons (the",
         "scaling table above, pinned cores, same minute) are unaffected.",
         "",
+        "Drift verdicts recorded under this protocol:",
+        "",
+        "- ann_lsh_topk r3 suite reading 1.87 s (vs 1.49 s r2, nominal",
+        "  1.26x): KILLED in r4 by the mandated isolated warm re-run on an",
+        "  idle machine — 5 warm repetitions at sf0.1 gave",
+        "  [1.31, 1.289, 1.211, 1.243, 1.058] s, median 1.243 s, faster",
+        "  than either suite reading. Ambient noise, not a regression; the",
+        "  plan was unchanged and no fix was applied.",
+        "",
         "## Iceberg commit overhead — not measurable in this sandbox",
         "",
         "The lake's `table_format=\"iceberg\"` branch issues the real",

@@ -55,6 +55,7 @@ HEADLINE = [
     "ann_lsh_topk",             # similarity scale path
     "ann_lsh_multitable",       # multi-table LSH (recall-recovering scale path)
     "ann_ivf_fixed_topk",       # IVF probe/rank path (value-exact vs DuckDB)
+    "decontaminate",            # benchmark n-gram decontamination (broadcast eval grams)
     "curate_corpus",            # composed pipeline: dedup->components->sample->pack
     "align_export_full_outer",  # J4 export join (value-exact vs DuckDB)
     "pdf_bytes_extract",        # byte path: xref walk + content-stream parse
@@ -64,6 +65,7 @@ HEADLINE = [
     "punct_stats",              # C12 regexp_extract_all
     "remove_numbering",         # C7 first-match-only numbering chain
     "media_features",           # multimodal byte features
+    "table_detect",             # grid-aligned table source_type classification
 ]
 
 

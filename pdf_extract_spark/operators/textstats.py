@@ -345,3 +345,64 @@ SELECT doc_id,
        ELSE 0.0 END AS top_bigram_frac
 FROM b
 """
+
+
+# ------------------------------------------------------------- PII scrub
+#
+# Training-data redaction: detect-and-replace emails, SSN-style ids and
+# phone numbers with typed placeholder tokens, reporting per-document
+# counts for audit. The reference extracts documents but never redacts
+# (it has no egress concern); this is a first-class training-pipeline
+# addition. Stages apply IN ORDER (email -> id -> phone) and each stage
+# counts on the PREVIOUS stage's output, so an SSN-style id is never
+# double-counted by the looser phone pattern - the order is part of the
+# operator's contract and is mirrored verbatim in the SQL twin.
+#
+# Regex portability (Java on Spark, RE2 on DuckDB): ASCII classes,
+# bounded quantifiers and greedy repetition only - no lookaround, no
+# anchors (the engines disagree on terminal anchors, see metacompare),
+# no \b. Both engines use leftmost-first matching here and the patterns
+# are backtracking-free, so matches agree byte-for-byte.
+#
+# Scale: one map-only projection - no shuffle, no Python, column-pruned.
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ids", r"\d{3}-\d{2}-\d{4}", "[ID]"),
+    ("phones", r"\+?\d[\d -]{6,}\d", "[PHONE]"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII spans, returning
+    (doc_id, n_emails, n_ids, n_phones, scrubbed)."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select("doc_id", *counts, cur.alias("scrubbed"))
+
+
+def pii_scrub_sql(
+    table: str = "documents", text_expr: str = "text", prelude_ctes: str = ""
+) -> str:
+    """DuckDB mirror: the same staged count-then-replace chain (RE2
+    needs the explicit 'g' flag Spark applies implicitly).
+    ``prelude_ctes`` prepends caller CTEs (e.g. a decorated input
+    relation) to the single top-level WITH."""
+    ctes, prev = [], "s0"
+    if prelude_ctes:
+        ctes.append(prelude_ctes)
+    ctes.append(f"s0 AS (SELECT doc_id, {text_expr} AS t FROM {table})")
+    for i, (name, pat, token) in enumerate(PII_PATTERNS, start=1):
+        carried = "".join(f", n_{n}" for n, _, _ in PII_PATTERNS[: i - 1])
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, "
+            f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '{token}', 'g') AS t"
+            f"{carried} FROM {prev})"
+        )
+        prev = f"s{i}"
+    cols = ", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS)
+    return f"WITH {', '.join(ctes)}\nSELECT doc_id, {cols}, t AS scrubbed FROM {prev}"

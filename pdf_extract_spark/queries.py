@@ -988,6 +988,59 @@ def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_filter(d, min_tokens=25, min_stopword_ratio=0.01)
 
 
+@query(
+    "decontaminate",
+    dedup.decontaminate_sql(corpus_pred="doc_id % 50 <> 0", eval_pred="doc_id % 50 = 0"),
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 App. C / PaLM n-gram collision
+    rule): the deterministic 2% slice doc_id % 50 == 0 plays the eval
+    benchmark; every remaining corpus doc gets its distinct word-5-gram
+    collision count and fraction against it. The eval gram set is
+    broadcast — the corpus is never shuffled by gram (one doc_id
+    Exchange only, plan-pinned in test_plans.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup.decontaminate(corpus, ev)
+
+
+@query(
+    "pii_scrub",
+    textstats.pii_scrub_sql(
+        table="d",
+        prelude_ctes="""d AS (SELECT doc_id, text || CASE doc_id % 5
+    WHEN 0 THEN ' contact alice.smith@example.com today'
+    WHEN 1 THEN ' call +1 555-0142 7890 now'
+    WHEN 2 THEN ' ref 123-45-6789 here'
+    WHEN 3 THEN ' mail bob@test.org or 555 0199 2211'
+    ELSE '' END AS text FROM documents)""",
+    ),
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a deterministically decorated corpus (the
+    synthetic documents contain no digits or punctuation by
+    construction, so each doc_id % 5 class appends a known PII tail —
+    email / phone / SSN-style id / both / none). The REAL staged
+    count-then-replace kernel runs on Spark; the oracle replays the
+    identical chain in RE2."""
+    tails = F.array(
+        F.lit(" contact alice.smith@example.com today"),
+        F.lit(" call +1 555-0142 7890 now"),
+        F.lit(" ref 123-45-6789 here"),
+        F.lit(" mail bob@test.org or 555 0199 2211"),
+        F.lit(""),
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.element_at(tails, (F.col("doc_id") % 5 + 1).cast("int")),
+        ).alias("text"),
+    )
+    return textstats.pii_scrub(d)
+
+
 @query("pack_documents", packing.pack_documents_sql())
 def pack_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing — greedy token-budget bin packing of documents
@@ -1013,24 +1066,39 @@ _CURATE_MIN_TOKENS, _CURATE_MIN_STOP = 25, 0.01
 def curate_corpus_sql() -> str:
     pairs = (
         "pairs AS (SELECT id_a, id_b FROM "
-        f"({dedup.minhash_lsh_pairs_sql()}))"
+        f"({dedup.minhash_lsh_pairs_sql(table='corpus')}))"
     )
-    comp_ctes = dedup.dedup_components_ctes(pairs, "documents")
+    comp_ctes = dedup.dedup_components_ctes(pairs, "corpus")
     qf = textstats.quality_filter_sql(
         table="keepers", min_tokens=_CURATE_MIN_TOKENS,
         min_stopword_ratio=_CURATE_MIN_STOP,
     )
-    sampled = textstats.stratified_sample_sql(_CURATE_RATES, table="quality")
+    sampled = textstats.stratified_sample_sql(_CURATE_RATES, table="clean")
     pack_ctes = packing.pack_documents_ctes(table="sampled")
+    grams5 = dedup.shingles_over_tokens_sql("t", k=5)
+    toks = textstats.tokens_sql("text")
     return f"""
-WITH RECURSIVE {comp_ctes},
+WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+{comp_ctes},
 keepers AS (
-  SELECT d.* FROM documents d JOIN allc a ON a.doc_id = d.doc_id
+  SELECT d.* FROM corpus d JOIN allc a ON a.doc_id = d.doc_id
   WHERE a.doc_id = a.component),
 qualified AS ({qf}),
 quality AS (
   SELECT k.* FROM keepers k JOIN qualified q ON q.doc_id = k.doc_id
   WHERE q.keep),
+evg AS (
+  SELECT DISTINCT unnest(sh) AS g FROM (
+    SELECT {grams5} AS sh FROM (
+      SELECT {toks} AS t FROM documents WHERE doc_id % 50 = 0))),
+qg AS (
+  SELECT doc_id, unnest(sh) AS g FROM (
+    SELECT doc_id, {grams5} AS sh FROM (
+      SELECT doc_id, {toks} AS t FROM quality))),
+contaminated AS (SELECT DISTINCT qg.doc_id FROM qg JOIN evg ON qg.g = evg.g),
+clean AS (
+  SELECT * FROM quality
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
 sampled AS ({sampled}),
 {pack_ctes}
 SELECT doc_id, bucket, pack_id, n_tokens FROM walk
@@ -1047,11 +1115,19 @@ def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratified sampling (map-side, shuffle-free), greedy per-bucket
     sequence packing (one Exchange + Arrow kernel) — so the oracle
     verifies the COMPOSED semantics: what feeds forward between stages,
-    not just each stage over pristine inputs."""
+    not just each stage over pristine inputs.
+
+    r4: the pipeline also PROTECTS a benchmark — the deterministic 2%
+    slice doc_id % 50 == 0 plays the external eval set (it is excluded
+    from the curated corpus up front), and after the quality gate every
+    surviving doc is anti-joined away if it shares any word-5-gram with
+    the benchmark (`decontaminate`, broadcast eval grams)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs).select("id_a", "id_b")
-    comps = dedup.dedup_components(pairs, universe=docs)
-    keepers = docs.join(
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    pairs = dedup.minhash_lsh_pairs(corpus).select("id_a", "id_b")
+    comps = dedup.dedup_components(pairs, universe=corpus)
+    keepers = corpus.join(
         comps.filter(F.col("is_keeper")).select("doc_id"), "doc_id", "semi"
     )
     verdicts = textstats.quality_filter(
@@ -1061,7 +1137,13 @@ def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = keepers.join(
         verdicts.filter(F.col("keep")).select("doc_id"), "doc_id", "semi"
     )
-    sampled = textstats.stratified_sample(quality, _CURATE_RATES)
+    contaminated = (
+        dedup.decontaminate(quality, ev)
+        .filter(F.col("is_contaminated"))
+        .select("doc_id")
+    )
+    clean = quality.join(contaminated, "doc_id", "anti")
+    sampled = textstats.stratified_sample(clean, _CURATE_RATES)
     return packing.pack_documents(sampled).orderBy("doc_id")
 
 
@@ -2157,6 +2239,8 @@ _DEMOTED_ORACLED = frozenset({
     "running_value",            # window-fn family (see above)
     "earliest_anchor",          # min_by; agg family in-window via mode_quantity
     "dedup_jaccard",            # documented exactness VERIFIER; minhash/simhash/components in-window
+    "filter_regex_docs",        # filter family: content_filters (faithful F7/F8) stays in-window
+    "run_length_events",        # window-fn family: sectionize_events, topk_orders in-window
     "ann_lsh_multitable",       # LSH family: ann_lsh_topk, ann_ivf_fixed_topk in-window
     "ann_lsh_multiprobe",       # LSH family (see above)
     "embedding_near_dup",       # 0-row result at sf0.01; cosine_topk covers the cosine path

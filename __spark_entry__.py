@@ -22,19 +22,28 @@ def _ensure_shipped(spark: SparkSession) -> None:
     """Make the package importable on executors even when the driver
     process didn't create the session through build_spark.
 
-    Only the known-benign failure is swallowed: re-registering the
-    pyfiles zip under a different temp path when an equivalent copy was
-    already shipped ("exists and does not match contents" — re-adding
-    the SAME path is already a silent no-op in Spark). Anything else is
-    a real packaging failure and must surface here at entry, not later
-    as an opaque executor ImportError."""
+    Nothing is swallowed. ``build_pyfiles_zip`` is byte-deterministic
+    (sorted entries, zeroed timestamps), and Spark's addPyFile silently
+    skips a re-add whose bytes equal the already-registered
+    ``pdf_extract_spark.zip`` — so the only way ``ship_package`` can
+    raise "exists and does not match contents" is genuine version skew:
+    this driver's package source differs from what the live context
+    already shipped to executors. Running on would mix new driver code
+    with stale executor code, so that must fail HERE at entry, not
+    later as silently-wrong results."""
     from pdf_extract_spark.packaging import ship_package
 
     try:
         ship_package(spark)
     except Exception as e:
         if "exists and does not match contents" in str(e):
-            return  # an equivalent zip is already registered
+            raise RuntimeError(
+                "pdf_extract_spark version skew: this SparkContext already "
+                "shipped a pdf_extract_spark.zip built from DIFFERENT package "
+                "source (the pyfiles zip is byte-deterministic, so equal "
+                "source never raises this). Restart the session so executors "
+                "pick up the current code."
+            ) from e
         raise
 
 

@@ -611,12 +611,26 @@ def _recall_by_query(rows) -> dict:
     return d
 
 
+def _recall_vs_exact(emb, variants: dict, n_queries: int, k: int) -> dict[str, float]:
+    """The single home of the recall@k definition (exact cosine_topk as
+    ground truth, hits-over-truth-size, round 4): both the flat-sf and
+    planted-cluster reports go through here so tie handling or rounding
+    can never diverge between BENCH.md tables."""
+    truth = _recall_by_query(cosine_topk(emb, n_queries=n_queries, k=k).collect())
+    total = max(sum(len(truth[q]) for q in truth), 1)
+    out = {}
+    for name, df in variants.items():
+        got = _recall_by_query(df.collect())
+        hits = sum(len(got.get(q, set()) & truth[q]) for q in truth)
+        out[name] = round(hits / total, 4)
+    return out
+
+
 def measure_ann_recall(spark, sf_dir: str, n_queries: int = 5, k: int = 10,
                        dim: int = 64) -> dict[str, float]:
     """recall@k of every ANN variant vs cosine_topk ground truth on the
     sf_dir embeddings — the accuracy side of the accuracy/cost trade."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    truth = _recall_by_query(cosine_topk(emb, n_queries=n_queries, k=k).collect())
     variants = {
         "lsh": ann_lsh_topk(emb, n_queries=n_queries, k=k, dim=dim),
         "multiprobe": ann_lsh_multiprobe_topk(emb, n_queries=n_queries, k=k, dim=dim),
@@ -624,13 +638,7 @@ def measure_ann_recall(spark, sf_dir: str, n_queries: int = 5, k: int = 10,
         "ivf_fixed": ann_ivf_fixed_topk(emb, n_queries=n_queries, k=k),
         "ivf": ann_ivf_topk(emb, n_queries=n_queries, k=k),
     }
-    out = {}
-    total = max(sum(len(truth[q]) for q in truth), 1)
-    for name, df in variants.items():
-        got = _recall_by_query(df.collect())
-        hits = sum(len(got.get(q, set()) & truth[q]) for q in truth)
-        out[name] = round(hits / total, 4)
-    return out
+    return _recall_vs_exact(emb, variants, n_queries=n_queries, k=k)
 
 
 def make_clustered_embeddings(spark, n: int = 400, k_clusters: int = 8,
@@ -670,18 +678,11 @@ def measure_clustered_ivf_recall(spark, n_queries: int = 5,
     emb = emb.cache()
     emb.count()
     try:
-        truth = _recall_by_query(cosine_topk(emb, n_queries=n_queries, k=k).collect())
-        total = max(sum(len(truth[q]) for q in truth), 1)
-        out = {}
-        for name, df in {
+        variants = {
             "ivf": ann_ivf_topk(emb, n_queries=n_queries, k=k),
             "ivf_fixed": ann_ivf_fixed_topk(emb, n_queries=n_queries, k=k),
-        }.items():
-            got = _recall_by_query(df.collect())
-            out[name] = round(
-                sum(len(got.get(q, set()) & truth[q]) for q in truth) / total, 4
-            )
-        return out
+        }
+        return _recall_vs_exact(emb, variants, n_queries=n_queries, k=k)
     finally:
         emb.unpersist()
 

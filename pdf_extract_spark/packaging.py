@@ -27,18 +27,31 @@ def build_pyfiles_zip(dest_dir: str | None = None) -> str:
         return _ZIP_CACHE[key]
     dest_dir = dest_dir or tempfile.mkdtemp(prefix="pdf_extract_spark_pyfiles_")
     zip_path = os.path.join(dest_dir, "pdf_extract_spark.zip")
-    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            if "__pycache__" in root:
+    # Byte-DETERMINISTIC archive: sorted entry order, zeroed timestamps.
+    # Spark's addPyFile dedups by file NAME and silently skips a re-add
+    # whose bytes match the already-registered copy, but raises "exists
+    # and does not match contents" when they differ. With live mtimes a
+    # rebuild of IDENTICAL source produced different bytes, making that
+    # error ambiguous (benign rebuild vs real version skew); with a
+    # deterministic zip it fires only when the package source genuinely
+    # changed under a live context — which must surface, not be caught.
+    entries = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for fn in files:
+            if not fn.endswith(".py"):
                 continue
-            for fn in files:
-                if not fn.endswith(".py"):
-                    continue
-                full = os.path.join(root, fn)
-                rel = os.path.join(
-                    "pdf_extract_spark", os.path.relpath(full, pkg_dir)
-                )
-                zf.write(full, rel)
+            full = os.path.join(root, fn)
+            rel = os.path.join("pdf_extract_spark", os.path.relpath(full, pkg_dir))
+            entries.append((rel, full))
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for rel, full in sorted(entries):
+            info = zipfile.ZipInfo(rel, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            info.external_attr = 0o644 << 16
+            with open(full, "rb") as f:
+                zf.writestr(info, f.read())
     _ZIP_CACHE[key] = zip_path
     return zip_path
 

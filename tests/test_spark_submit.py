@@ -37,6 +37,61 @@ spark.stop()
 '''
 
 
+def test_pyfiles_zip_is_byte_deterministic(tmp_path):
+    """Equal source must zip to equal bytes regardless of mtimes — that
+    makes addPyFile's "exists and does not match contents" mean exactly
+    one thing (real version skew), which _ensure_shipped then surfaces."""
+    sys.path.insert(0, REPO)
+    from pdf_extract_spark import packaging
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    packaging._ZIP_CACHE.clear()
+    zip_a = packaging.build_pyfiles_zip(str(a))
+    # bump every source mtime: bytes must not change
+    pkg_dir = os.path.dirname(os.path.abspath(packaging.__file__))
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in files:
+            if fn.endswith(".py"):
+                os.utime(os.path.join(root, fn))
+    packaging._ZIP_CACHE.clear()
+    zip_b = packaging.build_pyfiles_zip(str(b))
+    with open(zip_a, "rb") as fa, open(zip_b, "rb") as fb:
+        assert fa.read() == fb.read()
+    packaging._ZIP_CACHE.clear()
+
+
+def test_ensure_shipped_surfaces_version_skew(monkeypatch):
+    """A contents-mismatch from addPyFile is version skew and must raise,
+    not be swallowed; unrelated failures propagate unchanged."""
+    import importlib
+
+    sys.path.insert(0, REPO)
+    entry_mod = importlib.import_module("__spark_entry__")
+    from pdf_extract_spark import packaging
+
+    import pytest
+
+    def raise_mismatch(spark):
+        raise Exception(
+            "File /tmp/x/pdf_extract_spark.zip exists and does not match "
+            "contents of spark://host/files/pdf_extract_spark.zip"
+        )
+
+    monkeypatch.setattr(packaging, "ship_package", raise_mismatch)
+    with pytest.raises(RuntimeError, match="version skew"):
+        entry_mod._ensure_shipped(spark=None)
+
+    def raise_other(spark):
+        raise ValueError("disk full")
+
+    monkeypatch.setattr(packaging, "ship_package", raise_other)
+    with pytest.raises(ValueError, match="disk full"):
+        entry_mod._ensure_shipped(spark=None)
+
+
 def test_spark_submit_pyfiles_end_to_end(tmp_path):
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(pyspark.__file__), "bin", "spark-submit"

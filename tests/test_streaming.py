@@ -272,33 +272,30 @@ def test_foreach_batch_lake_sink_idempotent(spark, tmp_path):
     assert got == oracle.expected_corpus(w1 + w2)
 
 
-def test_tombstone_ttl_bounds_state(spark, tmp_path):
-    """With tombstone_ttl_seconds set (continuous processing-time
-    trigger): (1) a full redelivery within the TTL is swallowed by the
-    tombstone; (2) after the TTL passes with no redeliveries, the
-    tombstone is removed and a full replay re-emits the doc - the
-    documented accepted trade (TTL must exceed the replay horizon;
-    downstream lineage keyed on doc_id dedups stragglers).
-
-    With ProcessingTimeTimeout the query runs a state-cleanup batch
-    every trigger, so processAllAvailable never settles; assertions
-    poll the output with deadlines instead."""
-    import collections
+def _chunk_sets(seed_a=31, seed_b=77):
+    """Two docs, each split into a 2-chunk full set."""
     import json
+
+    sets = []
+    for seed in (seed_a, seed_b):
+        doc = generator.make_corpus(1, seed=seed)[0]
+        spans = doc["spans"]
+        mid = len(spans) // 2
+        sets.append((doc["doc_id"], [
+            {"doc_id": doc["doc_id"], "chunk_idx": 0, "n_chunks": 2,
+             "payload": json.dumps(spans[:mid])},
+            {"doc_id": doc["doc_id"], "chunk_idx": 1, "n_chunks": 2,
+             "payload": json.dumps(spans[mid:])},
+        ]))
+    return sets
+
+
+def _ttl_stream_harness(spark, tmp_path, ttl_seconds):
+    """Start a TTL'd assembler stream over tmp_path; returns
+    (query, feed, ok_count, wait_for)."""
     import time
 
     from pdf_extract_spark.streaming import CHUNK_SCHEMA, assemble_and_extract_stream
-
-    doc_a = generator.make_corpus(1, seed=31)[0]
-    a_id = doc_a["doc_id"]
-    spans = doc_a["spans"]
-    mid = len(spans) // 2
-    full_set = [
-        {"doc_id": a_id, "chunk_idx": 0, "n_chunks": 2,
-         "payload": json.dumps(spans[:mid])},
-        {"doc_id": a_id, "chunk_idx": 1, "n_chunks": 2,
-         "payload": json.dumps(spans[mid:])},
-    ]
 
     inp = str(tmp_path / "chunks")
     outp, ckpt = str(tmp_path / "assembled"), str(tmp_path / "ck")
@@ -306,36 +303,69 @@ def test_tombstone_ttl_bounds_state(spark, tmp_path):
     def feed(rows):
         spark.createDataFrame(rows, schema=CHUNK_SCHEMA).write.mode("append").parquet(inp)
 
-    def ok_count():
+    def ok_count(doc_id):
         try:
             rows = spark.read.parquet(outp).collect()
         except Exception:
             return 0
-        return sum(1 for r in rows if r["status"] == "ok" and r["doc_id"] == a_id)
+        return sum(1 for r in rows if r["status"] == "ok" and r["doc_id"] == doc_id)
 
-    def wait_for(n, timeout=90):
+    def wait_for(doc_id, n, timeout=120):
         deadline = time.time() + timeout
         while time.time() < deadline:
-            if ok_count() >= n:
+            if ok_count(doc_id) >= n:
                 return True
             time.sleep(0.5)
         return False
 
     feed([])  # the source path must exist before the stream starts
-    q = assemble_and_extract_stream(spark, inp, outp, ckpt, tombstone_ttl_seconds=5)
+    q = assemble_and_extract_stream(
+        spark, inp, outp, ckpt, tombstone_ttl_seconds=ttl_seconds
+    )
+    return q, feed, ok_count, wait_for
+
+
+def test_tombstone_ttl_swallows_redelivery_within_ttl(spark, tmp_path):
+    """A full redelivery while the tombstone lives is swallowed. The TTL
+    here (600 s) cannot expire during the test, so the assertion is
+    deterministic on any host; a second sentinel doc fed AFTER the
+    redelivery proves the redelivery batch was actually consumed (the
+    file source picks up files in arrival order) before we check that
+    doc A still has exactly one output row."""
+    (a_id, full_a), (b_id, full_b) = _chunk_sets()
+    q, feed, ok_count, wait_for = _ttl_stream_harness(spark, tmp_path, 600)
     try:
-        feed(full_set)                      # doc A completes
-        assert wait_for(1)
-        t_done = time.time()
+        feed(full_a)                        # doc A completes
+        assert wait_for(a_id, 1)
+        feed(full_a)                        # FULL redelivery, tombstone alive
+        feed(full_b)                        # sentinel: fed after the redelivery
+        assert wait_for(b_id, 1)            # sentinel out => redelivery consumed
+        assert ok_count(a_id) == 1          # swallowed by the tombstone
+    finally:
+        q.stop()
 
-        feed(full_set)                      # FULL redelivery within the TTL
-        time.sleep(4)                       # several triggers pass...
-        assert ok_count() == 1              # ...swallowed by the tombstone
-        assert time.time() - t_done < 15    # sanity: we are near the TTL window
 
-        time.sleep(12)                      # no redeliveries: tombstone expires
-                                            # and a cleanup batch removes it
-        feed(full_set)                      # full replay AFTER expiry:
-        assert wait_for(2)                  # duplicate = the documented trade
+def test_tombstone_ttl_expiry_allows_replay_duplicate(spark, tmp_path):
+    """After the TTL passes with no redeliveries, a cleanup batch removes
+    the tombstone and a full replay re-emits the doc — the documented
+    accepted trade (TTL must exceed the replay horizon; downstream
+    lineage keyed on doc_id dedups stragglers). Timing-robust: each
+    replay attempt sleeps well past the 1 s TTL first, and a swallowed
+    too-early replay merely re-arms the tombstone for the next attempt —
+    the loop converges on any host speed instead of racing one sleep
+    against the cleanup batch."""
+    import time
+
+    (a_id, full_a), _ = _chunk_sets()
+    q, feed, ok_count, wait_for = _ttl_stream_harness(spark, tmp_path, 1)
+    try:
+        feed(full_a)                        # doc A completes, tombstone armed
+        assert wait_for(a_id, 1)
+        deadline = time.time() + 150
+        while ok_count(a_id) < 2 and time.time() < deadline:
+            time.sleep(5)                   # >> TTL: tombstone expires between
+            feed(full_a)                    # attempts; replay rebuilds + emits
+            wait_for(a_id, 2, timeout=10)
+        assert ok_count(a_id) >= 2          # duplicate = the documented trade
     finally:
         q.stop()

@@ -59,6 +59,7 @@ HEADLINE = [
     "curate_corpus",            # composed pipeline: dedup->components->sample->pack
     "align_export_full_outer",  # J4 export join (value-exact vs DuckDB)
     "pdf_bytes_extract",        # byte path: xref walk + content-stream parse
+    "html_extract",             # HTML path: DOM boilerplate strip + extraction
     "align_pairs",              # Hungarian/greedy alignment kernel
     "pair_metadata",            # counter-algebra pair metadata
     "monotonic_prune",          # W6 running-max window filter

@@ -1,0 +1,121 @@
+"""The HTML path: raw page bytes -> main-content spans -> extracted
+spans (the north rule's "HTML boilerplate strip ... DOM heuristics" leg;
+structural twin of operators/layout.py's PDF byte path).
+
+Two map-only Arrow stages over the salted/range-partitioned pages:
+
+  1. ``parse_htmls`` — tolerant DOM build + boilerplate strip + span
+     emission (sources/htmlparse) per document, batched per Arrow batch;
+  2. the shared extraction stage (operators/extract) over the recovered
+     input_hint spans — the SAME rule core as the PDF and parquet paths,
+     so one golden oracle covers all three input formats.
+
+No shuffle between the stages; the only Exchange is the mandated
+repartitionByRange from pipeline.partition_for_extraction.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from pdf_extract_spark.schemas import SPANS
+
+PARSED_HTML = T.StructType(
+    [
+        T.StructField("spans", SPANS, True),
+        T.StructField("parse_error", T.StringType(), True),
+    ]
+)
+
+
+@pandas_udf(PARSED_HTML)
+def parse_html_safe_udf(content: pd.Series) -> pd.DataFrame:
+    """Quarantining parse: a payload that is not an HTML document (null,
+    undecodable bytes, markup-free) must NOT raise inside the task — at
+    web scale one bad row would otherwise fail the whole job through
+    task retries. Returns (spans, parse_error); exactly one side is set.
+
+    Same fast-path shape as layout.parse_pdf_safe_udf: clean batches run
+    a bare loop with no per-document try/except; when a payload IS bad,
+    the quarantine loop resumes AT the failing payload, reusing the
+    successfully parsed prefix."""
+    from pdf_extract_spark.sources.htmlparse import HtmlError, html_to_spans
+
+    vals = content.tolist()
+    spans_out: list = []
+    try:
+        for b in vals:
+            # bytes(None) raises TypeError, routing null payloads to the
+            # quarantine loop along with HtmlError payloads
+            spans_out.append(html_to_spans(bytes(b)))
+        errs: list = [None] * len(vals)
+    except (HtmlError, TypeError):
+        errs = [None] * len(spans_out)
+        for b in vals[len(spans_out):]:
+            if b is None:
+                spans_out.append(None)
+                errs.append("null content")
+                continue
+            try:
+                spans_out.append(html_to_spans(bytes(b)))
+                errs.append(None)
+            except HtmlError as e:
+                spans_out.append(None)
+                errs.append(f"{type(e).__name__}: {e}")
+    return pd.DataFrame({"spans": spans_out, "parse_error": errs})
+
+
+def validate_html(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Keep only rows whose payload is non-empty and contains markup (the
+    HTML analog of the PDF %PDF- magic gate, layout.validate_pdfs). Pure
+    Catalyst expression — junk rows never reach the Python parser."""
+    c = F.col(content_col)
+    return df.filter(
+        c.isNotNull() & (F.length(c) > 0) & (F.instr(c.cast("string"), "<") > 0)
+    )
+
+
+def parse_htmls(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """pages(doc_id, content:binary) -> (doc_id, spans, parse_error).
+
+    One quarantining Arrow pass: bad payloads surface as ``parse_error``
+    rows (spans NULL) instead of failing the task."""
+    p = df.select("doc_id", parse_html_safe_udf(F.col(content_col)).alias("p"))
+    return p.select(
+        "doc_id", F.col("p.spans").alias("spans"),
+        F.col("p.parse_error").alias("parse_error"),
+    )
+
+
+def html_to_spans_full(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """The one-pass HTML path with the mandated scale mechanics:
+    validate -> salt + repartitionByRange -> quarantining DOM parse +
+    boilerplate strip -> shared rule-core extraction. Returns
+    (doc_id, spans, parse_error): healthy pages carry EXTRACTED spans,
+    bad payloads carry the error string and NULL spans. Persist this
+    frame when you consume both sides (the filtered views below re-run
+    the parse if executed separately)."""
+    from pdf_extract_spark.operators.extract import extract_spans
+    from pdf_extract_spark.pipeline import partition_for_extraction
+
+    valid = validate_html(df)
+    parted = partition_for_extraction(valid, num_partitions)
+    parsed = parse_htmls(parted)
+    # extract_spans maps NULL -> NULL, so quarantined rows pass through
+    return parsed.select(
+        "doc_id", extract_spans(F.col("spans")).alias("spans"), "parse_error"
+    )
+
+
+def html_to_spans(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Healthy pages only: (doc_id, spans) fully extracted."""
+    full = html_to_spans_full(df, num_partitions)
+    return full.filter(F.col("parse_error").isNull()).select("doc_id", "spans")
+
+
+def html_parse_errors(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """The quarantine view: (doc_id, parse_error) rows."""
+    full = html_to_spans_full(df, num_partitions)
+    return full.filter(F.col("parse_error").isNotNull()).select("doc_id", "parse_error")

@@ -2033,6 +2033,39 @@ def pdf_bytes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("html_extract")
+def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HTML path end-to-end (north rule: "HTML boilerplate strip ...
+    DOM heuristics"): page bytes -> Catalyst markup-validation gate ->
+    tolerant DOM build + chrome strip (landmark tags, class/id tokens,
+    link density; sources/htmlparse) -> shared rule-core extraction.
+    Mixed chrome layouts in one corpus (semantic / div-soup / tag soup).
+    Rows-only check: the DOM walk is not ANSI-SQL-expressible; value
+    parity vs oracle.expected_corpus is pinned in tests/test_html.py."""
+    from pdf_extract_spark.operators import html as H
+    from pdf_extract_spark.sources import htmlgen
+
+    variants = htmlgen.VARIANTS
+    rows = [
+        {"doc_id": f"doc{d:08d}",
+         "content": bytearray(htmlgen.build_html(d, seed=33, variant=variants[d % 3]))}
+        for d in range(40)
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id string, content binary")
+    out = H.html_to_spans(df)
+    return (
+        out.select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+        .orderBy("doc_id", "offset")
+    )
+
+
 @query("layout_styled_extract")
 def layout_styled_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The styled layout path (S5/S6 + F1 + W3 + A3 + §2.7 tagging + W4)

@@ -1,0 +1,293 @@
+"""From-scratch main-content HTML extraction (the north rule's "HTML
+boilerplate strip ... DOM heuristics" leg; the reference repo has no HTML
+side, so the heuristics are the published readability/boilerpipe family —
+tag classes + link density — re-expressed deterministically).
+
+stdlib-only tolerant DOM: ``html.parser`` tokenizes; a light tree builder
+applies HTML5-ish recovery rules (void elements, implied ``</p>``/
+``</li>``/``</td>`` closes, stray end tags ignored) so real-world tag
+soup parses instead of raising. Main-content selection is then a fixed
+rule order:
+
+  1. drop non-content subtrees by TAG (script/style/noscript/template/
+     svg/iframe/form/...);
+  2. drop boilerplate chrome by SEMANTIC tag (nav/header/footer/aside),
+     ARIA role (navigation/banner/contentinfo/complementary), or
+     class/id TOKEN (nav, menu, sidebar, footer, cookie, ...) — tokens
+     are matched on ``[-_ ]``-split words, never substrings, so
+     ``class="post-body"`` can never trip the ``nav`` token;
+  3. drop LINK-DENSE containers (anchor-text chars / text chars > 0.5)
+     — the density heuristic that catches unmarked "related links"
+     blocks no tag or class rule can see;
+  4. root at the first surviving ``<main>``/``<article>``, else
+     ``<body>``;
+  5. walk the remainder in document order emitting interleaved spans in
+     the BASELINE.json input_hint shape: leaf BLOCK elements (h1-h6, p,
+     li, td, pre, blockquote, ...) yield ``kind='text'`` spans, ``<img>``
+     yields ``kind='media'`` with ``media_ref = src`` at its
+     reading-order position; offsets are sequential.
+
+Malformed payloads raise :class:`HtmlError` — never anything else — so
+the Spark wrapper (operators/html.py) can quarantine per document instead
+of failing a 10^12-document job on one bad row.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+__all__ = ["HtmlError", "parse_html", "html_to_spans"]
+
+
+class HtmlError(ValueError):
+    """Raised for payloads that cannot be treated as an HTML document."""
+
+
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+DROP_TAGS = frozenset(
+    "script style noscript template svg iframe form button select object canvas".split()
+)
+BOILER_TAGS = frozenset("nav header footer aside".split())
+BOILER_ROLES = frozenset(
+    "navigation banner contentinfo complementary search".split()
+)
+BOILER_TOKENS = frozenset(
+    "nav navbar menu sidebar footer header banner masthead cookie consent "
+    "breadcrumb breadcrumbs related share social comment comments ad ads "
+    "advert advertisement promo widget pagination".split()
+)
+BLOCK_TAGS = frozenset(
+    "h1 h2 h3 h4 h5 h6 p li td th pre blockquote figcaption dt dd".split()
+)
+# containers eligible for the link-density drop; never main/article/body
+DENSITY_TAGS = frozenset("div section ul ol table dl p".split())
+# an open <p> is implicitly closed by any of these start tags (HTML5
+# "closes a p element" list, trimmed to tags this parser can meet)
+_P_CLOSERS = frozenset(
+    "address article aside blockquote div dl fieldset figure footer form "
+    "h1 h2 h3 h4 h5 h6 header hr li main nav ol p pre section table ul".split()
+)
+
+_TOKEN_SPLIT = re.compile(r"[\s_\-]+")
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list = []  # _Node | str
+
+
+class _TreeBuilder(HTMLParser):
+    """Tolerant DOM builder: recovers from unclosed/stray tags the way
+    browsers do, because a web-scale corpus is mostly tag soup."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root", {})
+        self.stack = [self.root]
+        self.saw_tag = False
+
+    def _implied_close(self, tag: str) -> None:
+        while len(self.stack) > 1:
+            open_tag = self.stack[-1].tag
+            if open_tag == "p" and tag in _P_CLOSERS:
+                self.stack.pop()
+                continue
+            if open_tag == "li" and tag == "li":
+                self.stack.pop()
+                continue
+            if open_tag in ("td", "th") and tag in ("td", "th", "tr"):
+                self.stack.pop()
+                continue
+            if open_tag == "tr" and tag == "tr":
+                self.stack.pop()
+                continue
+            break
+
+    def handle_starttag(self, tag, attrs):
+        self.saw_tag = True
+        self._implied_close(tag)
+        node = _Node(tag, dict(attrs))
+        self.stack[-1].children.append(node)
+        if tag not in VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):  # <img .../>
+        self.saw_tag = True
+        self._implied_close(tag)
+        self.stack[-1].children.append(_Node(tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        # close up to the nearest matching ancestor; stray end tags with
+        # no open counterpart are ignored (browser behavior)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(data: bytes) -> _Node:
+    """bytes -> tolerant DOM root. Raises HtmlError (only) on payloads
+    that are not an HTML document at all: null, undecodable, or markup-free."""
+    if data is None:
+        raise HtmlError("null content")
+    try:
+        text = bytes(data).decode("utf-8")
+    except (UnicodeDecodeError, TypeError) as e:
+        raise HtmlError(f"undecodable payload: {e}") from e
+    builder = _TreeBuilder()
+    try:
+        builder.feed(text)
+        builder.close()
+    except Exception as e:  # html.parser rarely raises; quarantine if it does
+        raise HtmlError(f"parse failure: {e}") from e
+    if not builder.saw_tag:
+        raise HtmlError("no markup found")
+    return builder.root
+
+
+def _attr_tokens(node: _Node) -> set[str]:
+    toks: set[str] = set()
+    for key in ("class", "id"):
+        v = node.attrs.get(key)
+        if v:
+            toks.update(t for t in _TOKEN_SPLIT.split(v.lower()) if t)
+    return toks
+
+
+def _is_boilerplate(node: _Node) -> bool:
+    if node.tag in BOILER_TAGS:
+        return True
+    if (node.attrs.get("role") or "").lower() in BOILER_ROLES:
+        return True
+    return bool(_attr_tokens(node) & BOILER_TOKENS)
+
+
+def _char_counts(node: _Node, in_anchor: bool) -> tuple[int, int]:
+    """(total, inside-anchor) non-whitespace character counts over the
+    RENDERED text: dropped-tag and boilerplate subtrees don't count
+    (script text must not dilute a container's link density)."""
+    total = anchor = 0
+    for ch in node.children:
+        if isinstance(ch, str):
+            n = sum(len(w) for w in ch.split())
+            total += n
+            if in_anchor:
+                anchor += n
+        elif ch.tag in DROP_TAGS or _is_boilerplate(ch):
+            continue
+        else:
+            t, a = _char_counts(ch, in_anchor or ch.tag == "a")
+            total += t
+            anchor += a
+    return total, anchor
+
+
+def strip_boilerplate(root: _Node) -> _Node:
+    """Prune DROP_TAGS, chrome (tag/role/class-token), and link-dense
+    containers, in that order, depth-first in place."""
+
+    def prune(node: _Node) -> None:
+        kept: list = []
+        for ch in node.children:
+            if isinstance(ch, str):
+                kept.append(ch)
+                continue
+            if ch.tag in DROP_TAGS or _is_boilerplate(ch):
+                continue
+            # density BEFORE recursing: a "related links" container must
+            # be judged whole — pruning its link-dense <ul> first would
+            # leave an innocent-looking husk (just the "More" label)
+            if ch.tag in DENSITY_TAGS:
+                total, anchor = _char_counts(ch, False)
+                if anchor > 0 and total > 0 and anchor / total > 0.5:
+                    continue
+            prune(ch)
+            kept.append(ch)
+        node.children = kept
+
+    prune(root)
+    return root
+
+
+def _find_first(node: _Node, tags: frozenset | set) -> _Node | None:
+    for ch in node.children:
+        if isinstance(ch, str):
+            continue
+        if ch.tag in tags:
+            return ch
+        found = _find_first(ch, tags)
+        if found is not None:
+            return found
+    return None
+
+
+def content_root(root: _Node) -> _Node:
+    """<main>/<article> when present (semantic pages), else <body>, else
+    the whole tree (fragment inputs)."""
+    main = _find_first(root, {"main", "article"})
+    if main is not None:
+        return main
+    body = _find_first(root, {"body"})
+    return body if body is not None else root
+
+
+def _inline_text(node: _Node) -> str:
+    """Subtree text, flattened through inline elements but stopping at
+    nested block elements and images (they emit their own spans)."""
+    parts: list[str] = []
+    for ch in node.children:
+        if isinstance(ch, str):
+            parts.append(ch)
+        elif ch.tag in BLOCK_TAGS or ch.tag == "img":
+            continue
+        else:
+            parts.append(_inline_text(ch))
+    return "".join(parts)
+
+
+def emit_spans(content: _Node) -> list[dict]:
+    """Document-order interleaved spans from a pruned content tree.
+
+    A leaf block's text is positioned at the block's start; whitespace-only
+    text (pretty-printing between tags) never becomes a span."""
+    out: list[dict] = []
+
+    def walk(node: _Node) -> None:
+        for ch in node.children:
+            if isinstance(ch, str):
+                continue
+            if ch.tag == "img":
+                out.append({"kind": "media", "text": "",
+                            "media_ref": ch.attrs.get("src") or "", "offset": 0})
+                continue
+            if ch.tag in BLOCK_TAGS:
+                txt = _inline_text(ch)
+                # keep the RAW text (fragment spans carry significant
+                # leading/trailing spaces); strip() only decides emptiness
+                if txt.strip():
+                    out.append({"kind": "text", "text": txt,
+                                "media_ref": "", "offset": 0})
+            walk(ch)
+
+    walk(content)
+    for i, s in enumerate(out):
+        s["offset"] = i
+    return out
+
+
+def html_to_spans(data: bytes) -> list[dict]:
+    """bytes -> main-content interleaved spans (input_hint shape)."""
+    root = parse_html(data)
+    strip_boilerplate(root)
+    return emit_spans(content_root(root))

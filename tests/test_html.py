@@ -1,0 +1,169 @@
+"""HTML main-content path tests: writer->parser round trip across all
+three chrome layouts, boilerplate-strip guarantees, distributed
+end-to-end extraction vs the golden oracle, quarantine, and plan shape
+(north rule: "HTML boilerplate strip ... DOM heuristics")."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pdf_extract_spark import generator, oracle
+from pdf_extract_spark.operators import html as H
+from pdf_extract_spark.sources import htmlgen, htmlparse
+
+N_DOCS = 40
+SEED = 33
+
+
+@pytest.mark.parametrize("variant", htmlgen.VARIANTS)
+def test_roundtrip_spans_exact(variant):
+    """Semantic landmarks, div-soup chrome, and unclosed-tag soup all
+    strip down to the identical structural truth — byte-exact span text
+    (fragments keep their significant leading/trailing spaces)."""
+    for d in range(N_DOCS):
+        got = htmlparse.html_to_spans(htmlgen.build_html(d, seed=SEED, variant=variant))
+        assert got == htmlgen.expected_spans(d, seed=SEED), f"doc {d} ({variant})"
+
+
+def test_boilerplate_never_leaks():
+    """No chrome text may survive: nav/footer labels, cookie banner,
+    share bar, and the UNMARKED link-dense related block (droppable only
+    via anchor density) must all be gone in every variant."""
+    forbidden = ("Example Corpus Portal", "We use cookies", "Share", "Terms",
+                 "Home", "More")
+    for variant in htmlgen.VARIANTS:
+        for d in range(10):
+            texts = [s["text"] for s in
+                     htmlparse.html_to_spans(htmlgen.build_html(d, seed=SEED, variant=variant))]
+            for bad in forbidden:
+                assert not any(bad in t for t in texts), (variant, d, bad)
+
+
+def test_class_tokens_never_substring_match():
+    """class="post-body" must NOT trip the 'nav'/'header' tokens — token
+    matching is on split words; and a genuine token anywhere in a
+    multi-token class drops the block."""
+    keep = b'<html><body><div class="post-body navigation-free"><p>hello</p></div></body></html>'
+    # "navigation-free" splits to {navigation, free}: navigation IS a
+    # boiler ROLE but not a TOKEN; the token list has nav/navbar only
+    assert [s["text"] for s in htmlparse.html_to_spans(keep)] == ["hello"]
+    drop = b'<html><body><div class="main nav"><p>hello</p></div></body></html>'
+    assert htmlparse.html_to_spans(drop) == []
+
+
+def test_link_density_spares_content():
+    """A text-dominated div with a couple of inline links stays; a
+    link-dominated one goes."""
+    page = (b'<html><body>'
+            b'<div><p>A long paragraph of real prose that easily outweighs '
+            b'the single <a href="/x">link</a> inside it in characters.</p></div>'
+            b'<div><a href="/1">one</a> <a href="/2">two</a> <a href="/3">three</a></div>'
+            b'</body></html>')
+    texts = [s["text"] for s in htmlparse.html_to_spans(page)]
+    assert len(texts) == 1 and texts[0].startswith("A long paragraph")
+
+
+def test_malformed_inputs_raise_htmlerror_only():
+    with pytest.raises(htmlparse.HtmlError, match="null"):
+        htmlparse.html_to_spans(None)
+    with pytest.raises(htmlparse.HtmlError, match="no markup"):
+        htmlparse.html_to_spans(b"just words, not a page")
+    with pytest.raises(htmlparse.HtmlError, match="undecodable"):
+        htmlparse.html_to_spans(b"\xff\xfe<html>")
+
+
+def test_byteflip_fuzz_never_raises_other_errors():
+    """Random single-byte corruption of valid pages must either still
+    parse (HTML is recoverable) or raise HtmlError — never anything else
+    (the quarantine contract of parse_html_safe_udf)."""
+    rng = random.Random(909)
+    for trial in range(300):
+        d = rng.randrange(N_DOCS)
+        page = bytearray(htmlgen.build_html(d, seed=SEED,
+                                            variant=htmlgen.VARIANTS[trial % 3]))
+        pos = rng.randrange(len(page))
+        page[pos] = rng.randrange(256)
+        try:
+            spans = htmlparse.html_to_spans(bytes(page))
+            assert isinstance(spans, list)
+        except htmlparse.HtmlError:
+            pass
+
+
+def test_spark_html_to_spans_matches_oracle(spark):
+    """Distributed end-to-end: mixed chrome layouts in one corpus, junk
+    rows dropped by the Catalyst validation gate or quarantined by the
+    parser, healthy pages extract to the SAME spans as the shared rule
+    core (oracle.expected_corpus) — one golden for all input formats."""
+    rows = [
+        {"doc_id": f"doc{d:08d}",
+         "content": bytearray(htmlgen.build_html(
+             d, seed=SEED, variant=htmlgen.VARIANTS[d % 3]))}
+        for d in range(N_DOCS)
+    ]
+    rows.append({"doc_id": "junk_nomarkup", "content": bytearray(b"plain text only")})
+    rows.append({"doc_id": "junk_empty", "content": bytearray(b"")})
+    rows.append({"doc_id": "junk_undecodable", "content": bytearray(b"\xff\xfe<html>x")})
+    df = spark.createDataFrame(rows, schema="doc_id string, content binary")
+
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in r["spans"]]
+        for r in H.html_to_spans(df, num_partitions=4).collect()
+    }
+    docs = [generator.make_document(d, seed=SEED) for d in range(N_DOCS)]
+    assert got == oracle.expected_corpus(docs)
+
+    errs = {r["doc_id"]: r["parse_error"]
+            for r in H.html_parse_errors(df, num_partitions=4).collect()}
+    assert set(errs) == {"junk_undecodable"}  # the others fail the < gate
+    assert "undecodable" in errs["junk_undecodable"]
+
+
+def test_corrupt_batch_reuses_parsed_prefix(spark, monkeypatch):
+    """A batch with one bad payload quarantines ONLY that row, and the
+    clean prefix is not re-parsed (the fast-path contract)."""
+    import pdf_extract_spark.sources.htmlparse as hp
+
+    calls = []
+    real = hp.html_to_spans
+
+    def counting(data):
+        calls.append(1)
+        return real(data)
+
+    monkeypatch.setattr(hp, "html_to_spans", counting)
+
+    import pandas as pd
+
+    from pdf_extract_spark.operators.html import parse_html_safe_udf
+
+    good = htmlgen.build_html(0, seed=SEED)
+    batch = pd.Series([good, good, b"\xff\xfe<html>", good])
+    out = parse_html_safe_udf.func(batch)
+    assert list(out["parse_error"].isna()) == [True, True, False, True]
+    assert out["spans"][0] is not None and out["spans"][2] is None
+    # fast path parses 0,1 and raises at 2 (3 calls); the quarantine loop
+    # resumes AT the failure — re-parses 2 (fails) and 3 — so the clean
+    # prefix is parsed exactly once: 5 calls total, not 7
+    assert len(calls) == 5
+
+
+def test_plan_shape_one_exchange_two_arrow_stages(spark):
+    """The HTML path must stay map-only around the ONE mandated range
+    Exchange: DOM parse + extraction as two back-to-back Arrow stages,
+    no extra shuffle (CLAUDE.md plan invariants; count BEFORE collect
+    to avoid the AQE initial+final double print)."""
+    rows = [
+        {"doc_id": f"doc{d:08d}",
+         "content": bytearray(htmlgen.build_html(d, seed=SEED))}
+        for d in range(8)
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id string, content binary")
+    plan = H.html_to_spans_full(df, num_partitions=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    n_ex = plan.count("+- Exchange") + plan.count("   Exchange")
+    assert n_ex == 1, plan
+    assert plan.count("ArrowEvalPython") == 2, plan

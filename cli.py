@@ -5,7 +5,8 @@
 
   extract   one parquet documents table (input-hint shape) -> spans_out
             with bucket-granular lineage (resume = rerun same lake+input)
-  folder    a directory of *.pdf files -> spans_out (byte path)
+  folder    a directory of *.pdf (or --format html: *.html) files ->
+            spans_out (byte paths)
   stream    incremental availableNow pass over an arriving documents dir
   status    lineage/metrics summary for a lake (the reference's --status)
 
@@ -36,9 +37,10 @@ def main() -> None:
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--group-size", type=int, default=8)
 
-    p = sub.add_parser("folder", help="directory of *.pdf -> spans_out parquet")
+    p = sub.add_parser("folder", help="directory of *.pdf/*.html -> spans_out parquet")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument("--format", choices=("pdf", "html"), default="pdf")
 
     p = sub.add_parser("stream", help="incremental availableNow extraction")
     p.add_argument("--input", required=True)
@@ -89,9 +91,13 @@ def main() -> None:
             f"({format_duration(time.time() - t0)})"
         )
     elif args.cmd == "folder":
-        from pdf_extract_spark.sources.folder import extract_pdf_folder
+        from pdf_extract_spark.sources.folder import (
+            extract_html_folder,
+            extract_pdf_folder,
+        )
 
-        out = extract_pdf_folder(spark, args.input)
+        run = extract_pdf_folder if args.format == "pdf" else extract_html_folder
+        out = run(spark, args.input)
         out.write.mode("overwrite").parquet(args.output)
         print(f"extracted {spark.read.parquet(args.output).count()} documents -> {args.output}")
     elif args.cmd == "stream":

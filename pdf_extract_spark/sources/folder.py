@@ -28,3 +28,22 @@ def extract_pdf_folder(spark: SparkSession, folder: str, num_partitions: int | N
     from pdf_extract_spark.operators.layout import pdf_to_spans
 
     return pdf_to_spans(scan_pdf_folder(spark, folder), num_partitions)
+
+
+def scan_html_folder(spark: SparkSession, folder: str) -> DataFrame:
+    """(doc_id, content) for every *.html under ``folder`` (same
+    binaryFile scan as the PDF side, pushed path filter)."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.html")
+        .load(folder)
+    )
+    stem = F.regexp_extract(F.col("path"), r"([^/]+)\.html$", 1)
+    return raw.select(stem.alias("doc_id"), F.col("content"))
+
+
+def extract_html_folder(spark: SparkSession, folder: str, num_partitions: int | None = None) -> DataFrame:
+    """Folder of pages -> markup gate -> DOM strip -> composed spans."""
+    from pdf_extract_spark.operators.html import html_to_spans
+
+    return html_to_spans(scan_html_folder(spark, folder), num_partitions)

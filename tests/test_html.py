@@ -151,6 +151,36 @@ def test_corrupt_batch_reuses_parsed_prefix(spark, monkeypatch):
     assert len(calls) == 5
 
 
+def test_extract_html_folder_end_to_end(spark, tmp_path):
+    """The S1-style binaryFile scan over a directory of *.html pages:
+    glob filter skips non-pages, the markup gate drops markup-free
+    files, healthy pages extract to the golden spans (the HTML analog
+    of test_sources_sinks.test_extract_pdf_folder_end_to_end)."""
+    from pdf_extract_spark.sources.folder import extract_html_folder
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    n = 6
+    for i in range(n):
+        (d / f"page_{i:03d}.html").write_bytes(
+            htmlgen.build_html(i, seed=SEED, variant=htmlgen.VARIANTS[i % 3]))
+    (d / "notes.txt").write_text("ignored")            # glob filter must skip
+    (d / "empty.html").write_bytes(b"no tags here")    # markup gate must drop
+
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in r["spans"]]
+        for r in extract_html_folder(spark, str(d)).collect()
+    }
+    assert "empty" not in got and "notes" not in got
+    docs = []
+    for i in range(n):
+        doc = generator.make_document(i, seed=SEED)
+        doc["doc_id"] = f"page_{i:03d}"
+        docs.append(doc)
+    assert got == oracle.expected_corpus(docs)
+
+
 def test_plan_shape_one_exchange_two_arrow_stages(spark):
     """The HTML path must stay map-only around the ONE mandated range
     Exchange: DOM parse + extraction as two back-to-back Arrow stages,

@@ -119,3 +119,28 @@ def html_parse_errors(df: DataFrame, num_partitions: int | None = None) -> DataF
     """The quarantine view: (doc_id, parse_error) rows."""
     full = html_to_spans_full(df, num_partitions)
     return full.filter(F.col("parse_error").isNotNull()).select("doc_id", "parse_error")
+
+
+# --------------------------------------------------------------------------
+# link harvest — the corpus-wide web-graph pass (domain caps, blocklists,
+# URL dedup all start from this table)
+# --------------------------------------------------------------------------
+
+HREF_PATTERN = r'href="([^"]+)"'
+DOMAIN_PATTERN = r"^https?://([^/]+)"
+
+
+def harvest_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(doc_id, url) from double-quoted href attributes. Pure JVM regex
+    (whole-stage codegen, no Python): the cheap pass a curation pipeline
+    runs over EVERY page for the link graph, where regex recall over
+    well-formed attributes is the right cost/recall trade — the DOM path
+    (html_to_spans) remains the semantics-complete extractor for
+    unquoted/soup markup."""
+    urls = F.regexp_extract_all(F.col(html_col), F.lit(HREF_PATTERN), F.lit(1))
+    return pages.select("doc_id", F.explode(urls).alias("url"))
+
+
+def url_domain(url_col):
+    """Host part of an http(s) URL; '' for other schemes (mailto, #...)."""
+    return F.regexp_extract(url_col, DOMAIN_PATTERN, 1)

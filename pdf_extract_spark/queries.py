@@ -2033,6 +2033,65 @@ def pdf_bytes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINK_DOMAINS_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+         '<p>see <a href="https://h' || (doc_id % 7)::VARCHAR
+           || '.example/p/' || doc_id::VARCHAR
+           || '">ref</a> and <a href="http://m' || (doc_id % 3)::VARCHAR
+           || '.org/x">alt</a>'
+           || CASE WHEN doc_id % 4 = 0
+                THEN ' <a href="mailto:ops@example.org">mail</a>' ELSE '' END
+           || '</p>' AS html
+  FROM documents),
+links AS (
+  SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS url
+  FROM pages),
+doms AS (
+  SELECT doc_id, regexp_extract(url, '^https?://([^/]+)', 1) AS domain
+  FROM links)
+SELECT domain, COUNT(*)::BIGINT AS n_links,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_pages
+FROM doms WHERE domain <> '' GROUP BY 1
+"""
+
+
+@query("link_domains", _LINK_DOMAINS_SQL)
+def link_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-graph pass every curation pipeline runs corpus-wide
+    (domain caps, blocklists, URL dedup): JVM-regex href harvest over a
+    deterministic per-doc markup decoration of the documents table,
+    http(s)-host extraction, per-domain link/page counts. Both regex
+    engines (Java, RE2) see the same portable patterns."""
+    from pdf_extract_spark.operators import html as H
+
+    docs = _t(spark, sf_dir, "documents")
+    snip = F.concat(
+        F.lit('<p>see <a href="https://h'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">ref</a> and <a href="http://m'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('.org/x">alt</a>'),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit(' <a href="mailto:ops@example.org">mail</a>')
+               ).otherwise(F.lit("")),
+        F.lit("</p>"),
+    )
+    pages = docs.select("doc_id", snip.alias("html"))
+    links = H.harvest_links(pages)
+    return (
+        links.withColumn("domain", H.url_domain(F.col("url")))
+        .filter(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_links"),
+            F.countDistinct("doc_id").cast("long").alias("n_pages"),
+        )
+    )
+
+
 @query("html_extract")
 def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HTML path end-to-end (north rule: "HTML boilerplate strip ...

@@ -136,15 +136,44 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(data)
 
 
+# WHATWG-ish encoding sniff: a web-scale corpus is NOT all UTF-8.
+# Order: BOM -> clean UTF-8 -> <meta charset=...> in the head prefix ->
+# latin-1 (total: every byte maps, so legacy pages yield mojibake-at-worst
+# instead of a quarantine row — the trade every real crawler makes).
+_CHARSET_RE = re.compile(rb"""charset\s*=\s*["']?([A-Za-z0-9_\-]+)""", re.I)
+
+
+def _decode(data: bytes) -> str:
+    if data.startswith(b"\xef\xbb\xbf"):
+        return data[3:].decode("utf-8", errors="replace")
+    if data.startswith(b"\xff\xfe") or data.startswith(b"\xfe\xff"):
+        try:
+            return data.decode("utf-16")
+        except UnicodeDecodeError:
+            pass
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    m = _CHARSET_RE.search(data[:2048])
+    if m:
+        try:
+            return data.decode(m.group(1).decode("ascii").lower())
+        except (LookupError, UnicodeDecodeError):
+            pass
+    return data.decode("latin-1")
+
+
 def parse_html(data: bytes) -> _Node:
     """bytes -> tolerant DOM root. Raises HtmlError (only) on payloads
-    that are not an HTML document at all: null, undecodable, or markup-free."""
+    that are not an HTML document at all: null or markup-free. Encoding
+    never quarantines (see _decode)."""
     if data is None:
         raise HtmlError("null content")
     try:
-        text = bytes(data).decode("utf-8")
-    except (UnicodeDecodeError, TypeError) as e:
-        raise HtmlError(f"undecodable payload: {e}") from e
+        text = _decode(bytes(data))
+    except TypeError as e:
+        raise HtmlError(f"unreadable payload: {e}") from e
     builder = _TreeBuilder()
     try:
         builder.feed(text)

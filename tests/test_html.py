@@ -70,8 +70,30 @@ def test_malformed_inputs_raise_htmlerror_only():
         htmlparse.html_to_spans(None)
     with pytest.raises(htmlparse.HtmlError, match="no markup"):
         htmlparse.html_to_spans(b"just words, not a page")
-    with pytest.raises(htmlparse.HtmlError, match="undecodable"):
-        htmlparse.html_to_spans(b"\xff\xfe<html>")
+    # a bare '<' that never forms a tag is still markup-free
+    with pytest.raises(htmlparse.HtmlError, match="no markup"):
+        htmlparse.html_to_spans(b"if a < b then maybe")
+
+
+def test_charset_sniffing_decodes_legacy_pages():
+    """A web corpus is not all UTF-8: meta-charset pages decode per their
+    declared encoding, BOMs win, and arbitrary legacy bytes fall back to
+    latin-1 instead of quarantining (the crawler trade: mojibake-at-worst
+    beats dropping the page)."""
+    body = "한국어 본문 텍스트"
+    euckr = ('<html><head><meta charset="euc-kr"></head>'
+             f"<body><p>{body}</p></body></html>").encode("euc-kr")
+    assert [s["text"] for s in htmlparse.html_to_spans(euckr)] == [body]
+
+    utf16 = f"<html><body><p>{body}</p></body></html>".encode("utf-16")  # BOM'd
+    assert [s["text"] for s in htmlparse.html_to_spans(utf16)] == [body]
+
+    bom_utf8 = b"\xef\xbb\xbf" + f"<html><body><p>{body}</p></body></html>".encode()
+    assert [s["text"] for s in htmlparse.html_to_spans(bom_utf8)] == [body]
+
+    # undeclared cp1252-ish bytes: latin-1 fallback keeps the page alive
+    legacy = b"<html><body><p>caf\xe9 au lait</p></body></html>"
+    assert [s["text"] for s in htmlparse.html_to_spans(legacy)] == ["caf\xe9 au lait"]
 
 
 def test_byteflip_fuzz_never_raises_other_errors():
@@ -105,7 +127,7 @@ def test_spark_html_to_spans_matches_oracle(spark):
     ]
     rows.append({"doc_id": "junk_nomarkup", "content": bytearray(b"plain text only")})
     rows.append({"doc_id": "junk_empty", "content": bytearray(b"")})
-    rows.append({"doc_id": "junk_undecodable", "content": bytearray(b"\xff\xfe<html>x")})
+    rows.append({"doc_id": "junk_bare_lt", "content": bytearray(b"if a < b then maybe")})
     df = spark.createDataFrame(rows, schema="doc_id string, content binary")
 
     got = {
@@ -118,8 +140,8 @@ def test_spark_html_to_spans_matches_oracle(spark):
 
     errs = {r["doc_id"]: r["parse_error"]
             for r in H.html_parse_errors(df, num_partitions=4).collect()}
-    assert set(errs) == {"junk_undecodable"}  # the others fail the < gate
-    assert "undecodable" in errs["junk_undecodable"]
+    assert set(errs) == {"junk_bare_lt"}  # the others fail the < gate
+    assert "no markup" in errs["junk_bare_lt"]
 
 
 def test_corrupt_batch_reuses_parsed_prefix(spark, monkeypatch):
@@ -141,7 +163,7 @@ def test_corrupt_batch_reuses_parsed_prefix(spark, monkeypatch):
     from pdf_extract_spark.operators.html import parse_html_safe_udf
 
     good = htmlgen.build_html(0, seed=SEED)
-    batch = pd.Series([good, good, b"\xff\xfe<html>", good])
+    batch = pd.Series([good, good, b"no markup at all", good])
     out = parse_html_safe_udf.func(batch)
     assert list(out["parse_error"].isna()) == [True, True, False, True]
     assert out["spans"][0] is not None and out["spans"][2] is None

@@ -67,6 +67,8 @@ HEADLINE = [
     "remove_numbering",         # C7 first-match-only numbering chain
     "media_features",           # multimodal byte features
     "table_detect",             # grid-aligned table source_type classification
+    "link_domains",             # JVM-regex href harvest + per-domain counts
+    "url_dedup_hosts",          # URL canonicalization + keep-first dedup
 ]
 
 

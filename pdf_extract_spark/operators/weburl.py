@@ -1,0 +1,147 @@
+"""URL-keyed curation: canonicalization, URL dedup, per-domain caps.
+
+The web-graph leg of the curation surface (sibling of the href harvest in
+operators/html.py): once ``harvest_links``/crawl metadata yields a URL per
+document, a web-scale pipeline dedups fetches of the same resource
+(scheme/host case, default ports, fragments, tracking params and trailing
+slashes all vary across crawls of one page) and caps how many pages any
+single domain may contribute to the corpus.
+
+Everything here is a pure Catalyst expression tree — whole-stage codegen,
+no Python workers — and every regex is written in the portable Java+RE2
+subset (``(?i)`` inline flag, explicit classes, no lookbehind) so the
+DuckDB oracles in queries.py can mirror the exact semantics.
+
+Scale notes (100 TB):
+- ``canonicalize_url`` is map-only: zero shuffle, runs inside the scan
+  projection.
+- ``dedup_url`` is ONE hash aggregate on the canonical key (map-side
+  combine applies; the key is a short string, not the document).
+- ``domain_cap`` windows on the domain key, which is the textbook skewed
+  key (a handful of giant domains). The window only carries
+  (domain, order_col, doc_id) — project BEFORE calling it — and AQE's
+  skew-join/partition splitting handles stragglers; the capped id set is
+  then semi-joined back to the full rows, so document payloads never
+  shuffle by domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Query parameters a fetch of the SAME resource varies on: analytics
+# trackers. The list is a conservative, widely-published core (utm_*,
+# Google/Facebook click ids, bare ref) — extend per deployment.
+TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
+
+_SCHEME = r"(?i)^(https?)://"
+_HOSTPORT = r"(?i)^https?://([^/?#]*)"
+
+
+def canonicalize_url(url_col):
+    """Canonical form of an http(s) URL, as one Catalyst expression.
+
+    Steps (each a documented choice, mirrored verbatim in the DuckDB
+    oracle): strip the fragment; lowercase scheme + host; drop a leading
+    ``www.``; drop the scheme's default port (:80 / :443); drop tracking
+    query params (TRACKING_PARAM_PATTERN) and sort the survivors; strip
+    trailing slashes off the path (root stays ``/``). Non-http(s) inputs
+    (mailto:, #frag, relative paths) canonicalize to NULL so they drop
+    out of URL-keyed dedup instead of colliding on a garbage key.
+    """
+    u = F.regexp_replace(url_col, r"#.*", "")
+    scheme = F.lower(F.regexp_extract(u, _SCHEME, 1))
+    hostport = F.lower(F.regexp_extract(u, _HOSTPORT, 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(
+        F.regexp_replace(host, r":443$", "")
+    )
+    # everything after the authority: "/path?query" (fragment already gone)
+    pq = F.regexp_replace(u, r"(?i)^https?://[^/?#]*", "")
+    path = F.regexp_extract(pq, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pq, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
+    )
+    qcanon = F.array_join(F.array_sort(kept), "&")
+    full = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+    )
+    return F.when(scheme != "", full).otherwise(F.lit(None))
+
+
+def canonicalize_url_sql(url_expr: str) -> str:
+    """The DuckDB twin of canonicalize_url, step for step (RE2 regexes;
+    list_filter/list_sort/array_to_string mirror filter/array_sort/
+    array_join). Kept next to the Spark kernel so a semantic change must
+    touch both or the oracle gate fails."""
+    u = f"regexp_replace({url_expr}, '#.*', '')"
+    scheme = f"lower(regexp_extract({u}, '(?i)^(https?)://', 1))"
+    hostport = f"lower(regexp_extract({u}, '(?i)^https?://([^/?#]*)', 1))"
+    host = f"regexp_replace({hostport}, '^www\\.', '')"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80$', '') "
+        f"ELSE regexp_replace({host}, ':443$', '') END"
+    )
+    pq = f"regexp_replace({u}, '(?i)^https?://[^/?#]*', '')"
+    path = f"regexp_replace(regexp_extract({pq}, '^([^?]*)', 1), '/+$', '')"
+    path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    query = f"regexp_extract({pq}, '\\?(.*)$', 1)"
+    kept = (
+        f"list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))"
+    )
+    qcanon = f"array_to_string(list_sort({kept}), '&')"
+    full = (
+        f"{scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {qcanon} <> '' THEN '?' || {qcanon} ELSE '' END"
+    )
+    return f"CASE WHEN {scheme} <> '' THEN {full} ELSE NULL END"
+
+
+def dedup_url(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Keep ONE row per canonical URL: the minimum id (deterministic
+    keep-first, same contract as dedup.exact_dedup). One hash aggregate
+    on the short canonical key; rows whose URL is not http(s) are kept
+    unconditionally (no key to collide on)."""
+    canon = canonicalize_url(F.col(url_col))
+    keyed = df.withColumn("_canonical_url", canon)
+    keepers = (
+        keyed.filter(F.col("_canonical_url").isNotNull())
+        .groupBy("_canonical_url")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    unkeyed = keyed.filter(F.col("_canonical_url").isNull()).drop("_canonical_url")
+    return df.join(keepers, id_col, "left_semi").unionByName(unkeyed)
+
+
+def domain_cap(
+    df: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """At most ``max_per_domain`` rows per registrable host, keeping the
+    lowest ids (deterministic). The window runs over a projection of
+    (domain, id) only — document payloads rejoin via left_semi, so the
+    skewed domain shuffle moves two small columns, never the corpus."""
+    if max_per_domain < 1:
+        raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
+    canon = canonicalize_url(F.col(url_col))
+    dom = F.regexp_extract(canon, r"^https?://([^/]+)", 1)
+    slim = df.select(F.col(id_col), dom.alias("_domain")).filter(F.col("_domain") != "")
+    w = Window.partitionBy("_domain").orderBy(F.col(id_col))
+    kept = (
+        slim.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_domain)
+        .select(id_col)
+    )
+    return df.join(kept, id_col, "left_semi")

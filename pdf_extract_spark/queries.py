@@ -2092,6 +2092,154 @@ def link_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic messy-URL decoration of the documents table: the four
+# crawl-variant spellings of one resource (case, www, default port,
+# trailing slash, tracking params, fragment) plus a mailto override —
+# the fixture the URL-curation queries below share. SQL twin follows.
+def _messy_url():
+    d = F.col("doc_id")
+    host = F.concat(F.lit("Site"), (d % 7).cast("string"), F.lit(".Example"))
+    path = F.concat(F.lit("/p/"), (d % 40).cast("string"))
+    return (
+        F.when(d % 9 == 0,
+               F.concat(F.lit("mailto:user"), d.cast("string"), F.lit("@example.org")))
+        .when(d % 4 == 0, F.concat(F.lit("https://"), host, path))
+        .when(d % 4 == 1,
+              F.concat(F.lit("HTTPS://www."), host, F.lit(":443"), path, F.lit("/")))
+        .when(d % 4 == 2,
+              F.concat(F.lit("https://"), host, path,
+                       F.lit("?utm_source=feed&id=7&utm_campaign=x")))
+        .otherwise(F.concat(F.lit("http://"), host, F.lit(":80"), path, F.lit("#frag")))
+    )
+
+
+_MESSY_URL_SQL = """
+SELECT doc_id,
+       CASE
+         WHEN doc_id % 9 = 0 THEN 'mailto:user' || doc_id::VARCHAR || '@example.org'
+         WHEN doc_id % 4 = 0 THEN 'https://' || 'Site' || (doc_id % 7)::VARCHAR
+              || '.Example' || '/p/' || (doc_id % 40)::VARCHAR
+         WHEN doc_id % 4 = 1 THEN 'HTTPS://www.' || 'Site' || (doc_id % 7)::VARCHAR
+              || '.Example' || ':443' || '/p/' || (doc_id % 40)::VARCHAR || '/'
+         WHEN doc_id % 4 = 2 THEN 'https://' || 'Site' || (doc_id % 7)::VARCHAR
+              || '.Example' || '/p/' || (doc_id % 40)::VARCHAR
+              || '?utm_source=feed&id=7&utm_campaign=x'
+         ELSE 'http://' || 'Site' || (doc_id % 7)::VARCHAR || '.Example'
+              || ':80' || '/p/' || (doc_id % 40)::VARCHAR || '#frag'
+       END AS url
+FROM documents
+"""
+
+
+def _url_canonicalize_sql() -> str:
+    from pdf_extract_spark.operators.weburl import canonicalize_url_sql
+
+    return f"""
+WITH urls AS ({_MESSY_URL_SQL}),
+canon AS (SELECT doc_id, {canonicalize_url_sql("url")} AS canonical_url FROM urls)
+SELECT canonical_url, COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS first_doc
+FROM canon WHERE canonical_url IS NOT NULL GROUP BY 1
+"""
+
+
+@query("url_canonicalize", _url_canonicalize_sql())
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (the key web-curation normalizer): the four
+    crawl-variant spellings of each resource — scheme/host case, www,
+    default ports, trailing slash, tracking params, fragments — collapse
+    onto one canonical key; per-key doc counts and keep-first ids. Pure
+    Catalyst; the oracle runs weburl.canonicalize_url_sql, the step-for-
+    step DuckDB twin of the kernel."""
+    from pdf_extract_spark.operators import weburl
+
+    docs = _t(spark, sf_dir, "documents")
+    canon = weburl.canonicalize_url(_messy_url())
+    return (
+        docs.select(canon.alias("canonical_url"), "doc_id")
+        .filter(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+def _url_dedup_hosts_sql() -> str:
+    from pdf_extract_spark.operators.weburl import canonicalize_url_sql
+
+    return f"""
+WITH urls AS ({_MESSY_URL_SQL}),
+canon AS (SELECT doc_id, {canonicalize_url_sql("url")} AS c FROM urls),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id, c FROM canon WHERE c IS NOT NULL GROUP BY c),
+survivors AS (
+  SELECT doc_id, c FROM keepers
+  UNION ALL SELECT doc_id, c FROM canon WHERE c IS NULL)
+SELECT COALESCE(regexp_extract(c, '^https?://([^/]+)', 1), '(no-url)') AS host,
+       COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS first_doc
+FROM survivors GROUP BY 1
+"""
+
+
+@query("url_dedup_hosts", _url_dedup_hosts_sql())
+def url_dedup_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup end to end (weburl.dedup_url): one keeper per
+    canonical URL via a hash aggregate on the short key + left_semi back
+    to the rows, non-http rows (mailto) passing through unkeyed; per-host
+    survivor counts."""
+    from pdf_extract_spark.operators import weburl
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", _messy_url().alias("url"))
+    kept = weburl.dedup_url(docs)
+    canon = weburl.canonicalize_url(F.col("url"))
+    host = F.coalesce(
+        F.regexp_extract(canon, r"^https?://([^/]+)", 1), F.lit("(no-url)")
+    )
+    return kept.select(host.alias("host"), "doc_id").groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+def _domain_cap_sql() -> str:
+    from pdf_extract_spark.operators.weburl import canonicalize_url_sql
+
+    return f"""
+WITH urls AS ({_MESSY_URL_SQL}),
+canon AS (SELECT doc_id, {canonicalize_url_sql("url")} AS c FROM urls),
+doms AS (
+  SELECT doc_id, regexp_extract(c, '^https?://([^/]+)', 1) AS domain
+  FROM canon WHERE c IS NOT NULL),
+ranked AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+  FROM doms WHERE domain <> '')
+SELECT domain, COUNT(*)::BIGINT AS n_kept,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM ranked WHERE rn <= 3 GROUP BY 1
+"""
+
+
+@query("domain_cap_kept", _domain_cap_sql())
+def domain_cap_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (weburl.domain_cap, the C4-style
+    anti-monoculture gate): keep the 3 lowest-id docs per host; the
+    window runs over (domain, doc_id) only and survivors semi-join back,
+    so document payloads never shuffle on the skewed domain key."""
+    from pdf_extract_spark.operators import weburl
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", _messy_url().alias("url"))
+    kept = weburl.domain_cap(docs, 3)
+    canon = weburl.canonicalize_url(F.col("url"))
+    dom = F.regexp_extract(canon, r"^https?://([^/]+)", 1)
+    return kept.select(dom.alias("domain"), "doc_id").groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 @query("html_extract")
 def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HTML path end-to-end (north rule: "HTML boilerplate strip ...

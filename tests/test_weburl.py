@@ -1,0 +1,98 @@
+"""URL curation kernels: canonicalization, URL-keyed dedup, domain caps.
+
+The value-exactness of the three oracled queries (url_canonicalize,
+url_dedup_hosts, domain_cap_kept) is covered by test_entry/test_dtype_gate;
+this module pins the per-case semantics and the plan shape (pure Catalyst,
+no Python workers)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extract_spark.operators import weburl
+
+
+def _canon_one(spark, url: str) -> str | None:
+    row = (
+        spark.range(1)
+        .select(weburl.canonicalize_url(F.lit(url)).alias("c"))
+        .collect()[0]
+    )
+    return row["c"]
+
+
+CASES = [
+    # the four crawl-variant spellings of one resource collapse
+    ("https://Site3.Example/p/12", "https://site3.example/p/12"),
+    ("HTTPS://www.Site3.Example:443/p/12/", "https://site3.example/p/12"),
+    ("http://Site3.Example:80/p/12#frag", "http://site3.example/p/12"),
+    # tracking params drop, survivors sort
+    (
+        "https://a.example/x?utm_source=f&id=7&utm_campaign=c&b=1",
+        "https://a.example/x?b=1&id=7",
+    ),
+    ("https://a.example/x?utm_source=f", "https://a.example/x"),
+    ("https://a.example/x?ref", "https://a.example/x"),  # bare tracking key
+    # non-default port survives; root path normalizes
+    ("http://a.example:8080", "http://a.example:8080/"),
+    ("https://a.example", "https://a.example/"),
+    ("https://a.example///", "https://a.example/"),
+    # https keeps :80 (only the scheme's own default drops)
+    ("https://a.example:80/x", "https://a.example:80/x"),
+    # non-http(s) has no canonical key
+    ("mailto:ops@example.org", None),
+    ("#fragment-only", None),
+    ("/relative/path", None),
+]
+
+
+@pytest.mark.parametrize("url,want", CASES)
+def test_canonicalize_cases(spark, url, want):
+    assert _canon_one(spark, url) == want
+
+
+def test_canonicalize_is_idempotent(spark):
+    for url, want in CASES:
+        if want is not None:
+            assert _canon_one(spark, want) == want
+
+
+def test_dedup_url_keeps_min_id_and_passes_unkeyed_rows(spark):
+    rows = [
+        (5, "https://Site.Example/a"),
+        (2, "HTTPS://www.site.example:443/a/"),  # same resource, earlier id
+        (9, "https://site.example/a?utm_source=x"),  # same again
+        (7, "https://site.example/b"),
+        (3, "mailto:x@example.org"),  # unkeyed: always kept
+        (8, "mailto:y@example.org"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = {r["doc_id"] for r in weburl.dedup_url(df).collect()}
+    assert kept == {2, 7, 3, 8}
+
+
+def test_domain_cap_keeps_lowest_ids_per_domain(spark):
+    rows = [(i, f"https://d{i % 2}.example/p/{i}") for i in range(10)]
+    rows.append((99, "mailto:x@example.org"))  # no domain -> dropped
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = {r["doc_id"] for r in weburl.domain_cap(df, 2).collect()}
+    assert kept == {0, 2, 1, 3}  # two lowest per domain
+
+    with pytest.raises(ValueError, match="max_per_domain"):
+        weburl.domain_cap(df, 0)
+
+
+def test_weburl_plans_are_pure_catalyst(spark):
+    """No Python workers anywhere in the URL-curation paths: the kernels
+    must stay inside whole-stage codegen at 100 TB."""
+    df = spark.createDataFrame(
+        [(1, "https://a.example/x"), (2, "mailto:b")], "doc_id long, url string"
+    )
+    for out in (
+        df.select(weburl.canonicalize_url(F.col("url"))),
+        weburl.dedup_url(df),
+        weburl.domain_cap(df, 3),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan

@@ -127,17 +127,22 @@ def html_parse_errors(df: DataFrame, num_partitions: int | None = None) -> DataF
 # --------------------------------------------------------------------------
 
 HREF_PATTERN = r'href="([^"]+)"'
+HREF_PATTERN_SQ = r"href='([^']+)'"
 DOMAIN_PATTERN = r"^https?://([^/]+)"
 
 
 def harvest_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
-    """(doc_id, url) from double-quoted href attributes. Pure JVM regex
-    (whole-stage codegen, no Python): the cheap pass a curation pipeline
-    runs over EVERY page for the link graph, where regex recall over
-    well-formed attributes is the right cost/recall trade — the DOM path
-    (html_to_spans) remains the semantics-complete extractor for
-    unquoted/soup markup."""
-    urls = F.regexp_extract_all(F.col(html_col), F.lit(HREF_PATTERN), F.lit(1))
+    """(doc_id, url) from quoted href attributes (both quote styles —
+    real crawl HTML mixes them). Pure JVM regex (whole-stage codegen, no
+    Python): the cheap pass a curation pipeline runs over EVERY page for
+    the link graph, where regex recall over well-formed attributes is the
+    right cost/recall trade — the DOM path (html_to_spans) remains the
+    semantics-complete extractor for unquoted/soup markup."""
+    h = F.col(html_col)
+    urls = F.concat(
+        F.regexp_extract_all(h, F.lit(HREF_PATTERN), F.lit(1)),
+        F.regexp_extract_all(h, F.lit(HREF_PATTERN_SQ), F.lit(1)),
+    )
     return pages.select("doc_id", F.explode(urls).alias("url"))
 
 

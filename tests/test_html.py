@@ -219,3 +219,25 @@ def test_plan_shape_one_exchange_two_arrow_stages(spark):
     n_ex = plan.count("+- Exchange") + plan.count("   Exchange")
     assert n_ex == 1, plan
     assert plan.count("ArrowEvalPython") == 2, plan
+
+
+def test_harvest_links_both_quote_styles(spark):
+    """The href harvest sees double- AND single-quoted attributes (real
+    crawl HTML mixes them) and stays pure Catalyst; url_domain keys only
+    http(s) URLs."""
+    from pdf_extract_spark.operators.html import harvest_links, url_domain
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, '<a href="https://a.example/x">d</a> <a href=\'http://b.org/y\'>s</a>'),
+        (2, "<a href='mailto:x@y'>m</a> no other links"),
+        (3, "<a href=broken>unquoted is the DOM path's job</a>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    links = harvest_links(df)
+    got = {(r["doc_id"], r["url"]) for r in links.collect()}
+    assert got == {(1, "https://a.example/x"), (1, "http://b.org/y"), (2, "mailto:x@y")}
+    doms = {r["d"] for r in links.select(url_domain(F.col("url")).alias("d")).collect()}
+    assert doms == {"a.example", "b.org", ""}
+    plan = links._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan

@@ -128,19 +128,44 @@ def domain_cap(
     max_per_domain: int,
     url_col: str = "url",
     id_col: str = "doc_id",
+    salt_buckets: int = 64,
 ) -> DataFrame:
     """At most ``max_per_domain`` rows per registrable host, keeping the
-    lowest ids (deterministic). The window runs over a projection of
-    (domain, id) only — document payloads rejoin via left_semi, so the
-    skewed domain shuffle moves two small columns, never the corpus."""
+    lowest ids (deterministic, exact).
+
+    The naive plan — ONE row_number window partitioned by domain — is the
+    textbook hot-key straggler at web scale: a giant domain's every row
+    lands in one window partition, and AQE cannot split a window
+    partition the way it splits a skewed join. So the cap runs in two
+    exact phases: (1) cap within (domain, salt) — any single window
+    partition holds at most 1/salt_buckets of a domain; (2) cap the
+    survivors (<= cap x salt_buckets rows per domain — driver-bounded,
+    never corpus-bounded) globally per domain. Keeping the N lowest ids
+    per salted slice provably preserves the global N lowest, so the
+    result is identical to the one-window plan (pinned in
+    tests/test_weburl.py against a 1-bucket run).
+
+    Both windows run over a projection of (domain, salt, id) only —
+    document payloads rejoin via left_semi, so the corpus never shuffles
+    on the skewed domain key."""
     if max_per_domain < 1:
         raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     canon = canonicalize_url(F.col(url_col))
     dom = F.regexp_extract(canon, r"^https?://([^/]+)", 1)
     slim = df.select(F.col(id_col), dom.alias("_domain")).filter(F.col("_domain") != "")
-    w = Window.partitionBy("_domain").orderBy(F.col(id_col))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy("_domain", "_salt").orderBy(F.col(id_col))
+    survivors = (
+        slim.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= max_per_domain)
+        .drop("_rn")
+    )
+    w2 = Window.partitionBy("_domain").orderBy(F.col(id_col))
     kept = (
-        slim.withColumn("_rn", F.row_number().over(w))
+        survivors.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= max_per_domain)
         .select(id_col)
     )

@@ -81,6 +81,21 @@ def test_domain_cap_keeps_lowest_ids_per_domain(spark):
 
     with pytest.raises(ValueError, match="max_per_domain"):
         weburl.domain_cap(df, 0)
+    with pytest.raises(ValueError, match="salt_buckets"):
+        weburl.domain_cap(df, 2, salt_buckets=0)
+
+
+def test_domain_cap_salted_equals_unsalted(spark):
+    """The two-phase salted cap (the hot-domain-safe plan) must be
+    EXACTLY the one-window result for every cap level: capping the N
+    lowest per salt slice preserves the global N lowest."""
+    rows = [(i, f"https://d{i % 3}.example/p/{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    for cap in (1, 2, 7, 25):  # cap > group size included
+        salted = {r["doc_id"] for r in weburl.domain_cap(df, cap, salt_buckets=8).collect()}
+        single = {r["doc_id"] for r in weburl.domain_cap(df, cap, salt_buckets=1).collect()}
+        want = {i for i in range(60) if sorted(j for j in range(60) if j % 3 == i % 3).index(i) < cap}
+        assert salted == single == want, (cap, salted ^ want)
 
 
 def test_weburl_plans_are_pure_catalyst(spark):

@@ -2240,6 +2240,53 @@ def domain_cap_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _web_curate_sql() -> str:
+    from pdf_extract_spark.operators.weburl import canonicalize_url_sql
+
+    return f"""
+WITH urls AS ({_MESSY_URL_SQL}),
+canon AS (SELECT doc_id, {canonicalize_url_sql("url")} AS c FROM urls),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id, c FROM canon WHERE c IS NOT NULL GROUP BY c),
+ranked AS (
+  SELECT doc_id, regexp_extract(c, '^https?://([^/]+)', 1) AS domain,
+         row_number() OVER (PARTITION BY regexp_extract(c, '^https?://([^/]+)', 1)
+                            ORDER BY doc_id) AS rn
+  FROM keepers),
+capped AS (SELECT doc_id, domain FROM ranked WHERE rn <= 3),
+kept AS (
+  SELECT capped.domain, d.n_chars FROM capped
+  JOIN documents d USING (doc_id) WHERE d.n_chars >= 200)
+SELECT domain, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS total_chars
+FROM kept GROUP BY 1
+"""
+
+
+@query("web_curate", _web_curate_sql())
+def web_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed web-curation path under ONE oracle (the curate_corpus
+    pattern applied to the URL leg): messy crawl URLs -> canonical
+    keep-first dedup -> per-domain cap (3) -> length quality gate
+    (n_chars >= 200) -> per-domain survivor stats. Each stage keeps its
+    pinned shape; inter-stage dataflow is (doc_id, url/domain) only."""
+    from pdf_extract_spark.operators import weburl
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", _messy_url().alias("url")
+    )
+    capped = weburl.domain_cap(weburl.dedup_url(docs), 3)
+    dom = F.regexp_extract(weburl.canonicalize_url(F.col("url")), r"^https?://([^/]+)", 1)
+    return (
+        capped.filter(F.col("n_chars") >= 200)
+        .select(dom.alias("domain"), "n_chars")
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
 @query("html_extract")
 def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HTML path end-to-end (north rule: "HTML boilerplate strip ...

@@ -233,12 +233,17 @@ SELECT doc_id, lang, source FROM ranked WHERE rn = 1
 )
 def dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 — keep-first dedup with explicit deterministic ordering
-    (drop_duplicates keep='first', metadata_generator.py:618-622)."""
+    (drop_duplicates keep='first', metadata_generator.py:618-622).
+
+    rn=1-only windows ARE min-aggregates: (lang, source) has ~15 values,
+    so a row_number window would funnel the whole corpus through ~15
+    unsplittable window partitions at scale. The partial-combinable
+    HashAggregate computes the identical keeper set (min doc_id per
+    group) with a shuffle of one row per group per mapper."""
     docs = _t(spark, sf_dir, "documents")
-    w = W.partitionBy("lang", "source").orderBy(F.asc("doc_id"))
     return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        docs.groupBy("lang", "source")
+        .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "lang", "source")
     )
 

@@ -376,6 +376,18 @@ def write_bench_md(result: dict) -> None:
             "",
         ]
     lines += [
+        "## Suite growth across rounds (read before comparing BENCH_r{N}.json wall times)",
+        "",
+        "The headline suite is cumulative: 26 queries in r2, 29 in r3, 34 at",
+        "the end of r4 (added across r4: table_detect, decontaminate,",
+        "html_extract, link_domains, url_dedup_hosts — the last three are the",
+        "new HTML/web-curation leg). Total suite wall time therefore GROWS by",
+        "construction each round; per-query timings are the comparable unit.",
+        "The r4 additions cost ~8 s of suite wall at sf0.1 (html_extract 5.7 s",
+        "— in line with its structural twin pdf_bytes_extract; link_domains",
+        "0.5 s; url_dedup_hosts 1.8 s, overhead-dominated at this tiny scale:",
+        "two short-key shuffles at 32 shuffle partitions over 6 k rows).",
+        "",
         "## Round-to-round variance caveat",
         "",
         "The sandbox is a shared-host VM: identical code measured on",

@@ -50,12 +50,15 @@ def _extract_batch(spans_series: pd.Series) -> pd.Series:
     df = pd.DataFrame(rows, columns=["i", "kind", "text", "media_ref", "offset"])
     df.sort_values(["i", "offset"], inplace=True, kind="mergesort")
 
-    # rules.tag_fragments semantics: ONLY kind == 'media' takes the media
-    # branch; any other kind flows down the text path — but boilerplate
-    # keys are counted over kind == 'text' spans strictly
+    # rules.tag_fragments semantics: kind == 'media' takes the media
+    # branch, kind == 'table' keeps its structural tag (cleanup + empty
+    # drop but NO boilerplate participation), anything else flows down
+    # the text path — boilerplate keys are counted over kind == 'text'
+    # spans strictly
     kinds_in = df["kind"].to_numpy()
     is_text = kinds_in == "text"
     is_media = kinds_in == "media"
+    is_table = kinds_in == "table"
 
     # one combined trigger scan decides which fragments need the full
     # regex cleanup chain; for the (typical) clean majority — no dot
@@ -74,9 +77,10 @@ def _extract_batch(spans_series: pd.Series) -> pd.Series:
         )
     # the length gate applies to the RAW text (rules.boilerplate_keys:
     # `len(t) <= MAX` before collapsing), not the collapsed form; keys
-    # are COUNTED over kind=='text' short spans only, but the DROP
-    # applies to EVERY non-media span whose collapsed text is a key
-    # (tag_fragments: `if collapse_ws(raw) in bp: continue`)
+    # are COUNTED over kind=='text' short spans only, and the DROP
+    # applies to every non-media, non-table span whose collapsed text is
+    # a key (tag_fragments: `if collapse_ws(raw) in bp: continue`;
+    # table spans are structural and exempt)
     short = df["text"].str.len() <= rules.BOILERPLATE_MAX_LEN
     counted_mask = is_text & short & (collapsed != "")
     counted = collapsed[counted_mask]
@@ -100,7 +104,7 @@ def _extract_batch(spans_series: pd.Series) -> pd.Series:
             .str.strip()
         )
 
-    keep = is_media | ((~bp_mask) & (cleaned != ""))
+    keep = is_media | (((~bp_mask) | is_table) & (cleaned != ""))
 
     # --- tagging (rules.tag_by_text, same precedence, vectorized) -------
     h3 = cleaned.str.match(rules.RE_H3_COLON)
@@ -113,6 +117,7 @@ def _extract_batch(spans_series: pd.Series) -> pd.Series:
     tag[h3] = "H3"
     tag[eligible & h2] = "H2"
     tag[eligible & h1 & (~h2)] = "H1"
+    tag[is_table] = "table"
     tag[is_media] = "media"
 
     # --- per-document run-merge + composition FSM -----------------------

@@ -501,6 +501,16 @@ def tag_fragments(spans: list[dict]) -> list[dict]:
             frags.append({"kind": "media", "text": "", "media_ref": s["media_ref"] or ""})
             continue
         raw = s["text"] or ""
+        if s["kind"] == "table":
+            # structural table spans (HTML <table> cells; the input-hint
+            # twin of layout_document's grid cells): same cleanup, fixed
+            # tag, NO boilerplate participation — table-ness is known
+            # from structure, not repetition (mirrors the layout path,
+            # where the grid test overrides style tagging)
+            t = clean_fragment(raw)
+            if t:
+                frags.append({"kind": "table", "text": t, "media_ref": ""})
+            continue
         if collapse_ws(raw) in bp:
             continue
         t = clean_fragment(raw)
@@ -530,9 +540,11 @@ def safe_split_points(frags: list[dict], target: int) -> list[int]:
 
 def extract_document(spans: list[dict]) -> list[dict]:
     """Full deterministic extraction for one document in ``input_hint``
-    shape. Input spans: {kind: text|media, text, media_ref, offset}.
-    Output spans: {kind: H1|H2|H3|P|media, text, media_ref, offset} with
-    offset = final reading order (0-based), media interleaved in place.
+    shape. Input spans: {kind: text|media|table, text, media_ref, offset}
+    (``table`` arrives from structural sources — HTML <table> cells —
+    and passes the FSM 1:1 like headers, same as layout grid cells).
+    Output spans: {kind: H1|H2|H3|P|media|table, text, media_ref, offset}
+    with offset = final reading order (0-based), media interleaved in place.
 
     Stages (mirror of the reference pipeline, SURVEY.md §3.3):
       1. order by input offset;

@@ -23,9 +23,11 @@ rule order:
      ``<body>``;
   5. walk the remainder in document order emitting interleaved spans in
      the BASELINE.json input_hint shape: leaf BLOCK elements (h1-h6, p,
-     li, td, pre, blockquote, ...) yield ``kind='text'`` spans, ``<img>``
-     yields ``kind='media'`` with ``media_ref = src`` at its
-     reading-order position; offsets are sequential.
+     li, td, pre, blockquote, ...) yield ``kind='text'`` spans — or
+     ``kind='table'`` when under a ``<table>`` ancestor (the HTML twin
+     of the layout path's grid cells; passes the rule-core FSM 1:1) —
+     and ``<img>`` yields ``kind='media'`` with ``media_ref = src`` at
+     its reading-order position; offsets are sequential.
 
 Malformed payloads raise :class:`HtmlError` — never anything else — so
 the Spark wrapper (operators/html.py) can quarantine per document instead
@@ -292,7 +294,7 @@ def emit_spans(content: _Node) -> list[dict]:
     text (pretty-printing between tags) never becomes a span."""
     out: list[dict] = []
 
-    def walk(node: _Node) -> None:
+    def walk(node: _Node, in_table: bool) -> None:
         for ch in node.children:
             if isinstance(ch, str):
                 continue
@@ -305,11 +307,16 @@ def emit_spans(content: _Node) -> list[dict]:
                 # keep the RAW text (fragment spans carry significant
                 # leading/trailing spaces); strip() only decides emptiness
                 if txt.strip():
-                    out.append({"kind": "text", "text": txt,
-                                "media_ref": "", "offset": 0})
-            walk(ch)
+                    # blocks under a <table> ancestor carry the structural
+                    # 'table' kind — the HTML twin of the layout path's
+                    # grid cells (source_type contract, main.py:316-338):
+                    # they pass the FSM 1:1 and stay eligible for
+                    # remove_numbering's 'table' context downstream
+                    out.append({"kind": "table" if in_table else "text",
+                                "text": txt, "media_ref": "", "offset": 0})
+            walk(ch, in_table or ch.tag == "table")
 
-    walk(content)
+    walk(content, False)
     for i, s in enumerate(out):
         s["offset"] = i
     return out

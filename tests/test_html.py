@@ -241,3 +241,87 @@ def test_harvest_links_both_quote_styles(spark):
     assert doms == {"a.example", "b.org", ""}
     plan = links._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_table_cells_carry_table_kind_end_to_end():
+    """Blocks under a <table> ancestor emit the structural 'table' kind
+    (the HTML twin of the layout path's grid cells) and the shared rule
+    core passes them through the FSM 1:1 like headers."""
+    from pdf_extract_spark import rules
+
+    html = (
+        b"<html><body><main>"
+        b"<p>intro paragraph body text</p>"
+        b"<table><tr><td>cell one</td><td>cell two</td></tr>"
+        b"<tr><td>another row cell</td></tr></table>"
+        b"<p>closing paragraph body text</p>"
+        b"</main></body></html>"
+    )
+    spans = htmlparse.html_to_spans(html)
+    assert [s["kind"] for s in spans] == ["text", "table", "table", "table", "text"]
+    assert [s["text"] for s in spans if s["kind"] == "table"] == [
+        "cell one", "cell two", "another row cell"]
+
+    out = rules.extract_document(spans)
+    assert [(s["kind"], s["text"], s["offset"]) for s in out] == [
+        ("P", "intro paragraph body text", 0),
+        ("table", "cell one", 1),
+        ("table", "cell two", 2),
+        ("table", "another row cell", 3),
+        ("P", "closing paragraph body text", 4),
+    ]
+
+
+def test_table_spans_skip_boilerplate_strip():
+    """Boilerplate stripping is repetition-based and applies to 'text'
+    spans only: a table cell whose text matches a repeated boilerplate
+    line still survives (table-ness is structural, mirroring the layout
+    path where the grid test overrides style tagging)."""
+    from pdf_extract_spark import rules
+
+    spans = [
+        {"kind": "text", "text": "page footer", "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "page footer", "media_ref": "", "offset": 1},
+        {"kind": "text", "text": "page footer", "media_ref": "", "offset": 2},
+        {"kind": "table", "text": "page footer", "media_ref": "", "offset": 3},
+        {"kind": "text", "text": "real body sentence text", "media_ref": "", "offset": 4},
+    ]
+    out = rules.extract_document(spans)
+    assert [(s["kind"], s["text"]) for s in out] == [
+        ("table", "page footer"),
+        ("P", "real body sentence text"),
+    ]
+
+
+def test_vectorized_kernel_matches_rules_on_table_spans():
+    """The Arrow kernel (_extract_batch) is a vectorized re-expression of
+    rules.tag_fragments — it must agree with the unvectorized chain on
+    structural table spans too (tag passthrough, boilerplate exemption,
+    cleanup + empty drop). This is the parity the first e2e probe caught
+    missing: rules handled 'table' while the kernel sent it down the
+    text path."""
+    import pandas as pd
+    from pdf_extract_spark import rules
+    from pdf_extract_spark.operators.extract import _extract_batch
+
+    mixed = [
+        {"kind": "text", "text": "intro paragraph body text", "media_ref": "", "offset": 0},
+        {"kind": "table", "text": "cell one", "media_ref": "", "offset": 1},
+        {"kind": "table", "text": "  cell two  ", "media_ref": "", "offset": 2},
+        {"kind": "table", "text": "   ", "media_ref": "", "offset": 3},  # empty drop
+        {"kind": "media", "text": "", "media_ref": "m0", "offset": 4},
+        {"kind": "text", "text": "closing paragraph body text", "media_ref": "", "offset": 5},
+    ]
+    bp = [
+        {"kind": "text", "text": "page footer", "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "page footer", "media_ref": "", "offset": 1},
+        {"kind": "text", "text": "page footer", "media_ref": "", "offset": 2},
+        {"kind": "table", "text": "page footer", "media_ref": "", "offset": 3},
+        {"kind": "text", "text": "real body sentence text", "media_ref": "", "offset": 4},
+    ]
+    docs = [mixed, None, [], bp]
+    got = _extract_batch(pd.Series(docs)).tolist()
+    want = [rules.extract_document(d) if d is not None else None for d in docs]
+    assert got == want
+    assert [s["kind"] for s in got[0]] == ["P", "table", "table", "media", "P"]
+    assert [s["kind"] for s in got[3]] == ["table", "P"]

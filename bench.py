@@ -69,6 +69,7 @@ HEADLINE = [
     "table_detect",             # grid-aligned table source_type classification
     "link_domains",             # JVM-regex href harvest + per-domain counts
     "url_dedup_hosts",          # URL canonicalization + keep-first dedup
+    "line_dedup",               # corpus-level duplicated-line removal (RefinedWeb step)
 ]
 
 
@@ -378,10 +379,10 @@ def write_bench_md(result: dict) -> None:
     lines += [
         "## Suite growth across rounds (read before comparing BENCH_r{N}.json wall times)",
         "",
-        "The headline suite is cumulative: 26 queries in r2, 29 in r3, 34 at",
+        "The headline suite is cumulative: 26 queries in r2, 29 in r3, 35 at",
         "the end of r4 (added across r4: table_detect, decontaminate,",
-        "html_extract, link_domains, url_dedup_hosts — the last three are the",
-        "new HTML/web-curation leg). Total suite wall time therefore GROWS by",
+        "html_extract, link_domains, url_dedup_hosts, line_dedup — the last",
+        "four are the new HTML/web-curation leg). Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~8 s of suite wall at sf0.1 (html_extract 5.7 s",
         "— in line with its structural twin pdf_bytes_extract; link_domains",

@@ -668,3 +668,86 @@ def dedup_components_sql(
 WITH RECURSIVE {dedup_components_ctes(pairs_cte, table)}
 SELECT doc_id, component, doc_id = component AS is_keeper FROM allc
 """
+
+
+# -------------------------------------------------------- line-level dedup
+
+def dedup_lines(
+    df: DataFrame, text_col: str = "text", min_count: int = 3
+) -> DataFrame:
+    """Corpus-level duplicated-line removal (the RefinedWeb/CCNet web
+    curation step the document-level families above can't express: nav
+    bars, cookie banners and share-button rows repeat across PAGES while
+    each page stays globally unique).
+
+    A line is removed from EVERY document when its trimmed form occurs
+    ``min_count``-or-more times across the whole corpus; blank lines are
+    never counted and never removed (they are document structure).
+    Returns (doc_id, clean_text, n_removed, n_kept) with surviving lines
+    rejoined by ``\\n`` in their original order; documents whose every
+    line is removed stay in the output with ``clean_text = ''``.
+
+    Scale (100 TB): the frequency pass shuffles ONLY the trimmed line
+    key (map-side partial combine); the heavy-hitter set projects to a
+    single column, so AQE broadcasts it when small and falls back to a
+    key-partitioned join when a pathological corpus makes it large —
+    correctness does not depend on it fitting in memory (unlike
+    ``decontaminate``'s deliberate broadcast of the bounded eval-gram
+    set). Reassembly is one hash aggregate on doc_id. No Python runs
+    anywhere.
+    """
+    lines = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    )
+    bad = (
+        lines.select(F.trim(F.col("line")).alias("k"))
+        .filter(F.col("k") != "")
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("k")
+    )
+    joined = lines.join(bad, F.trim(lines["line"]) == bad["k"], "left")
+    kept_struct = F.when(F.col("k").isNull(), F.struct("pos", "line"))
+    return joined.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                # collect_list drops the NULLs the `when` leaves for
+                # removed lines; array_sort on (pos, line) structs
+                # restores original document order (pos is unique)
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("k").cast("long").alias("n_removed"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )
+
+
+def dedup_lines_sql(
+    table: str = "documents", text_expr: str = "text", min_count: int = 3
+) -> str:
+    """DuckDB mirror of ``dedup_lines`` (zipped unnest = posexplode;
+    string_agg skips the NULLs the CASE leaves for removed lines, same
+    as collect_list; coalesce matches concat_ws's '' on empty)."""
+    return f"""
+WITH lines AS (
+  SELECT doc_id,
+         unnest(string_split({text_expr}, chr(10))) AS line,
+         unnest(range(1, len(string_split({text_expr}, chr(10))) + 1)) AS pos
+  FROM {table}),
+bad AS (
+  SELECT trim(line) AS k FROM lines WHERE trim(line) <> ''
+  GROUP BY 1 HAVING count(*) >= {min_count})
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN b.k IS NULL THEN line END,
+                           chr(10) ORDER BY pos), '') AS clean_text,
+       count(b.k)::BIGINT AS n_removed,
+       count(CASE WHEN b.k IS NULL THEN 1 END)::BIGINT AS n_kept
+FROM lines LEFT JOIN bad b ON trim(lines.line) = b.k
+GROUP BY doc_id
+"""

@@ -2292,6 +2292,67 @@ def web_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic multi-line decoration of the documents table: the
+# synthetic corpus is single-line, so the line-dedup fixture rebuilds
+# each document as five lines covering every removal class — a
+# corpus-wide boilerplate line on half the docs ('All Rights Reserved',
+# removed), a whitespace-padded one on every fifth doc ('  Cookie
+# Policy  ', removed via the trimmed key, padding preserved on the
+# survivors' side), a content prefix (shared-if-shared, symmetric), a
+# structural blank line (never counted, never removed), an exactly-
+# twice 'pair k' line (below min_count=3, kept — the threshold
+# boundary), and unique 'intro/tail <id>' lines (kept). SQL twin below.
+def _multiline():
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    return F.concat_ws(
+        "\n",
+        F.when(d % 2 == 0, F.lit("All Rights Reserved"))
+        .otherwise(F.concat(F.lit("intro "), ds)),
+        F.coalesce(F.substring(F.col("text"), 1, 30), F.lit("")),
+        F.lit(""),
+        F.concat(F.lit("pair "), F.floor(d / 2).cast("string")),
+        F.when(d % 5 == 0, F.lit("  Cookie Policy  "))
+        .otherwise(F.concat(F.lit("tail "), ds)),
+    )
+
+
+_MULTILINE_SQL = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 2 = 0 THEN 'All Rights Reserved'
+             ELSE 'intro ' || doc_id::VARCHAR END)
+       || chr(10) || coalesce(substr(text, 1, 30), '')
+       || chr(10) || ''
+       || chr(10) || 'pair ' || (doc_id // 2)::VARCHAR
+       || chr(10) || (CASE WHEN doc_id % 5 = 0 THEN '  Cookie Policy  '
+                           ELSE 'tail ' || doc_id::VARCHAR END)
+       AS text
+FROM documents
+"""
+
+
+@query(
+    "line_dedup",
+    dedup.dedup_lines_sql(
+        table=f"({_MULTILINE_SQL.strip()})", text_expr="text", min_count=3
+    ),
+)
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-line removal (dedup.dedup_lines), the
+    RefinedWeb/CCNet curation step between document dedup and quality
+    filtering: nav bars / cookie banners / share-button rows repeat
+    across pages while each page stays globally unique, so no document-
+    level family catches them. A line whose trimmed form occurs >= 3
+    times corpus-wide is dropped from every document; blank lines are
+    structure and survive; surviving lines rejoin in original order.
+    Pure Catalyst — the frequency pass shuffles only the trimmed key,
+    reassembly is one doc_id aggregate."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _multiline().alias("text")
+    )
+    return dedup.dedup_lines(docs, min_count=3)
+
+
 @query("html_extract")
 def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HTML path end-to-end (north rule: "HTML boilerplate strip ...
@@ -2536,6 +2597,16 @@ _DEMOTED_ORACLED = frozenset({
     "ann_lsh_multitable",       # LSH family: ann_lsh_topk, ann_ivf_fixed_topk in-window
     "ann_lsh_multiprobe",       # LSH family (see above)
     "embedding_near_dup",       # 0-row result at sf0.01; cosine_topk covers the cosine path
+    # r4 demotions (all driver-green in CORRECTNESS_r03) — yield window
+    # slots to the r4 registrations the driver has never sampled
+    # (decontaminate, pii_scrub, url_*, web_curate, line_dedup,
+    # table_detect, extract_spans_flagship):
+    "regional_revenue",         # agg family: pricing_summary, part_type_margins in-window
+    "topk_orders",              # window-fn family: sectionize_events, asof_last_signup in-window
+    "textclean",                # cleanup family: remove_numbering (faithful C7), punct_stats in-window
+    "fingerprint",              # textstats family: token_count, quality_score, repetition_stats in-window
+    "lang_id",                  # textstats family (see above)
+    "dedup_exact",              # dedup family: keepfirst/minhash/simhash/components/cross_corpus/line in-window
 })
 
 

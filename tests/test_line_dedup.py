@@ -1,0 +1,63 @@
+"""dedup_lines — corpus-level duplicated-line removal (RefinedWeb/CCNet
+step; the between-documents boilerplate the document-level dedup
+families can't express). The registered `line_dedup` query is value- and
+dtype-exact vs DuckDB in the entry/dtype gates; this file pins the
+operator's edge semantics and plan shape directly."""
+
+from pyspark.sql import functions as F
+
+from pdf_extract_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def _collect(df):
+    return {
+        r["doc_id"]: (r["clean_text"], r["n_removed"], r["n_kept"])
+        for r in df.collect()
+    }
+
+
+def test_dedup_lines_edge_semantics(spark):
+    rows = [
+        # 'nav bar' occurs 3x (>= min_count) -> removed everywhere;
+        # '  nav bar  ' counts via its TRIMMED key but survivors keep
+        # their raw padding; 'pair' occurs exactly 2x -> kept (threshold
+        # boundary); blank lines are structure -> kept, never counted.
+        (0, "nav bar\nunique zero\n\npair"),
+        (1, "  nav bar  \nunique one\npair"),
+        (2, "nav bar\n\n\n"),          # all non-blank lines removed
+        (3, ""),                        # empty doc -> single blank line
+        (4, "nav bar"),                 # whole doc removed -> ''
+    ]
+    got = _collect(dedup.dedup_lines(_docs(spark, rows), min_count=3))
+    assert got == {
+        0: ("unique zero\n\npair", 1, 3),
+        1: ("unique one\npair", 1, 2),
+        2: ("\n\n", 1, 3),
+        3: ("", 0, 1),
+        4: ("", 1, 0),
+    }
+
+
+def test_dedup_lines_padding_survives_below_threshold(spark):
+    # the padded spelling alone is below min_count: kept with padding
+    rows = [(0, "  spaced  \nbody a"), (1, "body b")]
+    got = _collect(dedup.dedup_lines(_docs(spark, rows), min_count=2))
+    assert got[0] == ("  spaced  \nbody a", 0, 2)
+    assert got[1] == ("body b", 0, 1)
+
+
+def test_dedup_lines_plan_is_pure_catalyst(spark):
+    df = dedup.dedup_lines(
+        _docs(spark, [(i, f"nav\nbody {i}") for i in range(20)]), min_count=3
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # no Python anywhere; the frequency pass + the line/bad join + the
+    # doc_id reassembly are the only exchanges (AQE may broadcast the
+    # single-column heavy-hitter side, dropping one)
+    assert "EvalPython" not in plan
+    n_ex = plan.count("+- Exchange") + plan.count("   Exchange")
+    assert n_ex <= 3, plan

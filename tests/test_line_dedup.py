@@ -61,3 +61,47 @@ def test_dedup_lines_plan_is_pure_catalyst(spark):
     assert "EvalPython" not in plan
     n_ex = plan.count("+- Exchange") + plan.count("   Exchange")
     assert n_ex <= 3, plan
+
+
+def test_dedup_lines_matches_python_model_on_adversarial_corpus(spark):
+    """Seeded 200-doc corpus drawn from a collision-forcing pool with
+    tabs, NBSP, carriage returns and space padding; compared against an
+    independent pure-Python model of the contract (split keeps trailing
+    empties; the count/removal key strips SPACES only, like Spark trim;
+    blank keys never count)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    pool = [
+        "share on facebook", "cookie notice", "\tshare on facebook",
+        "nav\rbar", "a b", "  cookie notice  ", "cookie notice\t",
+    ]
+    rows = []
+    for d in range(200):
+        n = rng.randint(0, 6)
+        ls = [
+            rng.choice(pool) if rng.random() < 0.4
+            else rng.choice(["", f"body {d} {i}", f"  body {d} {i}  "])
+            for i in range(n)
+        ]
+        rows.append((d, "\n".join(ls)))
+
+    def model(rows, min_count):
+        split = {d: t.split("\n") for d, t in rows}
+        cnt = Counter(
+            l.strip(" ") for ls in split.values() for l in ls if l.strip(" ")
+        )
+        bad = {k for k, c in cnt.items() if c >= min_count}
+        return {
+            d: (
+                "\n".join(l for l in ls if l.strip(" ") not in bad),
+                sum(l.strip(" ") in bad for l in ls),
+                sum(l.strip(" ") not in bad for l in ls),
+            )
+            for d, ls in split.items()
+        }
+
+    for k in (2, 5):
+        got = _collect(dedup.dedup_lines(_docs(spark, rows), min_count=k))
+        assert got == model(rows, k), f"min_count={k}"

@@ -44,6 +44,13 @@ def _ensure_shipped(spark: SparkSession) -> None:
                 "source never raises this). Restart the session so executors "
                 "pick up the current code."
             ) from e
+        if type(e).__name__ == "PySparkNotImplementedError":
+            # Spark Connect sessions expose no SparkContext to addPyFile
+            # through; the defensive zip shipping simply does not apply
+            # there (such deployments ship artifacts at session creation,
+            # e.g. spark.addArtifacts). Everything else still raises: on
+            # a classic context a failed addPyFile IS actionable.
+            return
         raise
 
 

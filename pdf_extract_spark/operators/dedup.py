@@ -685,7 +685,10 @@ def dedup_lines(
     never counted and never removed (they are document structure).
     Returns (doc_id, clean_text, n_removed, n_kept) with surviving lines
     rejoined by ``\\n`` in their original order; documents whose every
-    line is removed stay in the output with ``clean_text = ''``.
+    line is removed stay in the output with ``clean_text = ''``, and a
+    NULL text reads as '' (one blank line) so the document survives too
+    — posexplode of split(NULL) would silently drop the doc_id from the
+    corpus otherwise.
 
     Scale (100 TB): the frequency pass shuffles ONLY the trimmed line
     key (map-side partial combine); the heavy-hitter set projects to a
@@ -698,7 +701,9 @@ def dedup_lines(
     """
     lines = df.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("pos", "line"),
     )
     bad = (
         lines.select(F.trim(F.col("line")).alias("k"))
@@ -737,8 +742,8 @@ def dedup_lines_sql(
     return f"""
 WITH lines AS (
   SELECT doc_id,
-         unnest(string_split({text_expr}, chr(10))) AS line,
-         unnest(range(1, len(string_split({text_expr}, chr(10))) + 1)) AS pos
+         unnest(string_split(coalesce({text_expr}, ''), chr(10))) AS line,
+         unnest(range(1, len(string_split(coalesce({text_expr}, ''), chr(10))) + 1)) AS pos
   FROM {table}),
 bad AS (
   SELECT trim(line) AS k FROM lines WHERE trim(line) <> ''

@@ -121,6 +121,30 @@ def html_parse_errors(df: DataFrame, num_partitions: int | None = None) -> DataF
     return full.filter(F.col("parse_error").isNotNull()).select("doc_id", "parse_error")
 
 
+def html_split(
+    df: DataFrame, num_partitions: int | None = None, checkpoint: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Both consumers from ONE parse: (healthy(doc_id, spans),
+    quarantine(doc_id, parse_error)).
+
+    The natural production pattern — write extracted spans AND the
+    quarantine ledger — would pay the expensive Python DOM pass twice if
+    it used the two filtered views above (separate actions rebuild the
+    plan). Here the parsed frame is localCheckpointed once (the
+    dedup_components precedent: materialize the expensive loop-invariant
+    input, then fan out), so both sides read executor-local blocks.
+    ``checkpoint=False`` returns lazy views for callers that persist or
+    write the full frame themselves."""
+    full = html_to_spans_full(df, num_partitions)
+    if checkpoint:
+        full = full.localCheckpoint()
+    healthy = full.filter(F.col("parse_error").isNull()).select("doc_id", "spans")
+    quarantine = full.filter(F.col("parse_error").isNotNull()).select(
+        "doc_id", "parse_error"
+    )
+    return healthy, quarantine
+
+
 # --------------------------------------------------------------------------
 # link harvest — the corpus-wide web-graph pass (domain caps, blocklists,
 # URL dedup all start from this table)

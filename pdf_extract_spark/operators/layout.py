@@ -162,3 +162,18 @@ def pdf_parse_errors(df: DataFrame, num_partitions: int | None = None) -> DataFr
     """The quarantine view over raw bytes; see parse_error_rows to avoid
     a second parse when the full frame already exists."""
     return parse_error_rows(pdf_to_spans_full(df, num_partitions))
+
+
+def pdf_split(
+    df: DataFrame, num_partitions: int | None = None, checkpoint: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Both consumers from ONE parse: (healthy(doc_id, spans),
+    quarantine(doc_id, parse_error)) over a localCheckpointed full frame
+    — the html.html_split twin, for pipelines that write spans AND the
+    quarantine ledger without paying the byte parse twice.
+    ``checkpoint=False`` returns lazy views for callers that persist the
+    full frame themselves."""
+    full = pdf_to_spans_full(df, num_partitions)
+    if checkpoint:
+        full = full.localCheckpoint()
+    return healthy_spans(full), parse_error_rows(full)

@@ -9,7 +9,10 @@ single domain may contribute to the corpus.
 
 Everything here is a pure Catalyst expression tree — whole-stage codegen,
 no Python workers — and every regex is written in the portable Java+RE2
-subset (``(?i)`` inline flag, explicit classes, no lookbehind) so the
+subset (``(?i)`` inline flag, explicit classes, no lookbehind, and ``\z``
+for terminal anchors — NEVER bare ``$``, which Java matches before a
+final newline while RE2 does not, so a newline-bearing harvested href
+would canonicalize to different keys in the kernel vs the oracle) so the
 DuckDB oracles in queries.py can mirror the exact semantics.
 
 Scale notes (100 TB):
@@ -32,7 +35,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 # Query parameters a fetch of the SAME resource varies on: analytics
 # trackers. The list is a conservative, widely-published core (utm_*,
 # Google/Facebook click ids, bare ref) — extend per deployment.
-TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
+TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|gclid|fbclid|ref)(=|\z)"
 
 _SCHEME = r"(?i)^(https?)://"
 _HOSTPORT = r"(?i)^https?://([^/?#]*)"
@@ -53,15 +56,15 @@ def canonicalize_url(url_col):
     scheme = F.lower(F.regexp_extract(u, _SCHEME, 1))
     hostport = F.lower(F.regexp_extract(u, _HOSTPORT, 1))
     host = F.regexp_replace(hostport, r"^www\.", "")
-    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(
-        F.regexp_replace(host, r":443$", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80\z", "")).otherwise(
+        F.regexp_replace(host, r":443\z", "")
     )
     # everything after the authority: "/path?query" (fragment already gone)
     pq = F.regexp_replace(u, r"(?i)^https?://[^/?#]*", "")
     path = F.regexp_extract(pq, r"^([^?]*)", 1)
-    path = F.regexp_replace(path, r"/+$", "")
+    path = F.regexp_replace(path, r"/+\z", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(pq, r"\?(.*)$", 1)
+    query = F.regexp_extract(pq, r"\?(.*)", 1)
     kept = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
@@ -87,16 +90,16 @@ def canonicalize_url_sql(url_expr: str) -> str:
     hostport = f"lower(regexp_extract({u}, '(?i)^https?://([^/?#]*)', 1))"
     host = f"regexp_replace({hostport}, '^www\\.', '')"
     host = (
-        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80$', '') "
-        f"ELSE regexp_replace({host}, ':443$', '') END"
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80\\z', '') "
+        f"ELSE regexp_replace({host}, ':443\\z', '') END"
     )
     pq = f"regexp_replace({u}, '(?i)^https?://[^/?#]*', '')"
-    path = f"regexp_replace(regexp_extract({pq}, '^([^?]*)', 1), '/+$', '')"
+    path = f"regexp_replace(regexp_extract({pq}, '^([^?]*)', 1), '/+\\z', '')"
     path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
-    query = f"regexp_extract({pq}, '\\?(.*)$', 1)"
+    query = f"regexp_extract({pq}, '\\?(.*)', 1)"
     kept = (
         f"list_filter(string_split({query}, '&'), "
-        f"p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))"
+        f"p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)(=|\\z)'))"
     )
     qcanon = f"array_to_string(list_sort({kept}), '&')"
     full = (

@@ -26,10 +26,14 @@ rule order:
      li, td, pre, blockquote, ...) yield ``kind='text'`` spans — or
      ``kind='table'`` when under a ``<table>`` ancestor (the HTML twin
      of the layout path's grid cells; passes the rule-core FSM 1:1) —
-     and ``<img>`` yields ``kind='media'`` with ``media_ref = src`` at
-     its reading-order position; offsets are sequential.
+     bare text directly inside containers (``<div>prose<br>more</div>``)
+     flushes as one span per run between block boundaries, and ``<img>``
+     yields ``kind='media'`` with ``media_ref = src`` at its
+     reading-order position; offsets are sequential.
 
-Malformed payloads raise :class:`HtmlError` — never anything else — so
+Malformed payloads raise :class:`HtmlError` — never anything else (a
+DOM depth cap in the builder plus a RecursionError net in
+``html_to_spans`` keep that true for adversarially nested soup) — so
 the Spark wrapper (operators/html.py) can quarantine per document instead
 of failing a 10^12-document job on one bad row.
 """
@@ -85,6 +89,15 @@ class _Node:
         self.children: list = []  # _Node | str
 
 
+# DOM depth cap: browsers stop around 512; pruning/emission walk the
+# tree with one Python frame per level, so unbounded crawl-soup nesting
+# (<div><div><div>... from unclosed tags) would otherwise escape the
+# HtmlError-only contract as a RecursionError and kill the task instead
+# of quarantining the page. 180 keeps every walk far inside the default
+# interpreter limit; real content never nests remotely that deep.
+_MAX_DEPTH = 180
+
+
 class _TreeBuilder(HTMLParser):
     """Tolerant DOM builder: recovers from unclosed/stray tags the way
     browsers do, because a web-scale corpus is mostly tag soup."""
@@ -115,6 +128,8 @@ class _TreeBuilder(HTMLParser):
     def handle_starttag(self, tag, attrs):
         self.saw_tag = True
         self._implied_close(tag)
+        if len(self.stack) > _MAX_DEPTH:
+            raise HtmlError(f"markup nests deeper than {_MAX_DEPTH}")
         node = _Node(tag, dict(attrs))
         self.stack[-1].children.append(node)
         if tag not in VOID_TAGS:
@@ -287,36 +302,80 @@ def _inline_text(node: _Node) -> str:
     return "".join(parts)
 
 
+# tags that break a container's text into separate spans; an element
+# holding any of these must be WALKED (not flattened as inline)
+_STRUCTURE_TAGS = frozenset({"img", "br"})
+
+
+def _has_structure(node: _Node) -> bool:
+    for ch in node.children:
+        if isinstance(ch, str):
+            continue
+        if ch.tag in BLOCK_TAGS or ch.tag in _STRUCTURE_TAGS or _has_structure(ch):
+            return True
+    return False
+
+
 def emit_spans(content: _Node) -> list[dict]:
     """Document-order interleaved spans from a pruned content tree.
 
-    A leaf block's text is positioned at the block's start; whitespace-only
-    text (pretty-printing between tags) never becomes a span."""
+    Block leaves (BLOCK_TAGS) emit their inline text as one span. Bare
+    text directly inside containers (<div>prose<br>more</div> — a very
+    common crawl shape) is NOT lost: maximal runs of text + pure-inline
+    elements between block-level boundaries (a block child, <br>, <img>,
+    a container holding blocks, or the container's end) flush as one
+    span each. Whitespace-only runs (pretty-printing between tags) never
+    become spans. Blocks under a <table> ancestor carry the structural
+    'table' kind — the HTML twin of the layout path's grid cells
+    (source_type contract, main.py:316-338): they pass the rule-core FSM
+    1:1 and stay eligible for remove_numbering's 'table' context."""
     out: list[dict] = []
 
-    def walk(node: _Node, in_table: bool) -> None:
+    def emit(txt: str, in_table: bool) -> None:
+        # keep the RAW text (fragment spans carry significant
+        # leading/trailing spaces); strip() only decides emptiness
+        if txt.strip():
+            out.append({"kind": "table" if in_table else "text",
+                        "text": txt, "media_ref": "", "offset": 0})
+
+    def walk(node: _Node, in_table: bool, suppress_text: bool) -> None:
+        # suppress_text: inside a block leaf, whose strings and
+        # pure-inline descendants were already consumed by _inline_text —
+        # the walk continues only to find nested blocks and images
+        buf: list[str] = []
+
+        def flush() -> None:
+            if buf:
+                emit("".join(buf), in_table)
+                buf.clear()
+
         for ch in node.children:
             if isinstance(ch, str):
+                if not suppress_text:
+                    buf.append(ch)
                 continue
             if ch.tag == "img":
+                flush()
                 out.append({"kind": "media", "text": "",
                             "media_ref": ch.attrs.get("src") or "", "offset": 0})
                 continue
+            if ch.tag == "br":
+                flush()
+                continue
+            child_table = in_table or ch.tag == "table"
             if ch.tag in BLOCK_TAGS:
-                txt = _inline_text(ch)
-                # keep the RAW text (fragment spans carry significant
-                # leading/trailing spaces); strip() only decides emptiness
-                if txt.strip():
-                    # blocks under a <table> ancestor carry the structural
-                    # 'table' kind — the HTML twin of the layout path's
-                    # grid cells (source_type contract, main.py:316-338):
-                    # they pass the FSM 1:1 and stay eligible for
-                    # remove_numbering's 'table' context downstream
-                    out.append({"kind": "table" if in_table else "text",
-                                "text": txt, "media_ref": "", "offset": 0})
-            walk(ch, in_table or ch.tag == "table")
+                flush()
+                emit(_inline_text(ch), in_table)
+                walk(ch, child_table, True)
+            elif suppress_text or _has_structure(ch):
+                flush()
+                walk(ch, child_table, suppress_text)
+            else:
+                # pure inline subtree: part of the surrounding text run
+                buf.append(_inline_text(ch))
+        flush()
 
-    walk(content, False)
+    walk(content, False, False)
     for i, s in enumerate(out):
         s["offset"] = i
     return out
@@ -324,6 +383,13 @@ def emit_spans(content: _Node) -> list[dict]:
 
 def html_to_spans(data: bytes) -> list[dict]:
     """bytes -> main-content interleaved spans (input_hint shape)."""
-    root = parse_html(data)
-    strip_boilerplate(root)
-    return emit_spans(content_root(root))
+    try:
+        root = parse_html(data)
+        strip_boilerplate(root)
+        return emit_spans(content_root(root))
+    except RecursionError as e:
+        # belt for the _MAX_DEPTH suspenders: the HtmlError-only
+        # contract must hold even if a pathological tree slips past the
+        # builder cap — a RecursionError escaping here would kill the
+        # task instead of quarantining the page
+        raise HtmlError("markup nests too deeply to walk") from e

@@ -325,3 +325,82 @@ def test_vectorized_kernel_matches_rules_on_table_spans():
     assert got == want
     assert [s["kind"] for s in got[0]] == ["P", "table", "table", "media", "P"]
     assert [s["kind"] for s in got[3]] == ["table", "P"]
+
+
+def test_deep_nesting_quarantines_not_recursionerror():
+    """Adversarially nested soup (unclosed tags) must quarantine through
+    the HtmlError-only contract — a RecursionError escaping the builder
+    cap would kill the Spark task through every retry."""
+    deep = b"<html><body>" + b"<div>" * 5000 + b"hello"
+    with pytest.raises(htmlparse.HtmlError, match="nests deeper"):
+        htmlparse.html_to_spans(deep)
+    # implied-close recovery keeps realistic depth under the cap
+    ok = b"<html><body><main>" + b"<p>line</p>" * 300 + b"</main>"
+    assert len(htmlparse.html_to_spans(ok)) == 300
+
+
+def test_bare_container_text_is_not_lost():
+    """Text directly inside containers (no block leaf) — the common
+    <br>-separated-prose crawl shape — must extract, one span per run
+    between block boundaries; pure-inline children join their run."""
+    spans = htmlparse.html_to_spans(
+        b'<html><body><div class="post-body">Sentence one.<br>'
+        b"Sentence two.</div></body></html>"
+    )
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("text", "Sentence one."), ("text", "Sentence two.")]
+
+    spans = htmlparse.html_to_spans(
+        b'<html><body><main><div>Hello <b>world</b>! <a href="x">link</a>'
+        b" tail</div></main></html>"
+    )
+    assert [s["text"] for s in spans] == ["Hello world! link tail"]
+
+    # bare text flushes around an img, media stays interleaved in place
+    spans = htmlparse.html_to_spans(
+        b"<html><body><main><div>before<img src=m.png>after</div></main>"
+    )
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in spans] == [
+        ("text", "before", ""), ("media", "", "m.png"), ("text", "after", "")]
+
+
+def test_bare_text_never_duplicates_block_content():
+    """The run buffer must not re-emit text a block leaf already carried
+    via _inline_text (strings inside blocks, inline elements inside
+    blocks, containers inside blocks)."""
+    spans = htmlparse.html_to_spans(
+        b"<html><body><main>"
+        b"<p>Alpha <em>beta</em> gamma</p>"
+        b"<li>item <div>divtext</div></li>"
+        b"<span><p>nested</p></span>"
+        b"</main></html>"
+    )
+    assert [s["text"] for s in spans] == [
+        "Alpha beta gamma", "item divtext", "nested"]
+
+
+def test_html_split_parses_once_for_both_consumers(spark):
+    """html_split returns the healthy and quarantine sides of ONE
+    materialized parse: results identical to the two filtered views, and
+    neither side's plan re-runs the Python DOM stage (the checkpointed
+    blocks are the source)."""
+    rows = [
+        {"doc_id": f"doc{d:08d}",
+         "content": bytearray(htmlgen.build_html(
+             d, seed=SEED, variant=htmlgen.VARIANTS[d % 3]))}
+        for d in range(8)
+    ]
+    rows.append({"doc_id": "junk_bare_lt", "content": bytearray(b"if a < b then maybe")})
+    df = spark.createDataFrame(rows, schema="doc_id string, content binary")
+
+    healthy, quarantine = H.html_split(df, num_partitions=4)
+    want_spans = {r["doc_id"]: r["spans"]
+                  for r in H.html_to_spans(df, num_partitions=4).collect()}
+    got_spans = {r["doc_id"]: r["spans"] for r in healthy.collect()}
+    assert got_spans == want_spans
+    errs = {r["doc_id"]: r["parse_error"] for r in quarantine.collect()}
+    assert set(errs) == {"junk_bare_lt"} and "no markup" in errs["junk_bare_lt"]
+
+    for side in (healthy, quarantine):
+        plan = side._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, plan

@@ -31,6 +31,7 @@ def test_dedup_lines_edge_semantics(spark):
         (2, "nav bar\n\n\n"),          # all non-blank lines removed
         (3, ""),                        # empty doc -> single blank line
         (4, "nav bar"),                 # whole doc removed -> ''
+        (5, None),                      # NULL text: doc must SURVIVE
     ]
     got = _collect(dedup.dedup_lines(_docs(spark, rows), min_count=3))
     assert got == {
@@ -39,6 +40,7 @@ def test_dedup_lines_edge_semantics(spark):
         2: ("\n\n", 1, 3),
         3: ("", 0, 1),
         4: ("", 1, 0),
+        5: ("", 0, 1),
     }
 
 

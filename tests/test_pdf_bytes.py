@@ -145,3 +145,27 @@ def test_quarantine_reuses_parsed_prefix(monkeypatch):
     assert len(calls) == 6, len(calls)
     for i, d in zip((0, 1, 4, 5), (0, 1, 2, 3)):
         assert out["pages"][i] == pdfgen.expected_pages(d, seed=SEED)
+
+
+def test_pdf_split_parses_once_for_both_consumers(spark):
+    """pdf_split (html_split's byte-path twin): healthy + quarantine from
+    ONE materialized parse — same results as the raw-bytes views, and
+    neither side's plan re-runs the Python parse stage."""
+    from pdf_extract_spark.operators import layout as L
+    from pdf_extract_spark.sources import pdfgen
+
+    rows = [{"doc_id": f"doc{d:08d}",
+             "content": bytearray(pdfgen.build_pdf(d, seed=7))}
+            for d in range(6)]
+    rows.append({"doc_id": "junk", "content": bytearray(b"%PDF-1.4 garbage")})
+    df = spark.createDataFrame(rows, schema="doc_id string, content binary")
+
+    healthy, quarantine = L.pdf_split(df, num_partitions=4)
+    want = {r["doc_id"]: r["spans"]
+            for r in L.pdf_to_spans(df, num_partitions=4).collect()}
+    assert {r["doc_id"]: r["spans"] for r in healthy.collect()} == want
+    errs = {r["doc_id"]: r["parse_error"] for r in quarantine.collect()}
+    assert set(errs) == {"junk"}
+    for side in (healthy, quarantine):
+        plan = side._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, plan

@@ -91,6 +91,19 @@ def test_ensure_shipped_surfaces_version_skew(monkeypatch):
     with pytest.raises(ValueError, match="disk full"):
         entry_mod._ensure_shipped(spark=None)
 
+    # Spark Connect: no SparkContext to ship through -> a no-op, not a
+    # hard entry failure (the package is importable on the driver and
+    # Connect deployments ship artifacts at session creation)
+    class PySparkNotImplementedError(Exception):
+        pass
+
+    def raise_connect(spark):
+        raise PySparkNotImplementedError(
+            "sparkContext() is not implemented in Spark Connect")
+
+    monkeypatch.setattr(packaging, "ship_package", raise_connect)
+    entry_mod._ensure_shipped(spark=None)  # must not raise
+
 
 def test_spark_submit_pyfiles_end_to_end(tmp_path):
     spark_submit = shutil.which("spark-submit") or os.path.join(

@@ -111,3 +111,44 @@ def test_weburl_plans_are_pure_catalyst(spark):
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+def test_canonicalize_twins_agree_on_newline_bearing_urls(spark):
+    """Terminal anchors are spelled \\z, never bare $ (Java matches $
+    before a final newline, RE2 does not) — harvested hrefs CAN carry
+    newlines ([^\"]+ matches them), so the kernel and the DuckDB twin
+    must canonicalize byte-identically even for newline-bearing soup."""
+    import duckdb
+
+    urls = [
+        "https://a.b/p/?gclid\n",            # param with trailing newline
+        "http://h.i:80/a/\n",                # trailing slash before newline
+        "https://x.y:443/q?gclid=1\njunk",   # newline inside query
+        "http://h.i/a\n:80",                 # newline in path-ish soup
+        "https://k.l/#frag\nmore",           # newline after fragment
+        "http://p.q/a?\n",                   # empty query, trailing newline
+        "http://n.m/?ref=abc&utm_campaign=c&z=1",
+        "HTTPS://www.Z.W:443/path//",
+        "mailto:user@example.org",
+    ]
+    sdf = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in sdf.select(
+            "i", weburl.canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, url VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, u) for i, u in enumerate(urls)]
+    )
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT i, {weburl.canonicalize_url_sql('url')} FROM t"
+        ).fetchall()
+    }
+    assert got == want

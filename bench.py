@@ -384,10 +384,12 @@ def write_bench_md(result: dict) -> None:
         "html_extract, link_domains, url_dedup_hosts, line_dedup — the last",
         "four are the new HTML/web-curation leg). Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
-        "The r4 additions cost ~8 s of suite wall at sf0.1 (html_extract 5.7 s",
+        "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",
         "— in line with its structural twin pdf_bytes_extract; link_domains",
         "0.5 s; url_dedup_hosts 1.8 s, overhead-dominated at this tiny scale:",
-        "two short-key shuffles at 32 shuffle partitions over 6 k rows).",
+        "two short-key shuffles at 32 shuffle partitions over 6 k rows;",
+        "line_dedup ~1 s — key-only frequency shuffle + broadcast-joined",
+        "heavy-hitter set + one doc_id reassembly aggregate).",
         "",
         "## Round-to-round variance caveat",
         "",

@@ -357,7 +357,11 @@ def emit_spans(content: _Node) -> list[dict]:
             if ch.tag == "img":
                 flush()
                 out.append({"kind": "media", "text": "",
-                            "media_ref": ch.attrs.get("src") or "", "offset": 0})
+                            # lazy-loaded crawl images carry the real URL
+                            # in data-src and a placeholder (or nothing)
+                            # in src — prefer src, fall back to data-src
+                            "media_ref": ch.attrs.get("src")
+                            or ch.attrs.get("data-src") or "", "offset": 0})
                 continue
             if ch.tag == "br":
                 flush()

@@ -404,3 +404,18 @@ def test_html_split_parses_once_for_both_consumers(spark):
     for side in (healthy, quarantine):
         plan = side._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, plan
+
+
+def test_lazy_loaded_images_keep_their_media_ref():
+    """Crawl pages lazy-load images: src is a placeholder or absent and
+    the real URL sits in data-src — the media span must not lose it."""
+    spans = htmlparse.html_to_spans(
+        b'<html><body><main><p>before</p>'
+        b'<img data-src="https://cdn.x/real.jpg">'
+        b'<img src="ph.gif" data-src="https://cdn.x/lazy.jpg">'
+        b"<p>after</p></main></html>"
+    )
+    assert [(s["kind"], s["media_ref"]) for s in spans if s["kind"] == "media"] == [
+        ("media", "https://cdn.x/real.jpg"),
+        ("media", "ph.gif"),  # explicit src wins when both are present
+    ]

@@ -47,7 +47,10 @@ def remove_numbering_col(col: Column, context: str = "text") -> Column:
     for pat in patterns:
         branch = F.regexp_replace(col, pat, " ")
         out = F.when(col.rlike(pat), branch) if out is None else out.when(col.rlike(pat), branch)
-    # Python str.lstrip() strips ALL whitespace; Spark/DuckDB ltrim strips
-    # only 0x20, so the twin uses an explicit regex to stay exactly equal
-    # to rules.remove_numbering
-    return F.regexp_replace(out.otherwise(col), r"^\s+", "")
+    # Python str.lstrip() strips ALL whitespace (incl. NBSP/U+3000);
+    # Spark/DuckDB ltrim strips only 0x20 and Java/RE2 \s are ASCII-only
+    # AND disagree on \x0B — the explicit _PY_WS class is the one
+    # spelling equal to the Python rule in BOTH engines
+    from pdf_extract_spark.operators.metacompare import _PY_WS
+
+    return F.regexp_replace(out.otherwise(col), f"^{_PY_WS}+", "")

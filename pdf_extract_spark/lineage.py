@@ -143,12 +143,18 @@ class Lake:
     # ------------------------------------------------------------- reads
 
     def read_lineage(self) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
         try:
             if self.table_format == "iceberg":
                 return self.spark.table(self.lineage)
             return self.spark.read.parquet(self.lineage)
-        except Exception:
-            return None  # first run: no lineage yet
+        except AnalysisException:
+            # first run: no lineage yet. ONLY the missing-path/table case
+            # may read as None — a corrupt or unreadable lineage table
+            # must surface, not silently restart the whole corpus as if
+            # nothing had ever completed
+            return None
 
     def completed_buckets_df(self) -> DataFrame | None:
         """Buckets whose LATEST lineage row is ``completed`` (a bucket that
@@ -195,6 +201,7 @@ def run_extraction_with_lineage(
     ``fail_after_groups`` injects a crash after N committed groups (the
     kill/resume test hook — SURVEY.md §5.2 'resume test').
     """
+    _validate_lake_scheme(lake, n_buckets)
     docs = _with_bucket(documents, n_buckets)
 
     # one distinct-bucket scan; the completed set is tiny (<= n_buckets
@@ -213,6 +220,32 @@ def run_extraction_with_lineage(
             raise RuntimeError(f"injected failure before group {gi} (test hook)")
         _process_group(lake, docs, run_id, group, n_buckets, num_partitions, report)
     return report
+
+
+def _validate_lake_scheme(lake: Lake, n_buckets: int) -> None:
+    """Fail loudly when the EXISTING lake was bucketed with a different
+    ``n_buckets``: resuming (or retrying) under a new scheme would skip
+    never-extracted buckets whose old-scheme ids happen to be completed
+    and duplicate docs across old/new partitions — silent data loss. One
+    cheap two-column scan with an early-out limit; an empty lake passes
+    (nothing to disagree with)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = lake.read_spans_out()
+    except AnalysisException:
+        return
+    bad = existing.filter(
+        F.col("bucket") != bucket_of(F.col("doc_id"), n_buckets)
+    ).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            f"lake at {lake.spans_out} was not bucketed with "
+            f"n_buckets={n_buckets}: at least one stored row's bucket "
+            "does not equal bucket_of(doc_id); pass the bucket count "
+            "the lake was created with (a mismatched resume/retry would "
+            "silently drop/duplicate documents)"
+        )
 
 
 def _with_bucket(documents: DataFrame, n_buckets: int) -> DataFrame:
@@ -245,8 +278,33 @@ def _process_group(
 ) -> None:
     """Extract + commit ONE bucket group, append its lineage/metrics rows,
     fold the counts into ``report`` (shared by the resume loop and
-    retry_bucket)."""
+    retry_bucket). A failure anywhere in the group (extraction, commit,
+    stats) best-effort-appends FAILED lineage rows carrying the error
+    message — so `cli.py count` can report failed buckets (the
+    reference's pending/failed parity, database.py:76-93) — and then
+    re-raises; the next resume re-extracts the group (failed is not
+    completed)."""
     t0 = time.time()
+    try:
+        _process_group_body(lake, docs, run_id, group, n_buckets,
+                            num_partitions, report, t0)
+    except Exception as e:
+        try:
+            lake._append(
+                [(run_id, int(b), FAILED, None, None, t0, time.time(),
+                  f"{type(e).__name__}: {e}"[:500]) for b in group],
+                LINEAGE_WRITE, lake.lineage,
+            )
+        except Exception:
+            pass  # the lake itself is down: the original error matters more
+        raise
+
+
+def _process_group_body(
+    lake: Lake, docs: DataFrame, run_id: str, group: list[int],
+    n_buckets: int, num_partitions: int | None, report: RunReport,
+    t0: float,
+) -> None:
     sub = docs.filter(F.col("bucket").isin([int(b) for b in group]))
     parted = partition_for_extraction(sub, num_partitions)
     out = extract_documents(parted.select("doc_id", "spans", "bucket"))
@@ -326,25 +384,19 @@ def retry_bucket(
     run_extraction_with_lineage applies to pre-bucketed inputs)."""
     if not 0 <= bucket < n_buckets:
         raise ValueError(f"bucket must be in [0, {n_buckets}), got {bucket}")
-    from pyspark.errors import AnalysisException
-
-    try:
-        existing = lake.read_spans_out()
-    except AnalysisException:
-        existing = None  # empty lake: retry degenerates to a plain extract
-    if existing is not None:
-        bad = existing.filter(
-            F.col("bucket") != bucket_of(F.col("doc_id"), n_buckets)
-        ).limit(1)
-        if bad.count() > 0:
-            raise ValueError(
-                f"lake at {lake.spans_out} was not bucketed with "
-                f"n_buckets={n_buckets}: at least one stored row's bucket "
-                "does not equal bucket_of(doc_id); pass the bucket count "
-                "the lake was created with (a mismatched retry would "
-                "silently drop/duplicate documents)"
-            )
+    _validate_lake_scheme(lake, n_buckets)
     docs = _with_bucket(documents, n_buckets)
+    # an input that contains NO documents for this bucket means the
+    # caller pointed --input at the wrong place: the dynamic overwrite
+    # would touch nothing (stale partition survives) while a fresh
+    # 'completed' lineage row reported the old rows as a successful
+    # re-extraction — fail loudly instead
+    if docs.filter(F.col("bucket") == bucket).limit(1).count() == 0:
+        raise ValueError(
+            f"input contains no documents for bucket {bucket} "
+            f"(n_buckets={n_buckets}); a retry over it would write "
+            "nothing yet record a fresh completed lineage row"
+        )
     report = RunReport(run_id=run_id, buckets_total=n_buckets)
     _process_group(lake, docs, run_id, [bucket], n_buckets, num_partitions, report)
     return report

@@ -24,15 +24,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from pdf_extract_spark.operators.hashing import phash, phash_sql
-from pdf_extract_spark.operators.textstats import tokens, tokens_sql
+from pdf_extract_spark.operators.textstats import WS, tokens, tokens_sql
 
 # -------------------------------------------------------------- normalize
 
 def norm_text(col):
-    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    # textstats.WS, not \s: Java and RE2 disagree on \x0B (see tokens)
+    return F.lower(F.trim(F.regexp_replace(col, WS + "+", " ")))
 
 
-NORM_SQL = "lower(trim(regexp_replace({e}, '\\s+', ' ', 'g')))"
+NORM_SQL = "lower(trim(regexp_replace({e}, '" + WS + "+', ' ', 'g')))"
 
 
 # ------------------------------------------------------------ exact dedup

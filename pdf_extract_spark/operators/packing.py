@@ -42,7 +42,10 @@ def pack_documents(
     base = df.select(
         key.cast("long").alias("doc_id"),
         F.pmod(phash(key.cast("string")), F.lit(n_buckets)).cast("int").alias("bucket"),
-        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        # NULL text counts 0 tokens (size(split(NULL)) is NULL -> NaN in
+        # the pandas kernel, which would poison the greedy cum forever)
+        F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
+        .cast("long").alias("n_tokens"),
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -79,7 +82,7 @@ def pack_documents_ctes(
     return f"""base AS (
   SELECT {key_col}::BIGINT AS doc_id,
          ({h} % {n_buckets})::INT AS bucket,
-         len({tokens_sql(text_expr)})::BIGINT AS n_tokens
+         coalesce(len({tokens_sql(text_expr)}), 0)::BIGINT AS n_tokens
   FROM {table}),
 numbered AS (
   SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id, n_tokens) AS rn

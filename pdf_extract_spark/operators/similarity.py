@@ -272,6 +272,31 @@ def lsh_bucket_stats(
     return with_b.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
 
 
+def _rank_topk(q, c, key: str, k: int, dedup: bool) -> DataFrame:
+    """The shared candidate-join -> exact-cosine -> per-query top-k tail
+    of every LSH/IVF variant: equi-join on the bucket/cell key, drop
+    self-pairs, round(cosine, 6), optional multi-probe pair dedup, then
+    row_number over (sim desc, cand_id asc) <= k. ONE definition keeps
+    the tie-break and rounding in lockstep across all four variants and
+    their SQL mirrors — a change applied to one copy but not the others
+    would silently break oracle exactness for just that variant."""
+    from pyspark.sql import Window as W
+
+    sims = (
+        q.join(c, key)
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id",
+                F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"))
+    )
+    if dedup:
+        sims = sims.dropDuplicates(["q_id", "cand_id"])
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame, n_queries: int = 5, k: int = 5, id_col: str = "vec_id",
     vec_col: str = "embedding", dim: int | None = None,
@@ -281,7 +306,6 @@ def ann_lsh_topk(
     Returns (q_id, cand_id, sim, rank) — approximate recall, bounded work:
     the join key is the bucket, so shuffle volume is sum of bucket sizes,
     not |Q|x|N|."""
-    from pyspark.sql import Window as W
 
     dim = _resolve_dim(df, vec_col, dim)
     with_b = with_lsh_bucket(
@@ -294,13 +318,7 @@ def ann_lsh_topk(
     c = _cap_buckets(with_b, max_bucket).select(
         F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"), "bucket"
     )
-    sims = (
-        q.join(c, "bucket")
-        .filter(F.col("q_id") != F.col("cand_id"))
-        .select("q_id", "cand_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"))
-    )
-    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cand_id"))
-    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
+    return _rank_topk(q, c, "bucket", k, dedup=False)
 
 
 def ann_lsh_multiprobe_topk(
@@ -312,7 +330,6 @@ def ann_lsh_multiprobe_topk(
     Hamming distance 1 from its own (flip one sign bit) — the standard
     recall-recovery trick, still bounded work: candidate volume is
     (1 + N_PLANES) bucket joins instead of a full cross join."""
-    from pyspark.sql import Window as W
 
     dim = _resolve_dim(df, vec_col, dim)
     with_b = with_lsh_bucket(
@@ -330,14 +347,7 @@ def ann_lsh_multiprobe_topk(
     c = _cap_buckets(with_b, max_bucket).select(
         F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"), "bucket"
     )
-    sims = (
-        q.join(c, "bucket")
-        .filter(F.col("q_id") != F.col("cand_id"))
-        .select("q_id", "cand_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"))
-        .dropDuplicates(["q_id", "cand_id"])
-    )
-    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cand_id"))
-    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
+    return _rank_topk(q, c, "bucket", k, dedup=True)
 
 
 # ------------------------------------------------- multi-table LSH
@@ -386,7 +396,6 @@ def ann_lsh_multitable_topk(
     same-bucket pairs in any table, deduplicated, ranked by exact cosine.
     Shuffle volume is sum of per-table bucket sizes — still no cross
     join — with far better recall than one fine-grained table."""
-    from pyspark.sql import Window as W
 
     dim = _resolve_dim(df, vec_col, dim)
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
@@ -398,14 +407,7 @@ def ann_lsh_multitable_topk(
     c = _cap_buckets(with_b, max_bucket).select(
         F.col("vid").alias("cand_id"), F.col("vec").alias("c_vec"), "bucket"
     )
-    sims = (
-        q.join(c, "bucket")
-        .filter(F.col("q_id") != F.col("cand_id"))
-        .select("q_id", "cand_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"))
-        .dropDuplicates(["q_id", "cand_id"])
-    )
-    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cand_id"))
-    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
+    return _rank_topk(q, c, "bucket", k, dedup=True)
 
 
 def _mt_bucket_key_sql(vec: str, table: int) -> str:
@@ -492,10 +494,11 @@ def ivf_train(
     vec_ids; each iteration is ONE distributed job (assign via literal
     centroid expressions, update via posexplode + per-dimension avg); only
     the k x dim centroid matrix ever reaches the driver."""
-    seeds = (
-        df.orderBy(id_col).limit(n_cells).select(vec_col).collect()
-    )
-    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    # loop-invariant input: localCheckpoint ONCE (the CLAUDE.md
+    # iterative-operator invariant) — else the seed collect and every
+    # Lloyd iteration re-execute the full upstream lineage of df
+    df = df.select(id_col, vec_col).localCheckpoint()
+    centroids = ivf_seed_centroids(df, n_cells, id_col, vec_col)
     for _ in range(iters):
         dists = F.array(*[_sq_dist(F.col(vec_col), _lit_vec(c)) for c in centroids])
         cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
@@ -565,7 +568,6 @@ def _ivf_probe_rank(
     the probed candidates. Centroids travel as plan literals (k x dim
     doubles — bounded), so assignment is one map-only pass and the only
     shuffle is the cell equi-join."""
-    from pyspark.sql import Window as W
 
     dists = F.array(*[_sq_dist(F.col(vec_col), _lit_vec(c)) for c in centroids])
     cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
@@ -588,14 +590,7 @@ def _ivf_probe_rank(
         n_probe,
     )
     q = qd.select("q_id", "q_vec", F.explode(ranked_cells).alias("cell"))
-    sims = (
-        q.join(data, "cell")
-        .filter(F.col("q_id") != F.col("cand_id"))
-        .select("q_id", "cand_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"))
-        .dropDuplicates(["q_id", "cand_id"])
-    )
-    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cand_id"))
-    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
+    return _rank_topk(q, data, "cell", k, dedup=True)
 
 
 # --------------------------------------------------------------------------

@@ -30,13 +30,23 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
 
 
+# Java's \s is the ASCII class [ \t\n\x0B\f\r]; RE2's \s LACKS \x0B
+# (vertical tab), so a bare \s in any kernel/oracle twin pattern
+# silently diverges between Spark and DuckDB on such input. WS spells
+# the Java class explicitly — the one string parses identically in both
+# engines (two-digit \x0B, no braces, so it is format-template safe).
+WS_CHARS = r" \t\n\f\r\x0B"
+WS = f"[{WS_CHARS}]"
+
+
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization of lowercased text."""
-    return F.split(F.lower(F.trim(col)), r"\s+")
+    """Whitespace tokenization of lowercased text (WS class — identical
+    in the Spark kernel and every DuckDB twin)."""
+    return F.split(F.lower(F.trim(col)), WS + "+")
 
 
 def tokens_sql(expr: str) -> str:
-    return f"regexp_split_to_array(lower(trim({expr})), '\\s+')"
+    return f"regexp_split_to_array(lower(trim({expr})), '{WS}+')"
 
 
 def stop_ratio(toks: Column) -> Column:
@@ -62,7 +72,7 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
         F.size(
             F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(r"[a-z]{1,4}|\d+|[^a-z\d\s]"), 0
+                F.lower(F.col(text_col)), F.lit(r"[a-z]{1,4}|\d+|[^a-z\d" + WS_CHARS + "]"), 0
             )
         ).cast("long").alias("n_subwords"),
     )

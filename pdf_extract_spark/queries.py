@@ -814,8 +814,10 @@ def _remove_numbering_sql_expr(col: str, context: str) -> str:
         for p in pats
     )
     # regexp-based lstrip: SQL ltrim strips spaces only, Python lstrip()
-    # strips all whitespace — mirror the Python rule exactly
-    return f"regexp_replace(CASE {cases} ELSE {col} END, '^\\s+', '')"
+    # strips all whitespace — _PY_WS is the explicit class equal to the
+    # Python rule in both engines (RE2 \s would miss \x0B and NBSP)
+    return ("regexp_replace(CASE " + cases + " ELSE " + col + " END, '^"
+            + MC._PY_WS + "+', '')")
 
 
 @query(
@@ -872,10 +874,11 @@ def remove_numbering_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "token_count",
-    """
+    f"""
 SELECT doc_id,
-       len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
-       len(regexp_extract_all(lower(text), '[a-z]{1,4}|\\d+|[^a-z\\d\\s]')) AS n_subwords
+       len(regexp_split_to_array(lower(trim(text)), '{textstats.WS}+')) AS n_tokens,
+       len(regexp_extract_all(lower(text),
+           '[a-z]{{1,4}}|\\d+|[^a-z\\d{textstats.WS_CHARS}]')) AS n_subwords
 FROM documents
 """,
 )

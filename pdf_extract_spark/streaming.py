@@ -177,10 +177,28 @@ def _assemble_fn(key, pdfs, state, tombstone_ttl_ms: int | None = None):
               "status": "malformed"}]
         )
     elif expected is not None and set(buffered) >= {str(i) for i in range(expected)}:
-        spans = []
-        for i in range(expected):
-            spans.extend(json.loads(buffered[str(i)]))
-        out = rules.extract_document(spans)
+        # assembly parses payloads for the first time — an unparseable
+        # or non-span payload must quarantine like any other malformed
+        # input, not crash the streaming query through task retries
+        # (the module contract: malformed inputs never raise here)
+        try:
+            spans = []
+            for i in range(expected):
+                part = json.loads(buffered[str(i)])
+                if not isinstance(part, list):
+                    raise ValueError(f"chunk {i} payload is not a span list")
+                spans.extend(part)
+            out = rules.extract_document(spans)
+        except Exception as e:
+            state.update((json.dumps({"quarantined": True}),))
+            _arm_ttl()
+            yield pd.DataFrame(
+                [{"doc_id": doc_id,
+                  "spans_json": json.dumps(
+                      {"error": f"unparseable payload: {type(e).__name__}: {e}"}),
+                  "status": "malformed"}]
+            )
+            return
         # done-tombstone, NOT state.remove(): under an at-least-once
         # source a chunk replayed after completion must not rebuild a
         # fresh buffer and emit a duplicate status='ok' row

@@ -271,3 +271,92 @@ def test_same_instant_tie_prefers_completed(spark, tmp_path):
     assert done == {0}
     summary = count_summary(lake)
     assert summary["buckets"] == {COMPLETED: 1}
+
+
+def test_resume_rejects_mismatched_bucket_count(spark, docs_df, tmp_path):
+    """Resuming a lake built with n_buckets=8 under n_buckets=16 would
+    skip never-extracted buckets and duplicate docs across old/new
+    partitions — the resume loop must validate the lake scheme up front
+    (the guard retry_bucket always had)."""
+    lake = Lake(spark, str(tmp_path / "lake"))
+    run_extraction_with_lineage(
+        lake, docs_df, run_id="r1", n_buckets=N_BUCKETS, group_size=GROUP
+    )
+    with pytest.raises(ValueError, match="was not bucketed with"):
+        run_extraction_with_lineage(
+            lake, docs_df, run_id="r2", n_buckets=N_BUCKETS * 2, group_size=GROUP
+        )
+
+
+def test_retry_bucket_rejects_input_without_the_bucket(spark, docs_df, tmp_path):
+    """A retry whose --input holds no documents for the bucket would
+    write nothing (dynamic overwrite keeps the stale partition) yet
+    record a fresh completed lineage row — it must raise instead."""
+    from pdf_extract_spark.lineage import bucket_of, retry_bucket
+    from pyspark.sql import functions as F
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    run_extraction_with_lineage(
+        lake, docs_df, run_id="r1", n_buckets=N_BUCKETS, group_size=GROUP
+    )
+    wrong_input = docs_df.filter(
+        bucket_of(F.col("doc_id"), N_BUCKETS) != 3
+    )
+    with pytest.raises(ValueError, match="no documents for bucket 3"):
+        retry_bucket(lake, wrong_input, run_id="r2", bucket=3, n_buckets=N_BUCKETS)
+
+
+def test_group_failure_records_failed_lineage(spark, docs_df, tmp_path, monkeypatch):
+    """A failure inside a bucket group appends FAILED lineage rows with
+    the error message (so `count` reports failed buckets), the error
+    still propagates, and a subsequent resume re-extracts the failed
+    group to the identical corpus."""
+    from pdf_extract_spark.lineage import count_summary
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    real_commit = Lake.commit_spans
+    calls = {"n": 0}
+
+    def flaky_commit(self, out):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated commit outage")
+        return real_commit(self, out)
+
+    monkeypatch.setattr(Lake, "commit_spans", flaky_commit)
+    with pytest.raises(RuntimeError, match="simulated commit outage"):
+        run_extraction_with_lineage(
+            lake, docs_df, run_id="r1", n_buckets=N_BUCKETS, group_size=GROUP
+        )
+    monkeypatch.setattr(Lake, "commit_spans", real_commit)
+
+    lin = lake.read_lineage()
+    failed = lin.filter(lin.status == "failed").collect()
+    assert len(failed) == GROUP  # one row per bucket of the failed group
+    assert all("simulated commit outage" in r["error_message"] for r in failed)
+    assert count_summary(lake)["buckets"].get("failed", 0) > 0
+
+    report = run_extraction_with_lineage(
+        lake, docs_df, run_id="r2", n_buckets=N_BUCKETS, group_size=GROUP
+    )
+    assert report.buckets_processed  # the failed group (and the rest) reran
+    golden = oracle.expected_corpus(generator.make_corpus(N_DOCS, seed=9))
+    assert _collect_spans(lake.read_spans_out()) == golden
+
+
+def test_corrupt_lineage_surfaces_not_first_run(spark, docs_df, tmp_path):
+    """A corrupt lineage table must raise, not read as 'first run' and
+    silently re-extract the whole corpus while `count` reports zero."""
+    lake = Lake(spark, str(tmp_path / "lake"))
+    run_extraction_with_lineage(
+        lake, docs_df, run_id="r1", n_buckets=N_BUCKETS, group_size=GROUP
+    )
+    # clobber the lineage dir with a garbage 'parquet' file
+    import pathlib
+
+    lin_dir = pathlib.Path(lake.lineage)
+    for f in lin_dir.glob("*.parquet"):
+        f.write_bytes(b"this is not parquet at all")
+    with pytest.raises(Exception) as ei:
+        lake.read_lineage().collect()
+    assert not isinstance(ei.value, ValueError)

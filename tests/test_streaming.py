@@ -369,3 +369,39 @@ def test_tombstone_ttl_expiry_allows_replay_duplicate(spark, tmp_path):
         assert ok_count(a_id) >= 2          # duplicate = the documented trade
     finally:
         q.stop()
+
+
+def test_stateful_assembler_quarantines_unparseable_payload(spark, tmp_path):
+    """Payloads are parsed for the first time at ASSEMBLY — invalid JSON
+    or a non-span-list payload in a completing doc must quarantine as
+    status='malformed' instead of crashing the query (the 'malformed
+    inputs never raise inside the stateful kernel' contract); a healthy
+    doc in the same batch completes normally."""
+    import json
+
+    from pdf_extract_spark.streaming import CHUNK_SCHEMA, assemble_and_extract_stream
+
+    good = generator.make_document(0, seed=48)
+    spans = good["spans"]
+    rows = [
+        {"doc_id": "good", "chunk_idx": 0, "n_chunks": 1,
+         "payload": json.dumps(spans)},
+        # syntactically invalid JSON, buffers fine, explodes only at assembly
+        {"doc_id": "bad_json", "chunk_idx": 0, "n_chunks": 1,
+         "payload": "not-json{"},
+        # valid JSON but not a span list
+        {"doc_id": "bad_shape", "chunk_idx": 0, "n_chunks": 2, "payload": "[]"},
+        {"doc_id": "bad_shape", "chunk_idx": 1, "n_chunks": 2, "payload": "123"},
+    ]
+    inp = str(tmp_path / "chunks")
+    outp, ckpt = str(tmp_path / "assembled"), str(tmp_path / "ck")
+    spark.createDataFrame(rows, schema=CHUNK_SCHEMA).write.mode("append").parquet(inp)
+    q = assemble_and_extract_stream(spark, inp, outp, ckpt)
+    q.awaitTermination(180)
+
+    out = {r["doc_id"]: r for r in spark.read.parquet(outp).collect()}
+    assert out["good"]["status"] == "ok"
+    assert out["bad_json"]["status"] == "malformed"
+    assert "unparseable payload" in json.loads(out["bad_json"]["spans_json"])["error"]
+    assert out["bad_shape"]["status"] == "malformed"
+    assert "not a span list" in json.loads(out["bad_shape"]["spans_json"])["error"]

@@ -28,3 +28,73 @@ def test_repetition_stats_null_and_degenerate(spark):
     assert rep["n_tokens"] == 5
     assert rep["type_token_ratio"] == 0.4
     assert rep["top_bigram_frac"] == 0.5
+
+
+def test_tokens_twins_agree_on_vertical_tab(spark):
+    """Java's \\s includes \\x0B, RE2's does not — the explicit WS class
+    must make tokens()/tokens_sql() (and everything downstream:
+    token_count, norm_text-keyed dedup) byte-identical across engines on
+    vertical-tab-bearing text."""
+    import duckdb
+
+    from pdf_extract_spark.operators import dedup
+
+    rows = [
+        (0, "a\x0bb c"),          # the divergence repro: \s vs explicit class
+        (1, "a \t\n\f\r b"),      # every ASCII ws member
+        (2, "plain words here"),
+        (3, "x\x0b\x0by"),        # run of vertical tabs
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got_tok = {
+        r["doc_id"]: (r["n_tokens"], r["n_subwords"])
+        for r in textstats.token_count(sdf).collect()
+    }
+    got_hash = {
+        r["text_hash"]: (r["keeper_id"], r["n_dups"])
+        for r in dedup.exact_dedup(sdf).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    from pdf_extract_spark.queries import ORACLES
+
+    want_tok = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(ORACLES["token_count"]).fetchall()
+    }
+    want_hash = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(dedup.exact_dedup_sql()).fetchall()
+    }
+    assert got_tok == want_tok
+    assert got_hash == want_hash
+
+
+def test_pack_documents_null_text_counts_zero(spark):
+    """A NULL-text doc must pack as 0 tokens in BOTH engines — the NaN
+    it previously produced disabled the budget check for the rest of the
+    bucket (cum + NaN > budget is always False)."""
+    import duckdb
+
+    from pdf_extract_spark.operators import packing
+
+    rows = [(i, None if i == 2 else "w " * 50) for i in range(8)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["bucket"], r["pack_id"], r["n_tokens"])
+        for r in packing.pack_documents(sdf, budget=128, n_buckets=2).collect()
+    }
+    assert got[2][2] == 0
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            packing.pack_documents_sql(budget=128, n_buckets=2)
+        ).fetchall()
+    }
+    assert got == want

@@ -142,10 +142,15 @@ def main() -> None:
             print("no lineage yet")
             return
         lin.groupBy("run_id", "status").count().orderBy("run_id", "status").show(50, False)
+        from pyspark.errors import AnalysisException
+
         try:
             spark.read.parquet(lake.metrics).orderBy("run_id").show(50, False)
-        except Exception:
-            pass
+        except AnalysisException:
+            # only the missing-table case is benign; a corrupt or
+            # unreadable metrics table must surface (the
+            # lineage.count_summary stance), not print nothing
+            print("no metrics yet")
 
 
 if __name__ == "__main__":

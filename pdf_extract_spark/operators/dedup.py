@@ -263,15 +263,36 @@ def _band_keys_over(sh_col) -> list:
     ]
 
 
+def _bands(hashed: DataFrame) -> DataFrame:
+    """(doc_id, band_key) rows from a hashed-shingle table — the ONLY
+    payload the band exchanges carry. ONE definition: the skew
+    diagnostic (lsh_band_stats), the self-join, and the cross-corpus
+    join must all see the same band keys or the diagnostic stops
+    describing what the cap actually drops."""
+    return hashed.select(
+        "doc_id", F.explode(F.array(*_band_keys_over(F.col("sh")))).alias("band_key")
+    )
+
+
+def _cap_hot_bands(bands: DataFrame, max_bucket: int | None) -> DataFrame:
+    """The degenerate-bucket guard: exclude band buckets holding more
+    than ``max_bucket`` docs from candidate generation (a recall cap —
+    record what it drops via lsh_band_stats, which shares _bands)."""
+    if max_bucket is None:
+        return bands
+    sizes = bands.groupBy("band_key").agg(F.count("*").alias("n_docs"))
+    return bands.join(
+        F.broadcast(sizes.filter(F.col("n_docs") <= max_bucket).select("band_key")),
+        "band_key",
+    )
+
+
 def lsh_band_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Band-bucket occupancy (band_key, n_docs) — the skew diagnostic for
     ``minhash_lsh_pairs(max_bucket=...)``: run it to see WHICH buckets a
     cap would drop before silently accepting reduced recall."""
     hashed = df.select("doc_id", shingle_hashes(F.col(text_col)).alias("sh"))
-    bands = hashed.select(
-        "doc_id", F.explode(F.array(*_band_keys_over(F.col("sh")))).alias("band_key")
-    )
-    return bands.groupBy("band_key").agg(F.count("*").alias("n_docs"))
+    return _bands(hashed).groupBy("band_key").agg(F.count("*").alias("n_docs"))
 
 
 def _verify_jaccard(cand, left_hashed, right_hashed, id_a: str, id_b: str,
@@ -326,15 +347,7 @@ def minhash_lsh_pairs(
     ``lsh_band_stats`` to record which buckets were dropped.
     Returns (id_a, id_b, jaccard)."""
     hashed = df.select("doc_id", shingle_hashes(F.col(text_col)).alias("sh"))
-    bands = hashed.select(
-        "doc_id", F.explode(F.array(*_band_keys_over(F.col("sh")))).alias("band_key")
-    )
-    if max_bucket is not None:
-        sizes = bands.groupBy("band_key").agg(F.count("*").alias("n_docs"))
-        bands = bands.join(
-            F.broadcast(sizes.filter(F.col("n_docs") <= max_bucket).select("band_key")),
-            "band_key",
-        )
+    bands = _cap_hot_bands(_bands(hashed), max_bucket)
     a = bands.alias("a")
     b_ = bands.alias("b")
     cand = (
@@ -381,18 +394,8 @@ def minhash_lsh_pairs_between(
     on the (usually much larger) right/corpus side."""
     lh = left.select("doc_id", shingle_hashes(F.col(text_col)).alias("sh"))
     rh = right.select("doc_id", shingle_hashes(F.col(text_col)).alias("sh"))
-    lb = lh.select(
-        "doc_id", F.explode(F.array(*_band_keys_over(F.col("sh")))).alias("band_key")
-    )
-    rb = rh.select(
-        "doc_id", F.explode(F.array(*_band_keys_over(F.col("sh")))).alias("band_key")
-    )
-    if max_bucket is not None:
-        sizes = rb.groupBy("band_key").agg(F.count("*").alias("n_docs"))
-        rb = rb.join(
-            F.broadcast(sizes.filter(F.col("n_docs") <= max_bucket).select("band_key")),
-            "band_key",
-        )
+    lb = _bands(lh)
+    rb = _cap_hot_bands(_bands(rh), max_bucket)
     cand = (
         lb.alias("l").join(rb.alias("r"), "band_key")
         .select(F.col("l.doc_id").alias("id_l"), F.col("r.doc_id").alias("id_r"))

@@ -198,12 +198,30 @@ def _decode_stub(content: bytes, meta) -> tuple[int, int, str, list[float]]:
     return w, h, "stub-raw", thumb
 
 
+def _decode_pil(content: bytes):  # pragma: no cover - codec absent here
+    """Real decode: PIL opens the payload, reports true dims/format, and
+    downsamples to the same grayscale [0,1] THUMB grid shape the stub
+    emits — so downstream consumers never see a schema difference."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(content)) as im:
+        w, h = im.size
+        fmt = (im.format or "unknown").lower()
+        small = im.convert("L").resize((THUMB_W, THUMB_H))
+        thumb = [round(p / 255.0, 6) for p in small.getdata()]
+    return w, h, fmt, thumb
+
+
 def decode_images(df: DataFrame) -> DataFrame:
     """Decode image payloads to (dims, normalized thumbnail grid).
 
-    With a real codec installed (PIL), decodes and downsamples; in this
-    container the codec import fails and the DETERMINISTIC STUB runs —
-    the distributed plumbing (Arrow batches, schema, partition shape) is
+    With a real codec installed (PIL), decodes and downsamples
+    (decoder='pil'; an undecodable payload falls back per-row to the
+    stub rather than failing the batch); in this container the codec
+    import fails and the DETERMINISTIC STUB runs for every row — the
+    distributed plumbing (Arrow batches, schema, partition shape) is
     identical either way."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -223,14 +241,18 @@ def decode_images(df: DataFrame) -> DataFrame:
                 pdf["media_ref"].tolist(), pdf["content"].tolist(), pdf["meta"].tolist()
             ):
                 content = bytes(content) if content is not None else b""
+                decoder = "stub"
                 if have_pil:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real codec path: decode via PIL.Image.open here"
-                    )
-                w, h, fmt, thumb = _decode_stub(content, meta)
+                    try:
+                        w, h, fmt, thumb = _decode_pil(content)
+                        decoder = "pil"
+                    except Exception:
+                        w, h, fmt, thumb = _decode_stub(content, meta)
+                else:
+                    w, h, fmt, thumb = _decode_stub(content, meta)
                 out.append(
                     {"media_ref": ref, "width": w, "height": h,
-                     "format": fmt, "thumb": thumb, "decoder": "stub"}
+                     "format": fmt, "thumb": thumb, "decoder": decoder}
                 )
             yield pd.DataFrame(
                 out, columns=["media_ref", "width", "height", "format", "thumb", "decoder"]
@@ -248,6 +270,10 @@ def sample_frames(df: DataFrame, fps: float = 1.0) -> DataFrame:
     """Video frame-sampling plan: one row per sampled frame timestamp.
     Pure Catalyst (sequence + explode) — no Python, no shuffle; the
     downstream frame DECODE would join this plan against a codec UDF."""
+    if not 0 < fps <= 1000:
+        # fps > 1000 truncates ms_step to 0 (sequence step 0 is a runtime
+        # error in every task); fps <= 0 divides by zero on the driver
+        raise ValueError(f"fps must be in (0, 1000], got {fps}")
     ms_step = F.lit(int(1000 / fps))
     vids = df.filter(F.col("kind") == "video").select(
         "media_ref", F.col("meta.duration_ms").alias("duration_ms")

@@ -42,7 +42,11 @@ def partition_for_extraction(
 ) -> DataFrame:
     """Salt + repartitionByRange ahead of the extraction stage."""
     df = salted(df, buckets)
-    if num_partitions:
+    if num_partitions is not None:
+        # explicit None check: a computed 0 must raise (repartitionByRange
+        # would), not silently fall into the AQE-coalesced default path
+        if num_partitions < 1:
+            raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
         return df.repartitionByRange(num_partitions, "salt", "doc_id")
     return df.repartitionByRange("salt", "doc_id")
 

@@ -87,13 +87,21 @@ def write_csv(df: DataFrame, path: str, bom: bool = False) -> None:
             if not data.startswith(b"\xef\xbb\xbf"):
                 with open(full, "wb") as f:
                     f.write(b"\xef\xbb\xbf" + data)
+                # the in-place rewrite invalidates Spark's Hadoop
+                # checksum sidecar — a stale .crc makes the directory
+                # unreadable by Spark (ChecksumException), so drop it
+                crc = os.path.join(path, f".{name}.crc")
+                if os.path.exists(crc):
+                    os.remove(crc)
 
 
-def write_two_sheet(text_df: DataFrame, table_df: DataFrame, root: str) -> None:
+def write_two_sheet(
+    text_df: DataFrame, table_df: DataFrame, root: str, bom: bool = False
+) -> None:
     """S13 — the two-sheet workbook as two directories (sheet == table):
     Text/ and Table/ (metadata_generator.py:636-639, 672-679)."""
-    write_csv(text_df, f"{root}/Text")
-    write_csv(table_df, f"{root}/Table")
+    write_csv(text_df, f"{root}/Text", bom=bom)
+    write_csv(table_df, f"{root}/Table", bom=bom)
 
 
 def write_excel_two_sheet(text_df: DataFrame, table_df: DataFrame, path: str) -> str:
@@ -109,7 +117,11 @@ def write_excel_two_sheet(text_df: DataFrame, table_df: DataFrame, path: str) ->
     try:  # pragma: no cover - openpyxl not present in this container
         from openpyxl import Workbook
     except ImportError:
-        write_two_sheet(text_df, table_df, path.removesuffix(".xlsx") + "_csv")
+        # the fallback IS the Excel-compatibility artifact: BOM the CSVs
+        # (utf-8-sig, create_csv.py:41) or non-ASCII text opens mojibake'd
+        write_two_sheet(
+            text_df, table_df, path.removesuffix(".xlsx") + "_csv", bom=True
+        )
         return "csv"
 
     wb = Workbook()  # pragma: no cover - exercised only with the codec
@@ -141,6 +153,10 @@ def read_excel(spark, path: str, sheet: str | None = None) -> DataFrame:
         wb = load_workbook(path, read_only=True)  # pragma: no cover
         ws = wb[sheet] if sheet else wb.active
         rows = list(ws.values)
+        if not rows or all(v is None for v in rows[0]):
+            raise ValueError(
+                f"sheet {ws.title!r} of {path} is empty (no header row)"
+            )
         header, data = list(rows[0]), [list(r) for r in rows[1:]]
         return spark.createDataFrame(data, schema=header)
     # CSV fallback artifact: sheet == subdirectory

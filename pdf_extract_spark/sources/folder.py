@@ -14,12 +14,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 def scan_pdf_folder(spark: SparkSession, folder: str) -> DataFrame:
     """(doc_id, content) for every *.pdf under ``folder``; doc_id is the
     file stem (the reference's original_filename, main.py:204-226)."""
+    return _scan_folder(spark, folder, "pdf")
+
+
+def _scan_folder(spark: SparkSession, folder: str, ext: str):
+    """The shared binaryFile scan: pushed path-glob filter, doc_id = file
+    stem. ONE definition so a stem-regex or scan-option fix can never
+    apply to one format and silently miss the other."""
     raw = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.pdf")
+        .option("pathGlobFilter", f"*.{ext}")
         .load(folder)
     )
-    stem = F.regexp_extract(F.col("path"), r"([^/]+)\.pdf$", 1)
+    stem = F.regexp_extract(F.col("path"), rf"([^/]+)\.{ext}$", 1)
     return raw.select(stem.alias("doc_id"), F.col("content"))
 
 
@@ -33,13 +40,7 @@ def extract_pdf_folder(spark: SparkSession, folder: str, num_partitions: int | N
 def scan_html_folder(spark: SparkSession, folder: str) -> DataFrame:
     """(doc_id, content) for every *.html under ``folder`` (same
     binaryFile scan as the PDF side, pushed path filter)."""
-    raw = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.html")
-        .load(folder)
-    )
-    stem = F.regexp_extract(F.col("path"), r"([^/]+)\.html$", 1)
-    return raw.select(stem.alias("doc_id"), F.col("content"))
+    return _scan_folder(spark, folder, "html")
 
 
 def extract_html_folder(spark: SparkSession, folder: str, num_partitions: int | None = None) -> DataFrame:

@@ -77,3 +77,19 @@ def test_join_spans_to_media(spark):
     assert len(out) == 3  # P span filtered out
     assert out[("d1", "m:000000")]["kind"] == "image"
     assert out[("d2", "m:999999")]["content"] is None  # unresolved ref survives as left join
+
+
+def test_sample_frames_rejects_degenerate_fps(spark):
+    """fps outside (0, 1000] must fail on the driver with a clear error,
+    not crash every task with a zero sequence step or divide by zero."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("v0", "video", bytearray(b"x"), {"duration_ms": 3000,
+                                           "width": None, "height": None})],
+        "media_ref string, kind string, content binary, "
+        "meta struct<duration_ms:long,width:int,height:int>",
+    )
+    for bad in (0.0, -1.0, 1500.0):
+        with _pytest.raises(ValueError, match="fps must be"):
+            M.sample_frames(df, fps=bad)

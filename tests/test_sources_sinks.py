@@ -79,6 +79,12 @@ def test_csv_bom(spark, tmp_path):
     assert parts
     for f in parts:
         assert open(os.path.join(out, f), "rb").read(3) == b"\xef\xbb\xbf"
+    # the in-place rewrite must not leave a stale Hadoop .crc sidecar
+    # for the rewritten part files (._SUCCESS.crc is untouched and still
+    # valid): the exported directory has to stay readable by Spark itself
+    assert not any(f.endswith(".csv.crc") for f in os.listdir(out))
+    back = spark.read.option("header", True).csv(out).collect()
+    assert len(back) == 1
 
 
 def test_csv_bom_rejects_remote_path(spark):

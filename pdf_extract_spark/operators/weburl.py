@@ -52,7 +52,7 @@ def canonicalize_url(url_col):
     (mailto:, #frag, relative paths) canonicalize to NULL so they drop
     out of URL-keyed dedup instead of colliding on a garbage key.
     """
-    u = F.regexp_replace(url_col, r"#.*", "")
+    u = F.regexp_replace(url_col, r"#[\s\S]*", "")
     scheme = F.lower(F.regexp_extract(u, _SCHEME, 1))
     hostport = F.lower(F.regexp_extract(u, _HOSTPORT, 1))
     host = F.regexp_replace(hostport, r"^www\.", "")
@@ -64,7 +64,7 @@ def canonicalize_url(url_col):
     path = F.regexp_extract(pq, r"^([^?]*)", 1)
     path = F.regexp_replace(path, r"/+\z", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(pq, r"\?(.*)", 1)
+    query = F.regexp_extract(pq, r"\?([\s\S]*)", 1)
     kept = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
@@ -85,7 +85,7 @@ def canonicalize_url_sql(url_expr: str) -> str:
     list_filter/list_sort/array_to_string mirror filter/array_sort/
     array_join). Kept next to the Spark kernel so a semantic change must
     touch both or the oracle gate fails."""
-    u = f"regexp_replace({url_expr}, '#.*', '')"
+    u = f"regexp_replace({url_expr}, '#[\\s\\S]*', '')"
     scheme = f"lower(regexp_extract({u}, '(?i)^(https?)://', 1))"
     hostport = f"lower(regexp_extract({u}, '(?i)^https?://([^/?#]*)', 1))"
     host = f"regexp_replace({hostport}, '^www\\.', '')"
@@ -96,7 +96,7 @@ def canonicalize_url_sql(url_expr: str) -> str:
     pq = f"regexp_replace({u}, '(?i)^https?://[^/?#]*', '')"
     path = f"regexp_replace(regexp_extract({pq}, '^([^?]*)', 1), '/+\\z', '')"
     path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
-    query = f"regexp_extract({pq}, '\\?(.*)', 1)"
+    query = f"regexp_extract({pq}, '\\?([\\s\\S]*)', 1)"
     kept = (
         f"list_filter(string_split({query}, '&'), "
         f"p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)(=|\\z)'))"

@@ -311,8 +311,11 @@ def tag_by_text(t: str) -> str:
 # --------------------------------------------------------------------------
 
 def in_body(y0: float, y1: float, page_h: float) -> bool:
-    """F1 — keep a block only if fully inside the 5%/95% margins
-    (layout_analyzer.py:34-55)."""
+    """F1 — keep a block unless it lies ENTIRELY inside the header
+    (top 5%) or footer (bottom 5%) margin: a block merely straddling a
+    boundary is body, matching the reference's skip-only-when-fully-
+    outside test (layout_analyzer.py:34-55, `block_bottom < header or
+    block_top > footer -> skip`)."""
     return y1 >= HEADER_MARGIN * page_h and y0 <= FOOTER_MARGIN * page_h
 
 

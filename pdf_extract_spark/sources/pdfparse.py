@@ -136,15 +136,24 @@ def _unescape(raw: bytes) -> str:
                 out += mapped
                 i += 2
                 continue
-            if n.isdigit():  # octal escape \ddd
+            if n in b"01234567":  # octal escape \ddd (8/9 are NOT octal)
                 j = i + 1
                 oct_s = b""
-                while j < len(raw) and len(oct_s) < 3 and raw[j : j + 1].isdigit():
+                while j < len(raw) and len(oct_s) < 3 and raw[j : j + 1] in b"01234567":
                     oct_s += raw[j : j + 1]
                     j += 1
                 out.append(int(oct_s, 8) & 0xFF)
                 i = j
                 continue
+            if n in b"\r\n":  # backslash-EOL: line continuation, both dropped
+                i += 2
+                if n == b"\r" and raw[i : i + 1] == b"\n":
+                    i += 1
+                continue
+            # spec: an unrecognized escape drops the backslash, keeps the char
+            out += n
+            i += 2
+            continue
         out += c
         i += 1
     return out.decode("latin-1")
@@ -404,7 +413,25 @@ def _tokenize_content(stream: bytes) -> list[tuple]:
     return ops
 
 
-def _page_lines(doc: PdfDocument, page: dict, page_h: float) -> list[dict]:
+def _content_stream(doc: PdfDocument, page: dict) -> bytes:
+    """A page's content bytes. /Contents is OPTIONAL (a blank page is
+    legal) and may be either one stream or an ARRAY of streams whose
+    concatenation forms the content (very common in real writers) —
+    both previously fell through to b'' or a KeyError quarantine."""
+    contents = doc.resolve(page.get("Contents"))
+    if contents is None:
+        return b""
+    parts = contents if isinstance(contents, list) else [contents]
+    streams = []
+    for part in parts:
+        part = doc.resolve(part)
+        if isinstance(part, dict) and "__stream__" in part:
+            streams.append(part["__stream__"])
+    # the spec concatenation point is a token boundary: join with \n
+    return b"\n".join(streams)
+
+
+def _page_lines(doc: PdfDocument, page: dict, mb: list[float]) -> list[dict]:
     res = doc.resolve(page.get("Resources", {})) or {}
     fonts = {
         name: doc.resolve(ref)
@@ -414,28 +441,49 @@ def _page_lines(doc: PdfDocument, page: dict, page_h: float) -> list[dict]:
         name: doc.resolve(ref)
         for name, ref in (doc.resolve(res.get("XObject", {})) or {}).items()
     }
-    contents = doc.resolve(page["Contents"])
-    stream = contents["__stream__"] if isinstance(contents, dict) and "__stream__" in contents else b""
+    stream = _content_stream(doc, page)
+
+    # bbox space is PAGE-relative top-left: flip against the MediaBox TOP
+    # (mb[3]) and shift x by the MediaBox origin (mb[0]) — a nonzero
+    # origin otherwise shifts every line and misclassifies the
+    # header/footer margins downstream (rules.in_body)
+    x_org, y_top_org = mb[0], mb[3]
 
     lines: list[dict] = []
     color = 0
     font_name, size = "", 0.0
     x = y_pdf = 0.0
+    leading = 0.0  # TL / TD state, consumed by T* and '
     ctm: list[float] | None = None
+
+    def show(text: str) -> None:
+        _emit_text(lines, text, x - x_org, y_pdf, size, font_name, color, y_top_org)
+
     for op, args in _tokenize_content(stream):
         if op == "rg" and len(args) == 3:
             r, g, b = (round(float(a) * 255) for a in args)
             color = (r << 16) | (g << 8) | b
         elif op == "Tf" and len(args) == 2:
             fobj = fonts.get(args[0][1] if isinstance(args[0], tuple) else args[0], {})
-            base = fobj.get("BaseFont") if isinstance(fobj, dict) else None
-            font_name = base[1] if isinstance(base, tuple) else ""
+            # BaseFont may be an indirect reference — resolve before
+            # reading the name tuple (an unresolved ('ref', n) indexed
+            # [1] yields an int and a downstream TypeError quarantine)
+            base = doc.resolve(fobj.get("BaseFont")) if isinstance(fobj, dict) else None
+            font_name = base[1] if isinstance(base, tuple) and base[0] == "name" else ""
             size = float(args[1])
         elif op == "Tm" and len(args) == 6:
             x, y_pdf = float(args[4]), float(args[5])
         elif op == "Td" and len(args) == 2:
             x += float(args[0])
             y_pdf += float(args[1])
+        elif op == "TD" and len(args) == 2:  # Td that also sets leading = -ty
+            leading = -float(args[1])
+            x += float(args[0])
+            y_pdf += float(args[1])
+        elif op == "TL" and len(args) == 1:
+            leading = float(args[0])
+        elif op == "T*" and not args:
+            y_pdf -= leading
         elif op == "cm" and len(args) == 6:
             ctm = [float(a) for a in args]
         elif op == "Do" and len(args) == 1:
@@ -446,24 +494,32 @@ def _page_lines(doc: PdfDocument, page: dict, page_h: float) -> list[dict]:
             h = ctm[3] if ctm else 0.0
             ix = ctm[4] if ctm else 0.0
             iy = ctm[5] if ctm else 0.0
-            y_top = page_h - iy - h
+            y_top = y_top_org - iy - h
             lines.append({
                 "text": "", "size": 0.0, "flags": 0, "font": "", "color": 0,
                 "block_type": 1, "media_ref": payload.decode("latin-1"),
-                "bbox": {"x0": ix, "y0": y_top, "x1": ix + w, "y1": y_top + h},
+                "bbox": {"x0": ix - x_org, "y0": y_top,
+                         "x1": ix - x_org + w, "y1": y_top + h},
             })
             ctm = None
-        elif op in ("Tj", "'") and len(args) == 1:
-            text = args[0][1] if isinstance(args[0], tuple) else str(args[0])
-            _emit_text(lines, text, x, y_pdf, size, font_name, color, page_h)
+        elif op == "Tj" and len(args) == 1:
+            show(args[0][1] if isinstance(args[0], tuple) else str(args[0]))
+        elif op == "'" and len(args) == 1:
+            # ' = move to next line (T*) THEN show — without the advance
+            # every '-emitted line stacks at one stale position
+            y_pdf -= leading
+            show(args[0][1] if isinstance(args[0], tuple) else str(args[0]))
+        elif op == '"' and len(args) == 3:
+            # " = set word/char spacing, next line, show
+            y_pdf -= leading
+            show(args[2][1] if isinstance(args[2], tuple) else str(args[2]))
         elif op == "TJ" and len(args) == 1 and isinstance(args[0], list):
-            text = "".join(a[1] for a in args[0] if isinstance(a, tuple) and a[0] == "str")
-            _emit_text(lines, text, x, y_pdf, size, font_name, color, page_h)
+            show("".join(a[1] for a in args[0] if isinstance(a, tuple) and a[0] == "str"))
     return lines
 
 
-def _emit_text(lines, text, x, y_pdf, size, font_name, color, page_h) -> None:
-    y_top = page_h - y_pdf
+def _emit_text(lines, text, x, y_pdf, size, font_name, color, y_top_org) -> None:
+    y_top = y_top_org - y_pdf
     flags = FLAG_BOLD if "Bold" in font_name else 0
     lines.append({
         "text": text, "size": size, "flags": flags, "font": font_name,
@@ -490,17 +546,46 @@ def parse_pdf(data: bytes) -> list[dict]:
         raise PdfError(f"corrupt pdf: {type(e).__name__}: {e}") from e
 
 
+_MAX_PAGE_TREE_DEPTH = 64  # malformed cyclic trees must quarantine, not recurse forever
+
+# attributes a /Pages node passes down to its kids (PDF 32000-1 7.7.3.4)
+_INHERITABLE = ("MediaBox", "Resources", "CropBox", "Rotate")
+
+
+def _walk_pages(doc: "PdfDocument", node, inherited: dict, depth: int = 0) -> list[dict]:
+    """Flatten the page tree in document order: real writers emit
+    BALANCED trees (intermediate /Pages nodes) for larger documents, and
+    leaf pages legally inherit MediaBox/Resources from their ancestors —
+    a flat-Kids-only walk quarantines whole classes of valid PDFs."""
+    if depth > _MAX_PAGE_TREE_DEPTH:
+        raise PdfError(f"page tree deeper than {_MAX_PAGE_TREE_DEPTH} (cycle?)")
+    node = doc.resolve(node)
+    attrs = dict(inherited)
+    for k in _INHERITABLE:
+        if k in node:
+            attrs[k] = node[k]
+    kids = doc.resolve(node.get("Kids"))
+    node_type = node.get("Type")
+    is_pages = (
+        isinstance(node_type, tuple) and node_type[1] == "Pages"
+    ) or (kids is not None and "Contents" not in node)
+    if is_pages and kids is not None:
+        out: list[dict] = []
+        for kid in kids:
+            out.extend(_walk_pages(doc, kid, attrs, depth + 1))
+        return out
+    return [{**attrs, **node}]
+
+
 def _parse_pdf_unwrapped(data: bytes) -> list[dict]:
     doc = PdfDocument(data)
     root = doc.resolve(doc.trailer["Root"])
-    pages_node = doc.resolve(root["Pages"])
     out = []
-    for i, kid in enumerate(pages_node["Kids"], 1):
-        page = doc.resolve(kid)
-        mb = [float(doc.resolve(v)) for v in page["MediaBox"]]
+    for i, page in enumerate(_walk_pages(doc, root["Pages"], {}), 1):
+        mb = [float(doc.resolve(v)) for v in doc.resolve(page["MediaBox"])]
         page_w, page_h = mb[2] - mb[0], mb[3] - mb[1]
         out.append({
             "page": i, "page_w": page_w, "page_h": page_h,
-            "lines": _page_lines(doc, page, page_h),
+            "lines": _page_lines(doc, page, mb),
         })
     return out

@@ -169,3 +169,133 @@ def test_pdf_split_parses_once_for_both_consumers(spark):
     for side in (healthy, quarantine):
         plan = side._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# real-corpus parser capabilities (r4 review wave): structures pdfgen's
+# fixtures never emit but real writers do — each was previously either a
+# silent zero-text parse or a wholesale quarantine of a VALID document.
+# ---------------------------------------------------------------------------
+
+def _raw(objects: dict[int, bytes]) -> bytes:
+    from pdf_extract_spark.sources.pdfgen import _serialize_classic
+
+    return _serialize_classic(objects)
+
+
+def _texts(pages):
+    return [[ln["text"] for ln in p["lines"]] for p in pages]
+
+
+def test_contents_array_of_streams_concatenates():
+    from pdf_extract_spark.sources import pdfparse
+
+    pdf = _raw({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] "
+           b"/Resources << /Font << /F1 6 0 R >> >> /Contents [4 0 R 5 0 R] >>",
+        4: b"<< /Length 44 >>\nstream\nBT /F1 12 Tf 72 700 Td (part one) Tj ET\nendstream",
+        5: b"<< /Length 44 >>\nstream\nBT /F1 12 Tf 72 650 Td (part two) Tj ET\nendstream",
+        6: b"<< /Type /Font /BaseFont /Helvetica >>",
+    })
+    assert _texts(pdfparse.parse_pdf(pdf)) == [["part one", "part two"]]
+
+
+def test_nested_page_tree_with_inherited_mediabox():
+    from pdf_extract_spark.sources import pdfparse
+
+    pdf = _raw({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        # MediaBox + Resources inherited from the ROOT Pages node through
+        # an intermediate /Pages node down to two leaf pages
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 2 /MediaBox [0 0 595 842] "
+           b"/Resources << /Font << /F1 7 0 R >> >> >>",
+        3: b"<< /Type /Pages /Parent 2 0 R /Kids [4 0 R 5 0 R] /Count 2 >>",
+        4: b"<< /Type /Page /Parent 3 0 R /Contents 6 0 R >>",
+        5: b"<< /Type /Page /Parent 3 0 R >>",  # blank page: /Contents optional
+        6: b"<< /Length 40 >>\nstream\nBT /F1 12 Tf 72 700 Td (deep) Tj ET\nendstream",
+        7: b"<< /Type /Font /BaseFont /Helvetica >>",
+    })
+    pages = pdfparse.parse_pdf(pdf)
+    assert len(pages) == 2
+    assert (pages[0]["page_w"], pages[0]["page_h"]) == (595.0, 842.0)
+    assert _texts(pages) == [["deep"], []]
+
+
+def test_literal_string_escapes_spec_semantics():
+    """\\8 and \\9 are NOT octal (unknown escape: drop the backslash,
+    keep the char); \\q likewise; backslash-EOL is a line continuation."""
+    from pdf_extract_spark.sources import pdfparse
+
+    content = b"BT /F1 12 Tf 72 700 Td (a\\915.b\\q c\\\n d\\101) Tj ET"
+    pdf = _raw({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] "
+           b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        4: b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+           + content + b"\nendstream",
+        5: b"<< /Type /Font /BaseFont /Helvetica >>",
+    })
+    (page,) = pdfparse.parse_pdf(pdf)
+    # \9 -> '9'; \q -> 'q'; \<newline> -> dropped; \101 -> octal 'A'
+    assert page["lines"][0]["text"] == "a915.bq c dA"
+
+
+def test_basefont_indirect_ref_resolves():
+    from pdf_extract_spark.sources import pdfparse
+
+    pdf = _raw({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] "
+           b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        4: b"<< /Length 40 >>\nstream\nBT /F1 12 Tf 72 700 Td (bold) Tj ET\nendstream",
+        5: b"<< /Type /Font /BaseFont 6 0 R >>",   # indirect BaseFont (legal)
+        6: b"/Helvetica-Bold",
+    })
+    (page,) = pdfparse.parse_pdf(pdf)
+    ln = page["lines"][0]
+    assert ln["font"] == "Helvetica-Bold" and ln["flags"] != 0
+
+
+def test_nonzero_mediabox_origin_keeps_bboxes_page_relative():
+    from pdf_extract_spark.sources import pdfparse
+
+    content = b"BT /F1 12 Tf 82 850 Td (top line) Tj ET"
+    pdf = _raw({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [10 20 605 862] "
+           b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        4: b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+           + content + b"\nendstream",
+        5: b"<< /Type /Font /BaseFont /Helvetica >>",
+    })
+    (page,) = pdfparse.parse_pdf(pdf)
+    assert (page["page_w"], page["page_h"]) == (595.0, 842.0)
+    bbox = page["lines"][0]["bbox"]
+    # y flip against the MediaBox TOP (862), x shifted by the origin (10)
+    assert bbox["y0"] == 862.0 - 850.0 and bbox["x0"] == 82.0 - 10.0
+
+
+def test_quote_operator_advances_by_leading():
+    from pdf_extract_spark.sources import pdfparse
+
+    content = (b"BT /F1 12 Tf 14 TL 72 700 Td (first) Tj "
+               b"(second) ' (third) ' ET")
+    pdf = _raw({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] "
+           b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        4: b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+           + content + b"\nendstream",
+        5: b"<< /Type /Font /BaseFont /Helvetica >>",
+    })
+    (page,) = pdfparse.parse_pdf(pdf)
+    ys = [ln["bbox"]["y0"] for ln in page["lines"]]
+    assert [ln["text"] for ln in page["lines"]] == ["first", "second", "third"]
+    # each ' advances one leading (14pt) down the page (y0 grows top-down)
+    assert ys == [142.0, 156.0, 170.0]

@@ -127,6 +127,8 @@ def test_canonicalize_twins_agree_on_newline_bearing_urls(spark):
         "http://h.i/a\n:80",                 # newline in path-ish soup
         "https://k.l/#frag\nmore",           # newline after fragment
         "http://p.q/a?\n",                   # empty query, trailing newline
+        "https://r.s/p#f\rrest",             # carriage return after fragment
+        "https://t.u/p?gclid=1\rkeep=2",     # carriage return inside query
         "http://n.m/?ref=abc&utm_campaign=c&z=1",
         "HTTPS://www.Z.W:443/path//",
         "mailto:user@example.org",

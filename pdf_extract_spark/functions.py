@@ -39,10 +39,20 @@ def remove_numbering_col(col: Column, context: str = "text") -> Column:
     ltrim. Every pattern is ^-anchored, so regexp_replace rewrites at most
     one site and equals the reference's ``sub(count=1)``."""
     from pdf_extract_spark import rules
+    from pdf_extract_spark.operators.metacompare import _PY_WS
 
-    patterns = [f"(?i){p.pattern}" for p in rules.COMMON_NUMBERING_PATTERNS]
+    # the rule-core patterns are PYTHON regexes: their \s is Unicode
+    # (NBSP/U+3000 match) while Java/RE2 \s is ASCII-only — translate to
+    # the explicit _PY_WS class so the column twin strips the same
+    # prefixes the pytest oracle (rules.remove_numbering) strips.
+    # Safe textual substitution: the patterns use \s only bare (never
+    # inside a class, never \S).
+    def _port(pat: str) -> str:
+        return pat.replace("\\s", _PY_WS)
+
+    patterns = [f"(?i){_port(p.pattern)}" for p in rules.COMMON_NUMBERING_PATTERNS]
     if context == "text":
-        patterns += [p.pattern for p in rules.TEXT_ONLY_NUMBERING_PATTERNS]
+        patterns += [_port(p.pattern) for p in rules.TEXT_ONLY_NUMBERING_PATTERNS]
     out = None
     for pat in patterns:
         branch = F.regexp_replace(col, pat, " ")
@@ -51,6 +61,4 @@ def remove_numbering_col(col: Column, context: str = "text") -> Column:
     # Spark/DuckDB ltrim strips only 0x20 and Java/RE2 \s are ASCII-only
     # AND disagree on \x0B — the explicit _PY_WS class is the one
     # spelling equal to the Python rule in BOTH engines
-    from pdf_extract_spark.operators.metacompare import _PY_WS
-
     return F.regexp_replace(out.otherwise(col), f"^{_PY_WS}+", "")

@@ -200,11 +200,16 @@ def _match_headers(kr: list[dict], en: list[dict]) -> list[dict]:
             used_kr.add(k_hit["idx"])
             used_en.add(e_hit["idx"])
 
+    # each header is embedded ONCE; J8 and the per-type J5 blocks slice
+    # these (previously each block re-hashed the same strings)
+    kv_all = embed_texts([f["text"] for f in kr_h])
+    ev_all = embed_texts([f["text"] for f in en_h])
+    kr_row = {f["idx"]: i for i, f in enumerate(kr_h)}
+    en_row = {f["idx"]: i for i, f in enumerate(en_h)}
+
     # J8: first-anchor similarity join (earliest kr with sim>=0.8, |i-j|<=5)
     if not matches:
-        kv = embed_texts([f["text"] for f in kr_h])
-        ev = embed_texts([f["text"] for f in en_h])
-        sims = cosine_matrix(kv, ev)
+        sims = cosine_matrix(kv_all, ev_all)
         for i, kf in enumerate(kr_h):
             cand = [
                 (j, sims[i, j])
@@ -228,8 +233,8 @@ def _match_headers(kr: list[dict], en: list[dict]) -> list[dict]:
         e_t = [f for f in en_h if f["source_type"] == ht and f["idx"] not in used_en]
         if not k_t or not e_t:
             continue
-        kv = embed_texts([f["text"] for f in k_t])
-        ev = embed_texts([f["text"] for f in e_t])
+        kv = kv_all[[kr_row[f["idx"]] for f in k_t]]
+        ev = ev_all[[en_row[f["idx"]] for f in e_t]]
         sims = cosine_matrix(kv, ev)
         max_len = max(len(k_t), len(e_t))
         ii = np.arange(len(k_t))[:, None]
@@ -295,8 +300,9 @@ def _greedy_p_match(
 
 def zip_match(kr_p: list[dict], en_p: list[dict]) -> list[dict]:
     """J10 (aligner.py:432-440): i-th kr P <-> i-th en P within a section.
-    The reference keeps this as an unused fallback; we expose it for parity
-    (and as the SQL-expressible query 'zip_join_sections')."""
+    The reference keeps this as an unused fallback; we expose it for
+    parity (unit-pinned in tests/test_align.py; the registry's
+    SQL-expressible analog over events is the 'zip_join_events' query)."""
     return [
         {"kr_idx": k["idx"], "en_idx": e["idx"], "similarity": None, "type": "zip"}
         for k, e in zip(sorted(kr_p, key=lambda f: f["idx"]),
@@ -338,13 +344,13 @@ def align_document(kr: list[dict], en: list[dict]) -> list[dict]:
 
 def align_pairs(kr_df, en_df):
     """Distributed alignment: cogroup kr/en fragments by doc_id, run the
-    per-document kernel. Output schema = ALIGNED_PAIR + doc_id grouping.
+    per-document kernel. Output schema = schemas.ALIGNED_PAIR.
 
     Scale shape: one shuffle per side on doc_id (the cogroup), then
     embarrassingly parallel per-doc work; no crossJoin ever materializes —
     the all-pairs similarity lives inside the bounded per-doc kernel,
     exactly like the reference's per-document loop but fanned out."""
-    from pdf_extract_spark.schemas import ALIGNED_PAIR  # noqa: F401
+    from pdf_extract_spark.schemas import ALIGNED_PAIR
 
     def kernel(kr_pdf: pd.DataFrame, en_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(kr_pdf):
@@ -367,13 +373,10 @@ def align_pairs(kr_df, en_df):
             columns=["doc_id", "kr_idx", "en_idx", "similarity", "type"],
         )
 
-    schema = (
-        "doc_id string, kr_idx int, en_idx int, similarity double, type string"
-    )
     return (
         kr_df.groupBy("doc_id")
         .cogroup(en_df.groupBy("doc_id"))
-        .applyInPandas(kernel, schema=schema)
+        .applyInPandas(kernel, schema=ALIGNED_PAIR)
     )
 
 

@@ -109,6 +109,22 @@ def canonicalize_url_sql(url_expr: str) -> str:
     return f"CASE WHEN {scheme} <> '' THEN {full} ELSE NULL END"
 
 
+# the host-of-canonical-URL pattern: ONE definition shared by domain_cap
+# and every URL-curation query twin (queries.py) — six hand-inlined
+# copies previously had to stay bit-identical by discipline alone
+HOST_PATTERN = r"^https?://([^/]+)"
+
+
+def url_host(canonical_col):
+    """Host part of a CANONICAL http(s) URL column ('' for NULL/other)."""
+    return F.regexp_extract(canonical_col, HOST_PATTERN, 1)
+
+
+def url_host_sql(canonical_expr: str) -> str:
+    """DuckDB twin of url_host (NULL propagates, as regexp_extract does)."""
+    return f"regexp_extract({canonical_expr}, '{HOST_PATTERN}', 1)"
+
+
 def dedup_url(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
     """Keep ONE row per canonical URL: the minimum id (deterministic
     keep-first, same contract as dedup.exact_dedup). One hash aggregate
@@ -156,7 +172,7 @@ def domain_cap(
     if salt_buckets < 1:
         raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     canon = canonicalize_url(F.col(url_col))
-    dom = F.regexp_extract(canon, r"^https?://([^/]+)", 1)
+    dom = url_host(canon)
     slim = df.select(F.col(id_col), dom.alias("_domain")).filter(F.col("_domain") != "")
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
     w1 = Window.partitionBy("_domain", "_salt").orderBy(F.col(id_col))

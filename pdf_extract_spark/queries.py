@@ -806,9 +806,13 @@ def _remove_numbering_sql_expr(col: str, context: str) -> str:
     the SAME pattern lists (single source of truth)."""
     from pdf_extract_spark import rules
 
-    pats = ["(?i)" + p.pattern for p in rules.COMMON_NUMBERING_PATTERNS]
+    # Python-\s -> _PY_WS, same porting as functions.remove_numbering_col
+    # (Java/RE2 \s is ASCII-only; the rule core's is Unicode)
+    pats = ["(?i)" + p.pattern.replace("\\s", MC._PY_WS)
+            for p in rules.COMMON_NUMBERING_PATTERNS]
     if context == "text":
-        pats += [p.pattern for p in rules.TEXT_ONLY_NUMBERING_PATTERNS]
+        pats += [p.pattern.replace("\\s", MC._PY_WS)
+                 for p in rules.TEXT_ONLY_NUMBERING_PATTERNS]
     cases = " ".join(
         f"WHEN regexp_matches({col}, '{p}') THEN regexp_replace({col}, '{p}', ' ')"
         for p in pats
@@ -2041,7 +2045,10 @@ def pdf_bytes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LINK_DOMAINS_SQL = """
+from pdf_extract_spark.operators.weburl import url_host_sql as _url_host_sql
+
+_host_url = _url_host_sql("url")
+_LINK_DOMAINS_SQL = f"""
 WITH pages AS (
   SELECT doc_id,
          '<p>see <a href="https://h' || (doc_id % 7)::VARCHAR
@@ -2056,7 +2063,7 @@ links AS (
   SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS url
   FROM pages),
 doms AS (
-  SELECT doc_id, regexp_extract(url, '^https?://([^/]+)', 1) AS domain
+  SELECT doc_id, {_host_url} AS domain
   FROM links)
 SELECT domain, COUNT(*)::BIGINT AS n_links,
        COUNT(DISTINCT doc_id)::BIGINT AS n_pages
@@ -2174,7 +2181,9 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _url_dedup_hosts_sql() -> str:
-    from pdf_extract_spark.operators.weburl import canonicalize_url_sql
+    from pdf_extract_spark.operators.weburl import canonicalize_url_sql, url_host_sql
+
+    _host_c = url_host_sql("c")
 
     return f"""
 WITH urls AS ({_MESSY_URL_SQL}),
@@ -2184,7 +2193,7 @@ keepers AS (
 survivors AS (
   SELECT doc_id, c FROM keepers
   UNION ALL SELECT doc_id, c FROM canon WHERE c IS NULL)
-SELECT COALESCE(regexp_extract(c, '^https?://([^/]+)', 1), '(no-url)') AS host,
+SELECT COALESCE({_host_c}, '(no-url)') AS host,
        COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS first_doc
 FROM survivors GROUP BY 1
 """
@@ -2202,7 +2211,7 @@ def url_dedup_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = weburl.dedup_url(docs)
     canon = weburl.canonicalize_url(F.col("url"))
     host = F.coalesce(
-        F.regexp_extract(canon, r"^https?://([^/]+)", 1), F.lit("(no-url)")
+        weburl.url_host(canon), F.lit("(no-url)")
     )
     return kept.select(host.alias("host"), "doc_id").groupBy("host").agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -2211,13 +2220,15 @@ def url_dedup_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _domain_cap_sql() -> str:
-    from pdf_extract_spark.operators.weburl import canonicalize_url_sql
+    from pdf_extract_spark.operators.weburl import canonicalize_url_sql, url_host_sql
+
+    _host_c = url_host_sql("c")
 
     return f"""
 WITH urls AS ({_MESSY_URL_SQL}),
 canon AS (SELECT doc_id, {canonicalize_url_sql("url")} AS c FROM urls),
 doms AS (
-  SELECT doc_id, regexp_extract(c, '^https?://([^/]+)', 1) AS domain
+  SELECT doc_id, {_host_c} AS domain
   FROM canon WHERE c IS NOT NULL),
 ranked AS (
   SELECT doc_id, domain,
@@ -2240,7 +2251,7 @@ def domain_cap_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", _messy_url().alias("url"))
     kept = weburl.domain_cap(docs, 3)
     canon = weburl.canonicalize_url(F.col("url"))
-    dom = F.regexp_extract(canon, r"^https?://([^/]+)", 1)
+    dom = weburl.url_host(canon)
     return kept.select(dom.alias("domain"), "doc_id").groupBy("domain").agg(
         F.count("*").cast("long").alias("n_kept"),
         F.min("doc_id").alias("first_doc"),
@@ -2249,7 +2260,9 @@ def domain_cap_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _web_curate_sql() -> str:
-    from pdf_extract_spark.operators.weburl import canonicalize_url_sql
+    from pdf_extract_spark.operators.weburl import canonicalize_url_sql, url_host_sql
+
+    _host_c = url_host_sql("c")
 
     return f"""
 WITH urls AS ({_MESSY_URL_SQL}),
@@ -2257,8 +2270,8 @@ canon AS (SELECT doc_id, {canonicalize_url_sql("url")} AS c FROM urls),
 keepers AS (
   SELECT MIN(doc_id) AS doc_id, c FROM canon WHERE c IS NOT NULL GROUP BY c),
 ranked AS (
-  SELECT doc_id, regexp_extract(c, '^https?://([^/]+)', 1) AS domain,
-         row_number() OVER (PARTITION BY regexp_extract(c, '^https?://([^/]+)', 1)
+  SELECT doc_id, {_host_c} AS domain,
+         row_number() OVER (PARTITION BY {_host_c}
                             ORDER BY doc_id) AS rn
   FROM keepers),
 capped AS (SELECT doc_id, domain FROM ranked WHERE rn <= 3),
@@ -2283,7 +2296,7 @@ def web_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars", _messy_url().alias("url")
     )
     capped = weburl.domain_cap(weburl.dedup_url(docs), 3)
-    dom = F.regexp_extract(weburl.canonicalize_url(F.col("url")), r"^https?://([^/]+)", 1)
+    dom = weburl.url_host(weburl.canonicalize_url(F.col("url")))
     return (
         capped.filter(F.col("n_chars") >= 200)
         .select(dom.alias("domain"), "n_chars")

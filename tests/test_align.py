@@ -148,3 +148,15 @@ def test_export_en_anchored_mirrors_kr(spark):
     # the en-anchored view equals the full outer restricted to en rows
     fo = align.export_full_outer(kr_df, pairs, en_df).filter("en_idx IS NOT NULL")
     assert fo.count() == en_anch.count()
+
+
+def test_zip_match_pairs_in_index_order():
+    """J10 unit pin (aligner.py:432-440): i-th kr P <-> i-th en P, sorted
+    by idx, extra items on the longer side unpaired."""
+    kr = [{"idx": 5, "text": "k2"}, {"idx": 1, "text": "k0"}, {"idx": 3, "text": "k1"}]
+    en = [{"idx": 2, "text": "e0"}, {"idx": 4, "text": "e1"}]
+    got = align.zip_match(kr, en)
+    assert got == [
+        {"kr_idx": 1, "en_idx": 2, "similarity": None, "type": "zip"},
+        {"kr_idx": 3, "en_idx": 4, "similarity": None, "type": "zip"},
+    ]

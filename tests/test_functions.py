@@ -42,3 +42,42 @@ def test_remove_numbering_col_matches_rules_on_whitespace(spark):
         "t", remove_numbering_col(df["t"]).alias("out")).collect()}
     for c in cases:
         assert got[c] == rules.remove_numbering(c), repr(c)
+
+
+def test_remove_numbering_unicode_ws_tri_parity(spark):
+    """The rule-core numbering patterns are PYTHON regexes (Unicode \\s);
+    the column and DuckDB twins port them to the explicit _PY_WS class —
+    all three must strip the same prefixes on NBSP/U+3000-indented
+    text (Java/RE2 \\s is ASCII-only and would skip them)."""
+    import duckdb
+
+    from pdf_extract_spark import rules
+    from pdf_extract_spark.queries import _remove_numbering_sql_expr
+
+    cases = [
+        "1. Heading",
+        "　1. ideographic-space indent",
+        " (2) nbsp indent",
+        "IV.\ttab",
+        "no prefix here",
+    ]
+    want = [rules.remove_numbering(c) for c in cases]
+    sdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, t string"
+    )
+    got = [
+        r["o"]
+        for r in sdf.select(
+            "i", X.remove_numbering_col(F.col("t")).alias("o")
+        ).orderBy("i").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    sql = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {_remove_numbering_sql_expr('t', 'text')} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert got == want == sql

@@ -13,9 +13,9 @@ no driver collect, no disk write skew).
 
 ``--scaling`` mode evidences the BASELINE.json N -> 4N throughput-scaling
 criterion inside this single-machine sandbox: it re-executes the flagship
-extraction job in fresh subprocesses at two parallelism levels
-(local[8] and local[32] by default) over the SAME input and reports
-throughput at both plus the scaling efficiency
+extraction job in fresh taskset-pinned subprocesses at several
+parallelism levels (2, 8 and 32 cores by default) over the SAME input
+and reports throughput at each plus the pairwise scaling efficiency
 ``(t_N / t_4N) / (4N / N)`` into BENCH.md.
 """
 
@@ -93,9 +93,17 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
     from pdf_extract_spark.session import build_spark
 
     spark = build_spark(app_name=f"bench_local[{cpus}]")
-    # warm the JVM + python workers once so per-query times measure the
-    # queries, not process spin-up
+    # warm the JVM + scan path AND the Python/Arrow workers (a pure-
+    # Catalyst query alone leaves the pyspark daemon fork inside the
+    # first timed Arrow query — which is the flagship, the BASELINE
+    # metric) so per-query times measure the queries, not process spin-up
     _force(QUERIES["status_counts"](spark, sf_dir))
+    from pdf_extract_spark import generator
+    from pdf_extract_spark.pipeline import run_extraction
+    from pdf_extract_spark.schemas import DOCUMENTS
+
+    warm = spark.createDataFrame(generator.make_corpus(64, seed=1), schema=DOCUMENTS)
+    _force(run_extraction(warm, num_partitions=8))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -145,10 +153,29 @@ def measure_recalls(sf_dir: str) -> dict:
 
 # ---------------------------------------------------------------- scaling
 
+def _synth_docs(spark, n_docs: int, n_parts: int):
+    """The ONE synthetic generator-corpus input both --scaling and
+    --durability measure (seed 42, ~350 spans/doc incl. 5% giant skew),
+    built DISTRIBUTED on the executors via mapInPandas — two copies of
+    this closure previously had to stay identical by discipline."""
+    import pandas as pd
+
+    from pdf_extract_spark.schemas import DOCUMENTS
+
+    def gen(batches):
+        from pdf_extract_spark import generator
+
+        for pdf in batches:
+            rows = [generator.make_document(int(i), seed=42) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return spark.range(n_docs).repartition(n_parts).mapInPandas(gen, schema=DOCUMENTS)
+
+
 def run_flagship_once(sf_dir: str, cpus: str, mult: int) -> dict:
     """One measured flagship run (used as the --scaling subprocess body).
 
-    The input is the synthetic generator corpus (avg ~100 spans/doc, 5%
+    The input is the synthetic generator corpus (~350 spans/doc, 5%
     giant skew docs), generated DISTRIBUTED on the executors via
     mapInPandas and cached before the timed region, so the measurement is
     the extraction stage itself. ``mult`` scales document count
@@ -162,21 +189,7 @@ def run_flagship_once(sf_dir: str, cpus: str, mult: int) -> dict:
     from pdf_extract_spark.session import build_spark
 
     spark = build_spark(app_name=f"bench_scaling_local[{cpus}]")
-    n_docs_target = mult * 1000
-
-    def gen(batches):
-        from pdf_extract_spark import generator
-
-        for pdf in batches:
-            rows = [generator.make_document(int(i), seed=42) for i in pdf["id"]]
-            yield pd.DataFrame(rows)
-
-    docs = (
-        spark.range(n_docs_target)
-        .repartition(int(cpus) * 4)
-        .mapInPandas(gen, schema=DOCUMENTS)
-        .cache()
-    )
+    docs = _synth_docs(spark, mult * 1000, int(cpus) * 4).cache()
     n_docs = docs.count()  # materialize input outside the timed region
 
     # explicit partition count (3x cores): REPARTITION_BY_NUM pins the
@@ -201,6 +214,11 @@ def run_scaling(sf_dir: str, levels: list[int], mult: int) -> dict:
     many physical cores (taskset), so ``local[8]`` really is an 8-core
     machine — otherwise Python UDF workers spill onto the other 24 cores
     and the comparison measures nothing."""
+    if len(levels) < 2:
+        raise ValueError(
+            f"--scaling needs at least two --levels to compute an "
+            f"efficiency pair, got {levels}"
+        )
     runs = []
     for cpus in levels:
         cmd = [
@@ -214,8 +232,18 @@ def run_scaling(sf_dir: str, levels: list[int], mult: int) -> dict:
             "--mult",
             str(mult),
         ]
-        if os.path.exists("/usr/bin/taskset"):
-            cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+        import shutil
+
+        taskset = shutil.which("taskset")
+        if taskset is None:
+            # BENCH.md asserts the runs were pinned; unpinned local[8]
+            # workers spill onto every core and the comparison measures
+            # nothing — fail loudly rather than record invalid evidence
+            raise RuntimeError(
+                "taskset not found: --scaling requires core pinning "
+                "(install util-linux or run the levels manually)"
+            )
+        cmd = [taskset, "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
     pairs = []
@@ -438,10 +466,7 @@ def run_durability(n_docs: int = 64000, cpus: str = "32") -> dict:
     import shutil
     import tempfile
 
-    import pandas as pd
-
     from pdf_extract_spark.lineage import Lake, bucket_of, run_extraction_with_lineage
-    from pdf_extract_spark.schemas import DOCUMENTS
     from pdf_extract_spark.session import build_spark
     from pyspark.sql import functions as F
 
@@ -449,18 +474,10 @@ def run_durability(n_docs: int = 64000, cpus: str = "32") -> dict:
     spark = build_spark(app_name="bench_durability")
     n_buckets, group_size = 32, 8
 
-    def gen(batches):
-        from pdf_extract_spark import generator
-
-        for pdf in batches:
-            yield pd.DataFrame([generator.make_document(int(i), seed=42) for i in pdf["id"]])
-
     work = tempfile.mkdtemp(prefix="bench_dur_")
     try:
-        docs = (
-            spark.range(n_docs).repartition(int(cpus) * 4)
-            .mapInPandas(gen, schema=DOCUMENTS)
-            .withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
+        docs = _synth_docs(spark, n_docs, int(cpus) * 4).withColumn(
+            "bucket", bucket_of(F.col("doc_id"), n_buckets)
         )
         docs.write.partitionBy("bucket").parquet(f"{work}/docs_bucketed")
         # derive the flat copy from the already-materialized parquet so

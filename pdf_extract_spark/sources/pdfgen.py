@@ -154,8 +154,13 @@ def build_pdf(doc_index: int, seed: int = 42, variant: str = "classic",
         type-2 pointers into the object stream) instead of a table —
         the modern PDF 1.5+ layout the north star's 'object-stream walk'
         refers to;
+      * ``objstm2``     — objstm with objects split ACROSS TWO object
+        streams;
       * ``incremental`` — classic objects split across TWO xref sections
-        chained by /Prev (an incrementally-updated file).
+        chained by /Prev (an incrementally-updated file);
+      * ``multigen``    — incremental with FOUR /Prev generations;
+      * ``hybrid``      — classic xref table PLUS an /XRefStm hop
+        (hybrid-reference file). Unknown variants raise.
     """
     pages = doc_lines(doc_index, seed, with_table=with_table)
     objects: dict[int, bytes] = {}
@@ -224,6 +229,10 @@ def build_pdf(doc_index: int, seed: int = 42, variant: str = "classic",
         return _serialize_incremental(objects, n_gens=4)
     if variant == "hybrid":
         return _serialize_hybrid(objects)
+    if variant != "classic":
+        # a typo'd variant silently serializing as classic would let a
+        # test pass while exercising NONE of the layout it names
+        raise ValueError(f"unknown pdf variant: {variant!r}")
     return _serialize_classic(objects)
 
 

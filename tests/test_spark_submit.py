@@ -131,3 +131,47 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     assert marker, proc.stdout[-3000:]
     payload = json.loads(marker[0].split(" ", 1)[1])
     assert payload == {"docs": 40, "ok": True}
+
+
+def test_pyfiles_zip_cache_keys_on_content_and_dest(tmp_path):
+    """Edited package source must REBUILD the zip (a dir-keyed cache
+    re-shipped stale bytes — silent version skew); an explicit dest_dir
+    is honored even when a tempdir build is already cached."""
+    sys.path.insert(0, REPO)
+    from pdf_extract_spark import packaging
+
+    packaging._ZIP_CACHE.clear()
+    first = packaging.build_pyfiles_zip()          # tempdir build
+    explicit = packaging.build_pyfiles_zip(str(tmp_path / "dist"))
+    assert explicit.startswith(str(tmp_path / "dist"))
+    assert first != explicit
+
+    # same source -> same digest -> cache hit returns the same path
+    assert packaging.build_pyfiles_zip() == first
+
+    # content change -> new digest -> rebuild (different cache key)
+    probe = tmp_path / "pkg"
+    probe.mkdir()
+    (probe / "a.py").write_text("x = 1\n")
+    entries = packaging._package_entries(str(probe))
+    d1 = packaging._source_digest(entries)
+    (probe / "a.py").write_text("x = 2\n")
+    assert packaging._source_digest(entries) != d1
+    packaging._ZIP_CACHE.clear()
+
+
+def test_bench_scaling_guards():
+    """--scaling refuses a single level BEFORE any expensive subprocess
+    run, and build_pdf refuses unknown variants instead of silently
+    serializing classic."""
+    sys.path.insert(0, REPO)
+    import bench
+    import pytest
+
+    with pytest.raises(ValueError, match="at least two"):
+        bench.run_scaling("/root/testdata/sf0.001", [32], mult=1)
+
+    from pdf_extract_spark.sources import pdfgen
+
+    with pytest.raises(ValueError, match="unknown pdf variant"):
+        pdfgen.build_pdf(0, variant="obstm")

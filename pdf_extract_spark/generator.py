@@ -11,7 +11,8 @@ Generates, deterministically (no external data, no wall clock):
   * paired ``fragments_kr`` / ``fragments_en`` alignment fixtures.
 
 ~5% of documents are "giant" (×50 spans) to exercise skew salting.
-Everything keys off ``random.Random(seed ^ doc_index)`` so any document is
+Everything keys off ``random.Random((seed << k) ^ doc_index)`` (a
+distinct shift per fixture family) so any document is
 reproducible in isolation (needed for distributed generation).
 """
 
@@ -197,9 +198,10 @@ def make_raw_blocks_doc(doc_index: int, seed: int = 42) -> list[dict]:
 def make_alignment_doc(doc_index: int, seed: int = 42) -> tuple[list[dict], list[dict]]:
     """Paired pseudo-translation fragment lists (kr, en) for one doc.
 
-    'kr' text is the en text reversed word-wise with a 'kr_' prefix per
-    word — a deterministic stand-in for translation; the hash-embedding in
-    operators/align.py maps both sides of a true pair near each other.
+    'kr' text is the en text with a standalone 'kr ' marker token
+    prepended — a deterministic stand-in for translation (align.py's
+    hash embedding special-cases the bare 'kr' token, so both sides of
+    a true pair land near each other).
     Some en items are dropped (exercises left/anti/full-outer joins); P
     items within a section are locally permuted (exercises greedy match).
     """

@@ -61,20 +61,27 @@ def parse_html_safe_udf(content: pd.Series) -> pd.DataFrame:
             try:
                 spans_out.append(html_to_spans(bytes(b)))
                 errs.append(None)
-            except HtmlError as e:
+            except (HtmlError, TypeError) as e:
                 spans_out.append(None)
                 errs.append(f"{type(e).__name__}: {e}")
     return pd.DataFrame({"spans": spans_out, "parse_error": errs})
+
+
+def html_gate(content_col: str = "content"):
+    """The S2-analog validity predicate: non-empty payload containing
+    markup. NULL-safe (coalesces to false)."""
+    c = F.col(content_col)
+    return F.coalesce(
+        c.isNotNull() & (F.length(c) > 0) & (F.instr(c.cast("string"), "<") > 0),
+        F.lit(False),
+    )
 
 
 def validate_html(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Keep only rows whose payload is non-empty and contains markup (the
     HTML analog of the PDF %PDF- magic gate, layout.validate_pdfs). Pure
     Catalyst expression — junk rows never reach the Python parser."""
-    c = F.col(content_col)
-    return df.filter(
-        c.isNotNull() & (F.length(c) > 0) & (F.instr(c.cast("string"), "<") > 0)
-    )
+    return df.filter(html_gate(content_col))
 
 
 def parse_htmls(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -100,13 +107,24 @@ def html_to_spans_full(df: DataFrame, num_partitions: int | None = None) -> Data
     from pdf_extract_spark.operators.extract import extract_spans
     from pdf_extract_spark.pipeline import partition_for_extraction
 
-    valid = validate_html(df)
+    gate = html_gate()
+    valid = df.filter(gate)
+    # gate-rejected rows (null/empty/markup-free payloads) join the
+    # quarantine LEDGER instead of vanishing: row counts must reconcile
+    # against the input (spans rows + error rows == input rows), or a
+    # production audit under-reports failures
+    rejected = df.filter(~gate).select(
+        "doc_id",
+        F.lit(None).cast(SPANS).alias("spans"),
+        F.lit("failed validation gate: null, empty or markup-free payload")
+        .alias("parse_error"),
+    )
     parted = partition_for_extraction(valid, num_partitions)
     parsed = parse_htmls(parted)
     # extract_spans maps NULL -> NULL, so quarantined rows pass through
     return parsed.select(
         "doc_id", extract_spans(F.col("spans")).alias("spans"), "parse_error"
-    )
+    ).unionByName(rejected)
 
 
 def html_to_spans(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -150,8 +168,11 @@ def html_split(
 # URL dedup all start from this table)
 # --------------------------------------------------------------------------
 
-HREF_PATTERN = r'href="([^"]+)"'
-HREF_PATTERN_SQ = r"href='([^']+)'"
+# (?i): HREF=/Href= is well-formed and ubiquitous in legacy crawl HTML;
+# a case-sensitive harvest systematically under-counts exactly the old
+# domains the caps/blocklists built on this table should police
+HREF_PATTERN = r'(?i)href="([^"]+)"'
+HREF_PATTERN_SQ = r"(?i)href='([^']+)'"
 DOMAIN_PATTERN = r"^https?://([^/]+)"
 
 

@@ -70,7 +70,7 @@ def parse_pdf_safe_udf(content: pd.Series) -> pd.DataFrame:
             try:
                 pages_out.append(parse_pdf(bytes(b)))
                 errs.append(None)
-            except PdfError as e:
+            except (PdfError, TypeError) as e:
                 pages_out.append(None)
                 errs.append(f"{type(e).__name__}: {e}")
     return pd.DataFrame({"pages": pages_out, "parse_error": errs})
@@ -86,14 +86,22 @@ def layout_spans_udf(pages: pd.Series) -> pd.Series:
     return pages.map(one)
 
 
+def pdf_gate(content_col: str = "content"):
+    """The S2 validity predicate: non-empty payload with the %PDF- magic.
+    NULL-safe (coalesces to false)."""
+    c = F.col(content_col)
+    return F.coalesce(
+        c.isNotNull() & (F.length(c) > 0) & (c.substr(1, 5) == F.lit(b"%PDF-")),
+        F.lit(False),
+    )
+
+
 def validate_pdfs(df: DataFrame, content_col: str = "content") -> DataFrame:
     """S2 (reference /root/reference/main.py:1678-1727): keep only rows
     whose payload is non-empty and starts with the %PDF- magic. Pure
     Catalyst expression — evaluated before any Python stage, so invalid
     bytes never reach the parser."""
-    c = F.col(content_col)
-    return df.filter(c.isNotNull() & (F.length(c) > 0)
-                     & (c.substr(1, 5) == F.lit(b"%PDF-")))
+    return df.filter(pdf_gate(content_col))
 
 
 def parse_pdfs(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -127,10 +135,19 @@ def pdf_to_spans_full(df: DataFrame, num_partitions: int | None = None) -> DataF
     (or write it once and filter the table) when you need both sides."""
     from pdf_extract_spark.pipeline import partition_for_extraction
 
-    valid = validate_pdfs(df)
+    gate = pdf_gate()
+    valid = df.filter(gate)
+    # gate-rejected rows join the quarantine LEDGER (spans NULL + error
+    # string) so output row counts reconcile against the input
+    rejected = df.filter(~gate).select(
+        "doc_id",
+        F.lit(None).cast(SPANS).alias("spans"),
+        F.lit("failed validation gate: null, empty or non-%PDF- payload")
+        .alias("parse_error"),
+    )
     parted = partition_for_extraction(valid, num_partitions)
     parsed = parse_pdfs(parted)
-    return layout_extract_with_errors(parsed)
+    return layout_extract_with_errors(parsed).unionByName(rejected)
 
 
 def layout_extract_with_errors(parsed: DataFrame) -> DataFrame:

@@ -41,41 +41,65 @@ WS = f"[{WS_CHARS}]"
 
 def tokens(col: Column) -> Column:
     """Whitespace tokenization of lowercased text (WS class — identical
-    in the Spark kernel and every DuckDB twin)."""
-    return F.split(F.lower(F.trim(col)), WS + "+")
+    in the Spark kernel and every DuckDB twin). Empty tokens are
+    filtered: trim() strips only 0x20, so '\n'-terminated text (nearly
+    every real document) otherwise yields a phantom '' edge token that
+    inflates every downstream stat — engine-CONSISTENTLY, which is why
+    no oracle gate could catch it."""
+    return F.filter(F.split(F.lower(col), WS + "+"), lambda x: x != "")
 
 
 def tokens_sql(expr: str) -> str:
-    return f"regexp_split_to_array(lower(trim({expr})), '{WS}+')"
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '{WS}+'), "
+        f"x -> x <> '')"
+    )
 
 
 def stop_ratio(toks: Column) -> Column:
     """Stopword fraction of a token array, rounded to 6 dp — the shared
     form used by quality_score and quality_filter (one definition, one
-    rounding)."""
-    return F.round(F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / F.size(toks), 6)
+    rounding). Zero tokens -> NULL explicitly: Spark 4's ANSI mode
+    RAISES on 0/0 while DuckDB returns NULL, so the guard is both a
+    crash fix and the cross-engine agreement."""
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return F.when(n > 0, F.round(hits / n, 6))
 
 
 def stop_ratio_sql(toks: str) -> str:
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     return (
+        f"CASE WHEN len({toks}) > 0 THEN "
         f"round(len(list_filter({toks}, x -> x IN ({stop_list}))) * 1.0 "
-        f"/ len({toks}), 6)"
+        f"/ len({toks}), 6) END"
     )
 
 
+# the BPE-ish subword proxy (runs of letters / digits / single
+# punctuation): ONE pattern string for the kernel and the SQL twin
+SUBWORD_PATTERN = r"[a-z]{1,4}|\d+|[^a-z\d" + WS_CHARS + "]"
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace token count + a BPE-ish subword proxy count
-    (runs of letters / digits / single punctuation, C18 analog)."""
+    """Whitespace token count + a BPE-ish subword proxy count (C18
+    analog). SQL twin: token_count_sql."""
     return df.select(
         "doc_id",
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
         F.size(
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(r"[a-z]{1,4}|\d+|[^a-z\d" + WS_CHARS + "]"), 0
-            )
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(SUBWORD_PATTERN), 0)
         ).cast("long").alias("n_subwords"),
     )
+
+
+def token_count_sql(table: str = "documents", text_expr: str = "text") -> str:
+    return f"""
+SELECT doc_id,
+       len({tokens_sql(text_expr)}) AS n_tokens,
+       len(regexp_extract_all(lower({text_expr}), '{SUBWORD_PATTERN}')) AS n_subwords
+FROM {table}
+"""
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -90,14 +114,15 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[.!?,;:]"), 0))
     n_chars = F.length(t)
-    score = (
+    score = F.when(
+        n_tok > 0,
         F.round(
             F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
             + (stop_hits / n_tok) * 0.4
             + F.least(n_punct / F.lit(10.0), F.lit(1.0)) * 0.2,
             6,
-        )
-    )
+        ),
+    )  # zero tokens -> NULL (ANSI 0/0 raises; DuckDB returns NULL)
     return df.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars_m"),
@@ -117,9 +142,11 @@ SELECT doc_id,
        len({toks}) AS n_tokens,
        {stop_ratio_sql(toks)} AS stopword_ratio,
        len(regexp_extract_all({text_expr}, '[.!?,;:]')) AS n_punct,
-       round(least(len({toks}) / 100.0, 1.0) * 0.4
+       CASE WHEN len({toks}) > 0 THEN
+         round(least(len({toks}) / 100.0, 1.0) * 0.4
              + (len(list_filter({toks}, x -> x IN ({stop_list}))) * 1.0 / len({toks})) * 0.4
-             + least(len(regexp_extract_all({text_expr}, '[.!?,;:]')) / 10.0, 1.0) * 0.2, 6) AS quality
+             + least(len(regexp_extract_all({text_expr}, '[.!?,;:]')) / 10.0, 1.0) * 0.2, 6)
+       END AS quality
 FROM {table}
 """
 
@@ -154,7 +181,9 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lang_id_sql(table: str = "documents", text_expr: str = "text") -> str:
-    toks = tokens_sql(text_expr)
+    # the inner subquery aliases text_expr to 'text'; everything above it
+    # must reference the ALIAS or any non-default text_expr binder-errors
+    toks = tokens_sql("text")
     langs = sorted(LANG_MARKERS)
     score_exprs = {
         l: f"len(list_filter({toks}, x -> x IN ({', '.join(repr(w) for w in LANG_MARKERS[l])})))"
@@ -307,10 +336,10 @@ FROM {table}
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens(F.col(text_col))
     n = F.size(toks)
-    ttr = F.round(F.size(F.array_distinct(toks)) / n, 6)
-    # slice length clamped: tokens() never yields an empty array for
-    # non-null text (split('') is ['']), but greatest() keeps a
-    # hypothetical 0-length array from turning into a runtime error
+    # zero tokens (whitespace-only text, now that tokens() filters
+    # phantom '' entries) -> NULL ttr, matching DuckDB's 0/0 (Spark's
+    # ANSI mode would raise instead)
+    ttr = F.when(n > 0, F.round(F.size(F.array_distinct(toks)) / n, 6))
     blen = F.greatest(n - 1, F.lit(0))
     bg = F.zip_with(
         F.slice(toks, 1, blen),
@@ -347,7 +376,8 @@ b AS (
   FROM t)
 SELECT doc_id,
        len(toks)::BIGINT AS n_tokens,
-       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio,
+       CASE WHEN len(toks) > 0 THEN
+         round(len(list_distinct(toks)) * 1.0 / len(toks), 6) END AS type_token_ratio,
        CASE WHEN toks IS NULL THEN NULL
             WHEN len(bg) > 0 THEN
          round(list_max(list_transform(list_distinct(bg),

@@ -876,16 +876,7 @@ def remove_numbering_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text analysis / training-data ops
 # =====================================================================
 
-@query(
-    "token_count",
-    f"""
-SELECT doc_id,
-       len(regexp_split_to_array(lower(trim(text)), '{textstats.WS}+')) AS n_tokens,
-       len(regexp_extract_all(lower(text),
-           '[a-z]{{1,4}}|\\d+|[^a-z\\d{textstats.WS_CHARS}]')) AS n_subwords
-FROM documents
-""",
-)
+@query("token_count", textstats.token_count_sql())
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex subwords (C18 analog)."""
     return textstats.token_count(_t(spark, sf_dir, "documents"))
@@ -2060,7 +2051,7 @@ WITH pages AS (
            || '</p>' AS html
   FROM documents),
 links AS (
-  SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS url
+  SELECT doc_id, unnest(regexp_extract_all(html, '(?i)href="([^"]+)"', 1)) AS url
   FROM pages),
 doms AS (
   SELECT doc_id, {_host_url} AS domain

@@ -140,8 +140,12 @@ def test_spark_html_to_spans_matches_oracle(spark):
 
     errs = {r["doc_id"]: r["parse_error"]
             for r in H.html_parse_errors(df, num_partitions=4).collect()}
-    assert set(errs) == {"junk_bare_lt"}  # the others fail the < gate
+    # ALL junk rows reconcile in the ledger: the parser-quarantined one
+    # with its parse error, the gate-rejected ones with the gate reason
+    assert set(errs) == {"junk_bare_lt", "junk_nomarkup", "junk_empty"}
     assert "no markup" in errs["junk_bare_lt"]
+    assert "validation gate" in errs["junk_nomarkup"]
+    assert "validation gate" in errs["junk_empty"]
 
 
 def test_corrupt_batch_reuses_parsed_prefix(spark, monkeypatch):
@@ -232,13 +236,15 @@ def test_harvest_links_both_quote_styles(spark):
         (1, '<a href="https://a.example/x">d</a> <a href=\'http://b.org/y\'>s</a>'),
         (2, "<a href='mailto:x@y'>m</a> no other links"),
         (3, "<a href=broken>unquoted is the DOM path's job</a>"),
+        (4, '<A HREF="http://legacy.example/z">legacy uppercase markup</A>'),
     ]
     df = spark.createDataFrame(rows, "doc_id long, html string")
     links = harvest_links(df)
     got = {(r["doc_id"], r["url"]) for r in links.collect()}
-    assert got == {(1, "https://a.example/x"), (1, "http://b.org/y"), (2, "mailto:x@y")}
+    assert got == {(1, "https://a.example/x"), (1, "http://b.org/y"),
+                   (2, "mailto:x@y"), (4, "http://legacy.example/z")}
     doms = {r["d"] for r in links.select(url_domain(F.col("url")).alias("d")).collect()}
-    assert doms == {"a.example", "b.org", ""}
+    assert doms == {"a.example", "b.org", "legacy.example", ""}
     plan = links._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
 

@@ -112,13 +112,17 @@ def test_corrupt_pdf_quarantined_not_fatal(spark):
         spans = {r["doc_id"] for r in L.healthy_spans(full).collect()}
         assert spans == {"ok"}
         errs = {r["doc_id"]: r["parse_error"] for r in L.parse_error_rows(full).collect()}
-        assert set(errs) == {"truncated", "garbage"}
+        # gate-rejected rows reconcile in the ledger too (input row
+        # counts must equal spans rows + error rows)
+        assert set(errs) == {"truncated", "garbage", "notpdf"}
+        assert "validation gate" in errs["notpdf"]
         assert all(e for e in errs.values())
     finally:
         full.unpersist()
     # convenience views over raw bytes agree
     assert {r["doc_id"] for r in L.pdf_to_spans(df).collect()} == {"ok"}
-    assert {r["doc_id"] for r in L.pdf_parse_errors(df).collect()} == {"truncated", "garbage"}
+    assert {r["doc_id"] for r in L.pdf_parse_errors(df).collect()} == {
+            "truncated", "garbage", "notpdf"}
 
 
 def test_quarantine_reuses_parsed_prefix(monkeypatch):

@@ -98,3 +98,35 @@ def test_pack_documents_null_text_counts_zero(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_tokens_edge_whitespace_no_phantom_tokens(spark):
+    """'\\n'-terminated or padded text must not count a phantom ''
+    token (trim strips only 0x20); whitespace-only text has ZERO tokens
+    and the ratio stats agree cross-engine on the 0/0 case (NULL)."""
+    import duckdb
+
+    rows = [
+        (0, "hello world\n"),
+        (1, "\t padded both ends \r\n"),
+        (2, "   \n\t  "),       # whitespace-only: 0 tokens
+        (3, "one"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in textstats.token_count(sdf).collect()}
+    assert got == {0: 2, 1: 3, 2: 0, 3: 1}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {r[0]: r[1]
+            for r in con.execute(textstats.token_count_sql()).fetchall()}
+    assert got == want
+
+    qs = {r["doc_id"]: r["stopword_ratio"]
+          for r in textstats.quality_score(sdf).collect()}
+    qo = {r[0]: r[3] for r in con.execute(  # col 3 = stopword_ratio
+        textstats.quality_score_sql()).fetchall()}
+    assert qs[2] is None and qo[2] is None  # 0/0 -> NULL in BOTH engines
+    assert qs == qo

@@ -31,6 +31,18 @@ def nfkc(s: pd.Series) -> pd.Series:
     return s.map(lambda t: unicodedata.normalize("NFKC", t) if t is not None else None)
 
 
+def port_python_ws(pattern: str) -> str:
+    """Translate a RULE-CORE Python regex to the portable Java+RE2 form:
+    Python's \s is Unicode while Java/RE2's is ASCII-only, so bare \s
+    becomes the explicit _PY_WS class. ONE definition for the Catalyst
+    column twin AND the DuckDB oracle (queries.py) — valid only while
+    the numbering patterns use \s bare (never inside a class, never
+    \S), which rules.py's pattern lists do."""
+    from pdf_extract_spark.operators.metacompare import _PY_WS
+
+    return pattern.replace("\\s", _PY_WS)
+
+
 def remove_numbering_col(col: Column, context: str = "text") -> Column:
     """C7 as pure Catalyst — the ``when(rlike).regexp_replace`` chain form
     of rules.remove_numbering (metadata_generator.py:44-74): ordered
@@ -41,18 +53,13 @@ def remove_numbering_col(col: Column, context: str = "text") -> Column:
     from pdf_extract_spark import rules
     from pdf_extract_spark.operators.metacompare import _PY_WS
 
-    # the rule-core patterns are PYTHON regexes: their \s is Unicode
-    # (NBSP/U+3000 match) while Java/RE2 \s is ASCII-only — translate to
-    # the explicit _PY_WS class so the column twin strips the same
-    # prefixes the pytest oracle (rules.remove_numbering) strips.
-    # Safe textual substitution: the patterns use \s only bare (never
-    # inside a class, never \S).
-    def _port(pat: str) -> str:
-        return pat.replace("\\s", _PY_WS)
-
-    patterns = [f"(?i){_port(p.pattern)}" for p in rules.COMMON_NUMBERING_PATTERNS]
+    patterns = [
+        f"(?i){port_python_ws(p.pattern)}" for p in rules.COMMON_NUMBERING_PATTERNS
+    ]
     if context == "text":
-        patterns += [_port(p.pattern) for p in rules.TEXT_ONLY_NUMBERING_PATTERNS]
+        patterns += [
+            port_python_ws(p.pattern) for p in rules.TEXT_ONLY_NUMBERING_PATTERNS
+        ]
     out = None
     for pat in patterns:
         branch = F.regexp_replace(col, pat, " ")

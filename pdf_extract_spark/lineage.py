@@ -222,29 +222,36 @@ def run_extraction_with_lineage(
     return report
 
 
-def _validate_lake_scheme(lake: Lake, n_buckets: int) -> None:
+def _validate_lake_scheme(lake: Lake, n_buckets: int, sample: int = 256) -> None:
     """Fail loudly when the EXISTING lake was bucketed with a different
     ``n_buckets``: resuming (or retrying) under a new scheme would skip
     never-extracted buckets whose old-scheme ids happen to be completed
-    and duplicate docs across old/new partitions — silent data loss. One
-    cheap two-column scan with an early-out limit; an empty lake passes
-    (nothing to disagree with)."""
+    and duplicate docs across old/new partitions — silent data loss.
+
+    The check reads a bounded SAMPLE (default 256 rows), not the lake:
+    under a wrong scheme each stored row keeps its bucket value only
+    with probability ~1/n_buckets, so the false-negative chance is
+    ~(1/n_buckets)^sample — astronomically small — while a full
+    filter(mismatch).limit(1) scan is O(corpus) on a HEALTHY lake
+    (limit can only early-out when a mismatch exists), unacceptable per
+    resume at the 10^12-doc design point. An empty lake passes."""
     from pyspark.errors import AnalysisException
 
     try:
-        existing = lake.read_spans_out()
+        sampled = lake.read_spans_out().select("doc_id", "bucket").limit(sample)
+        n_bad = sampled.filter(
+            F.col("bucket").isNull()
+            | (F.col("bucket") != bucket_of(F.col("doc_id"), n_buckets))
+        ).count()
     except AnalysisException:
         return
-    bad = existing.filter(
-        F.col("bucket") != bucket_of(F.col("doc_id"), n_buckets)
-    ).limit(1)
-    if bad.count() > 0:
+    if n_bad > 0:
         raise ValueError(
             f"lake at {lake.spans_out} was not bucketed with "
-            f"n_buckets={n_buckets}: at least one stored row's bucket "
-            "does not equal bucket_of(doc_id); pass the bucket count "
-            "the lake was created with (a mismatched resume/retry would "
-            "silently drop/duplicate documents)"
+            f"n_buckets={n_buckets}: sampled stored rows' bucket does not "
+            "equal bucket_of(doc_id); pass the bucket count the lake was "
+            "created with (a mismatched resume/retry would silently "
+            "drop/duplicate documents)"
         )
 
 

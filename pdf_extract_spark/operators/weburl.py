@@ -99,7 +99,7 @@ def canonicalize_url_sql(url_expr: str) -> str:
     query = f"regexp_extract({pq}, '\\?([\\s\\S]*)', 1)"
     kept = (
         f"list_filter(string_split({query}, '&'), "
-        f"p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)(=|\\z)'))"
+        f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_PATTERN}'))"
     )
     qcanon = f"array_to_string(list_sort({kept}), '&')"
     full = (

@@ -806,12 +806,12 @@ def _remove_numbering_sql_expr(col: str, context: str) -> str:
     the SAME pattern lists (single source of truth)."""
     from pdf_extract_spark import rules
 
-    # Python-\s -> _PY_WS, same porting as functions.remove_numbering_col
-    # (Java/RE2 \s is ASCII-only; the rule core's is Unicode)
-    pats = ["(?i)" + p.pattern.replace("\\s", MC._PY_WS)
+    from pdf_extract_spark.functions import port_python_ws
+
+    pats = ["(?i)" + port_python_ws(p.pattern)
             for p in rules.COMMON_NUMBERING_PATTERNS]
     if context == "text":
-        pats += [p.pattern.replace("\\s", MC._PY_WS)
+        pats += [port_python_ws(p.pattern)
                  for p in rules.TEXT_ONLY_NUMBERING_PATTERNS]
     cases = " ".join(
         f"WHEN regexp_matches({col}, '{p}') THEN regexp_replace({col}, '{p}', ' ')"

@@ -319,16 +319,17 @@ def _has_structure(node: _Node) -> bool:
 def emit_spans(content: _Node) -> list[dict]:
     """Document-order interleaved spans from a pruned content tree.
 
-    Block leaves (BLOCK_TAGS) emit their inline text as one span. Bare
-    text directly inside containers (<div>prose<br>more</div> — a very
-    common crawl shape) is NOT lost: maximal runs of text + pure-inline
-    elements between block-level boundaries (a block child, <br>, <img>,
-    a container holding blocks, or the container's end) flush as one
-    span each. Whitespace-only runs (pretty-printing between tags) never
-    become spans. Blocks under a <table> ancestor carry the structural
-    'table' kind — the HTML twin of the layout path's grid cells
-    (source_type contract, main.py:316-338): they pass the rule-core FSM
-    1:1 and stay eligible for remove_numbering's 'table' context."""
+    ONE buffered walk serves blocks and containers alike: maximal runs
+    of text + pure-inline elements between structural boundaries (a
+    nested block, <br>, <img>, a structure-bearing container, or the
+    element's end) flush as one span each, IN PLACE — so
+    ``<li><h3>Title</h3> summary</li>`` emits Title before summary (a
+    flatten-the-leaf-first emitter inverted that order). Whitespace-only
+    runs (pretty-printing between tags) never become spans. Blocks under
+    a <table> ancestor carry the structural 'table' kind — the HTML twin
+    of the layout path's grid cells (source_type contract,
+    main.py:316-338): they pass the rule-core FSM 1:1 and stay eligible
+    for remove_numbering's 'table' context."""
     out: list[dict] = []
 
     def emit(txt: str, in_table: bool) -> None:
@@ -338,10 +339,7 @@ def emit_spans(content: _Node) -> list[dict]:
             out.append({"kind": "table" if in_table else "text",
                         "text": txt, "media_ref": "", "offset": 0})
 
-    def walk(node: _Node, in_table: bool, suppress_text: bool) -> None:
-        # suppress_text: inside a block leaf, whose strings and
-        # pure-inline descendants were already consumed by _inline_text —
-        # the walk continues only to find nested blocks and images
+    def walk(node: _Node, in_table: bool) -> None:
         buf: list[str] = []
 
         def flush() -> None:
@@ -351,8 +349,7 @@ def emit_spans(content: _Node) -> list[dict]:
 
         for ch in node.children:
             if isinstance(ch, str):
-                if not suppress_text:
-                    buf.append(ch)
+                buf.append(ch)
                 continue
             if ch.tag == "img":
                 flush()
@@ -366,22 +363,17 @@ def emit_spans(content: _Node) -> list[dict]:
             if ch.tag == "br":
                 flush()
                 continue
-            child_table = in_table or ch.tag == "table"
-            if ch.tag in BLOCK_TAGS:
+            if ch.tag in BLOCK_TAGS or _has_structure(ch):
                 flush()
-                emit(_inline_text(ch), in_table)
-                walk(ch, child_table, True)
-            elif suppress_text or _has_structure(ch):
-                flush()
-                walk(ch, child_table, suppress_text)
+                walk(ch, in_table or ch.tag == "table")
             else:
                 # pure inline subtree: part of the surrounding text run
                 buf.append(_inline_text(ch))
         flush()
 
-    walk(content, False, False)
-    for i, s in enumerate(out):
-        s["offset"] = i
+    walk(content, False)
+    for i, sp in enumerate(out):
+        sp["offset"] = i
     return out
 
 

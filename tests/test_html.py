@@ -425,3 +425,20 @@ def test_lazy_loaded_images_keep_their_media_ref():
         ("media", "https://cdn.x/real.jpg"),
         ("media", "ph.gif"),  # explicit src wins when both are present
     ]
+
+
+def test_nested_block_then_text_keeps_document_order():
+    """<li><h3>Title</h3> summary</li> (and blockquote/attribution) must
+    emit the nested block BEFORE the trailing text — a flatten-the-leaf-
+    first emitter inverted the order, corrupting reading order through
+    the offset-sorted FSM."""
+    spans = htmlparse.html_to_spans(
+        b"<html><body><main>"
+        b"<li><h3>Title</h3> description text</li>"
+        b"<blockquote><p>quote body</p>attribution line</blockquote>"
+        b"</main></html>"
+    )
+    assert [(s["text"], s["offset"]) for s in spans] == [
+        ("Title", 0), (" description text", 1),
+        ("quote body", 2), ("attribution line", 3),
+    ]

@@ -357,6 +357,10 @@ def test_corrupt_lineage_surfaces_not_first_run(spark, docs_df, tmp_path):
     lin_dir = pathlib.Path(lake.lineage)
     for f in lin_dir.glob("*.parquet"):
         f.write_bytes(b"this is not parquet at all")
+    lin = lake.read_lineage()
+    # the regression under guard is read_lineage() -> None ("first run");
+    # assert it did NOT regress before asserting the read raises
+    assert lin is not None
     with pytest.raises(Exception) as ei:
-        lake.read_lineage().collect()
-    assert not isinstance(ei.value, ValueError)
+        lin.collect()
+    assert not isinstance(ei.value, (ValueError, AttributeError))

@@ -32,7 +32,7 @@ def nfkc(s: pd.Series) -> pd.Series:
 
 
 def port_python_ws(pattern: str) -> str:
-    """Translate a RULE-CORE Python regex to the portable Java+RE2 form:
+    r"""Translate a RULE-CORE Python regex to the portable Java+RE2 form:
     Python's \s is Unicode while Java/RE2's is ASCII-only, so bare \s
     becomes the explicit _PY_WS class. ONE definition for the Catalyst
     column twin AND the DuckDB oracle (queries.py) — valid only while

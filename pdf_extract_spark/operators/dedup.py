@@ -277,14 +277,19 @@ def _bands(hashed: DataFrame) -> DataFrame:
 def _cap_hot_bands(bands: DataFrame, max_bucket: int | None) -> DataFrame:
     """The degenerate-bucket guard: exclude band buckets holding more
     than ``max_bucket`` docs from candidate generation (a recall cap —
-    record what it drops via lsh_band_stats, which shares _bands)."""
+    record what it drops via lsh_band_stats, which shares _bands).
+
+    Scale shape: MinHash band keys are near-unique per document (≈ docs ×
+    N_BANDS distinct keys, overwhelmingly n_docs=1), so the COLD key set
+    is corpus-sized — never broadcast it. The HOT set is the bounded one
+    (≤ band_rows / max_bucket keys by construction): anti-join it. No
+    broadcast hint — AQE converts the anti-join to broadcast when the hot
+    set is small, and degrades gracefully to shuffle when it is not."""
     if max_bucket is None:
         return bands
     sizes = bands.groupBy("band_key").agg(F.count("*").alias("n_docs"))
-    return bands.join(
-        F.broadcast(sizes.filter(F.col("n_docs") <= max_bucket).select("band_key")),
-        "band_key",
-    )
+    hot = sizes.filter(F.col("n_docs") > max_bucket).select("band_key")
+    return bands.join(hot, "band_key", "left_anti")
 
 
 def lsh_band_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

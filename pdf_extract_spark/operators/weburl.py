@@ -1,4 +1,4 @@
-"""URL-keyed curation: canonicalization, URL dedup, per-domain caps.
+r"""URL-keyed curation: canonicalization, URL dedup, per-domain caps.
 
 The web-graph leg of the curation surface (sibling of the href harvest in
 operators/html.py): once ``harvest_links``/crawl metadata yields a URL per

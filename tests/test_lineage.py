@@ -357,10 +357,12 @@ def test_corrupt_lineage_surfaces_not_first_run(spark, docs_df, tmp_path):
     lin_dir = pathlib.Path(lake.lineage)
     for f in lin_dir.glob("*.parquet"):
         f.write_bytes(b"this is not parquet at all")
-    lin = lake.read_lineage()
-    # the regression under guard is read_lineage() -> None ("first run");
-    # assert it did NOT regress before asserting the read raises
-    assert lin is not None
+    # the regression under guard is read_lineage() -> None ("first run").
+    # Spark reads parquet footers eagerly at spark.read.parquet(), so the
+    # corruption may raise at read_lineage() itself OR at collect() — accept
+    # either point; what must NOT happen is a silent None / first-run path.
     with pytest.raises(Exception) as ei:
+        lin = lake.read_lineage()
+        assert lin is not None  # None would be the "first run" regression
         lin.collect()
-    assert not isinstance(ei.value, (ValueError, AttributeError))
+    assert not isinstance(ei.value, (ValueError, AttributeError, AssertionError))

@@ -126,6 +126,28 @@ def test_cross_corpus_band_join_carries_ids_only(spark):
     assert not re.search(r"Exchange [^\n]*\bsh#\d+", plan), plan
 
 
+def test_cap_hot_bands_anti_joins_bounded_hot_set(spark):
+    """The max_bucket guard must anti-join the bounded HOT band-key set
+    (n_docs > cap, at most band_rows/cap keys by construction) — never
+    broadcast the corpus-sized COLD majority (MinHash band keys are
+    near-unique per doc, so the <= cap side is O(corpus); VERDICT r4
+    item 2). A filter keeping n_docs <= cap anywhere in the plan is the
+    inversion regressing."""
+    import re
+
+    from pdf_extract_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body shares the quick brown fox line {i % 3}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    out = D.minhash_lsh_pairs(df, threshold=0.1, max_bucket=50)
+    plan = _plan(out)
+    assert "LeftAnti" in plan, plan
+    assert re.search(r"n_docs#\d+L? > 50", plan), plan
+    assert not re.search(r"n_docs#\d+L? <= 50", plan), plan
+
+
 def test_decontaminate_broadcasts_eval_grams(spark):
     """decontaminate must never shuffle the corpus by gram: the eval
     gram set broadcasts (BroadcastHashJoin), so the only shuffles are

@@ -365,14 +365,28 @@ def minhash_lsh_pairs(
 
 
 def minhash_lsh_pairs_sql(
-    table: str = "documents", text_expr: str = "text", threshold: float = 0.5
+    table: str = "documents", text_expr: str = "text", threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> str:
+    """DuckDB twin of minhash_lsh_pairs. With ``max_bucket`` the cand
+    CTE excludes band keys holding more than that many docs — the same
+    recall cap the Spark side applies via _cap_hot_bands' anti-join."""
+    cap_cte, cand_src = "", "bands"
+    if max_bucket is not None:
+        cap_cte = (
+            f"hot AS (SELECT band_key FROM bands "
+            f"GROUP BY band_key HAVING count(*) > {max_bucket}),\n"
+            "bands_ok AS (SELECT * FROM bands "
+            "WHERE band_key NOT IN (SELECT band_key FROM hot)),\n"
+        )
+        cand_src = "bands_ok"
     return f"""
 WITH {_shh_cte(table, text_expr)},
 sig AS (SELECT doc_id, {_mh_cols_sql()} FROM shh),
 bands AS ({_band_rows_sql("sig")}),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+{cap_cte}cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM {cand_src} a JOIN {cand_src} b
+         ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
 verified AS (
   SELECT id_a, id_b,
          round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
@@ -380,6 +394,21 @@ verified AS (
   FROM cand JOIN shh sa ON sa.doc_id = cand.id_a
             JOIN shh sb ON sb.doc_id = cand.id_b)
 SELECT * FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+def lsh_band_stats_sql(
+    table: str = "documents", text_expr: str = "text", min_docs: int = 1
+) -> str:
+    """DuckDB twin of lsh_band_stats (optionally restricted to buckets
+    holding at least ``min_docs`` docs — the dropped-bucket audit for a
+    ``max_bucket`` cap uses min_docs = cap + 1)."""
+    return f"""
+WITH {_shh_cte(table, text_expr)},
+sig AS (SELECT doc_id, {_mh_cols_sql()} FROM shh),
+bands AS ({_band_rows_sql("sig")})
+SELECT band_key, count(*) AS n_docs FROM bands
+GROUP BY band_key HAVING count(*) >= {min_docs}
 """
 
 

@@ -1065,11 +1065,28 @@ _CURATE_RATES = {"en": 0.5, "de": 1.0, "zh": 0.1}
 # standalone quality_filter query
 _CURATE_MIN_TOKENS, _CURATE_MIN_STOP = 25, 0.01
 
+# Degenerate-bucket guard for the composed pipeline (VERDICT r4 item 3):
+# band buckets holding more than this many docs are excluded from MinHash
+# candidate generation. A boilerplate-heavy corpus puts thousands of docs
+# into ONE band bucket, degrading the band self-join to the all-pairs
+# quadratic it exists to avoid — and curate_corpus is the one query a
+# real 100 TB run composes, so it must carry the guard by default (the
+# reference's analog, its fixed batch split at utils.py:40-106, is always
+# on). 256 is far above any honest near-dup family (a real family of n
+# docs costs n^2/2 candidate rows; 256 -> ~32k rows per bucket, bounded)
+# while catching the pathological nav-bar/cookie-banner collapse. The
+# dropped buckets stay auditable: hot_band_stats / dedup.lsh_band_stats
+# lists every bucket a cap excludes.
+CURATE_MAX_BUCKET = 256
 
-def curate_corpus_sql() -> str:
+
+def curate_corpus_sql(
+    max_bucket: int | None = None,
+    corpus_sql: str = "SELECT * FROM documents WHERE doc_id % 50 <> 0",
+) -> str:
     pairs = (
         "pairs AS (SELECT id_a, id_b FROM "
-        f"({dedup.minhash_lsh_pairs_sql(table='corpus')}))"
+        f"({dedup.minhash_lsh_pairs_sql(table='corpus', max_bucket=max_bucket)}))"
     )
     comp_ctes = dedup.dedup_components_ctes(pairs, "corpus")
     qf = textstats.quality_filter_sql(
@@ -1081,7 +1098,7 @@ def curate_corpus_sql() -> str:
     grams5 = dedup.shingles_over_tokens_sql("t", k=5)
     toks = textstats.tokens_sql("text")
     return f"""
-WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+WITH RECURSIVE corpus AS ({corpus_sql}),
 {comp_ctes},
 keepers AS (
   SELECT d.* FROM corpus d JOIN allc a ON a.doc_id = d.doc_id
@@ -1108,27 +1125,17 @@ SELECT doc_id, bucket, pack_id, n_tokens FROM walk
 """
 
 
-@query("curate_corpus", curate_corpus_sql())
-def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end curation pipeline as ONE oracled query (VERDICT r2
-    item 5): each stage is the already-verified operator — banded
-    MinHash-LSH pairs (band join carries only ids), pointer-jumping
-    component resolution, keeper semi-join (keep-first per cluster),
-    auditable quality gate (map-only keep verdicts), salted-hash
-    stratified sampling (map-side, shuffle-free), greedy per-bucket
-    sequence packing (one Exchange + Arrow kernel) — so the oracle
-    verifies the COMPOSED semantics: what feeds forward between stages,
-    not just each stage over pristine inputs.
-
-    r4: the pipeline also PROTECTS a benchmark — the deterministic 2%
-    slice doc_id % 50 == 0 plays the external eval set (it is excluded
-    from the curated corpus up front), and after the quality gate every
-    surviving doc is anti-joined away if it shares any word-5-gram with
-    the benchmark (`decontaminate`, broadcast eval grams)."""
-    docs = _t(spark, sf_dir, "documents")
+def _curate_pipeline(
+    docs: DataFrame, max_bucket: int | None
+) -> DataFrame:
+    """Shared body of curate_corpus / curate_corpus_capped: split off the
+    protected benchmark slice, near-dedup (banded MinHash with the
+    degenerate-bucket guard), quality-gate, decontaminate, sample, pack."""
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
-    pairs = dedup.minhash_lsh_pairs(corpus).select("id_a", "id_b")
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, max_bucket=max_bucket
+    ).select("id_a", "id_b")
     comps = dedup.dedup_components(pairs, universe=corpus)
     keepers = corpus.join(
         comps.filter(F.col("is_keeper")).select("doc_id"), "doc_id", "semi"
@@ -1148,6 +1155,89 @@ def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = quality.join(contaminated, "doc_id", "anti")
     sampled = textstats.stratified_sample(clean, _CURATE_RATES)
     return packing.pack_documents(sampled).orderBy("doc_id")
+
+
+@query("curate_corpus", curate_corpus_sql(max_bucket=CURATE_MAX_BUCKET))
+def curate_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline as ONE oracled query (VERDICT r2
+    item 5): each stage is the already-verified operator — banded
+    MinHash-LSH pairs (band join carries only ids), pointer-jumping
+    component resolution, keeper semi-join (keep-first per cluster),
+    auditable quality gate (map-only keep verdicts), salted-hash
+    stratified sampling (map-side, shuffle-free), greedy per-bucket
+    sequence packing (one Exchange + Arrow kernel) — so the oracle
+    verifies the COMPOSED semantics: what feeds forward between stages,
+    not just each stage over pristine inputs.
+
+    r4: the pipeline also PROTECTS a benchmark — the deterministic 2%
+    slice doc_id % 50 == 0 plays the external eval set (it is excluded
+    from the curated corpus up front), and after the quality gate every
+    surviving doc is anti-joined away if it shares any word-5-gram with
+    the benchmark (`decontaminate`, broadcast eval grams).
+
+    r5 (VERDICT r4 item 3): the composed pipeline now carries the
+    degenerate-bucket guard BY DEFAULT (max_bucket=CURATE_MAX_BUCKET) —
+    the reference's analog, its fixed batch split (utils.py:40-106), is
+    always on. At honest corpora the cap is invisible (no band bucket
+    holds >256 docs); on a boilerplate-collapsed corpus it bounds the
+    band self-join (exercised by curate_corpus_capped's planted
+    hot-band fixture). Dropped buckets stay auditable via
+    dedup.lsh_band_stats(min_docs=cap+1)."""
+    return _curate_pipeline(
+        _t(spark, sf_dir, "documents"), CURATE_MAX_BUCKET
+    )
+
+
+# Planted hot-band fixture for the capped sibling: every 7th corpus doc's
+# text is REPLACED by one fixed boilerplate string (the nav-bar /
+# cookie-banner collapse pattern) — ~70 docs at sf0.01 sharing every band
+# key. With the fixture cap of 8 those buckets are hot and EXCLUDED from
+# candidate generation, so the family members stay separate keepers (a
+# recall cap, observably different from the uncapped collapse-to-one).
+# The string passes the quality gate (35 tokens, stopword-rich) and its
+# non-stopword vocabulary is disjoint from the synthetic corpus vocab, so
+# it cannot 5-gram-collide with the protected benchmark slice.
+_CURATE_BOILER = (
+    "the cookie banner asks for consent on every page and the footer of "
+    "the site repeats the same navigation links so the crawler keeps "
+    "seeing this exact boilerplate text again and again on each visit"
+)
+_CURATE_CAPPED_MAX_BUCKET = 8
+_CURATE_CAPPED_CORPUS_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN '" + _CURATE_BOILER
+    + "' ELSE text END AS text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 50 <> 0"
+)
+
+
+@query(
+    "curate_corpus_capped",
+    curate_corpus_sql(
+        max_bucket=_CURATE_CAPPED_MAX_BUCKET,
+        corpus_sql=_CURATE_CAPPED_CORPUS_SQL,
+    ),
+)
+def curate_corpus_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curate_corpus over a boilerplate-collapsed corpus (VERDICT r4
+    item 3's planted hot-band fixture): doc_id % 7 == 3 docs all carry
+    the SAME text, so every one of their MinHash band buckets holds ~70
+    docs. The fixture cap of 8 drops those buckets from candidate
+    generation — the oracle proves the cap SEMANTICS (hot buckets
+    excluded, family members stay separate keepers), not just that the
+    plan is shaped right (test_plans pins that)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            # decorate the CORPUS slice only — the protected benchmark
+            # slice (doc_id % 50 == 0) keeps its organic text, exactly
+            # like the oracle's corpus_sql (else Spark's eval grams
+            # would contain the boilerplate and decontamination would
+            # diverge from the oracle on the planted family).
+            (F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 50 != 0),
+            F.lit(_CURATE_BOILER),
+        ).otherwise(F.col("text")),
+    )
+    return _curate_pipeline(docs, _CURATE_CAPPED_MAX_BUCKET)
 
 
 @query("dedup_simhash", dedup.simhash_sql())
@@ -2614,6 +2704,9 @@ _DEMOTED_ORACLED = frozenset({
     "fingerprint",              # textstats family: token_count, quality_score, repetition_stats in-window
     "lang_id",                  # textstats family (see above)
     "dedup_exact",              # dedup family: keepfirst/minhash/simhash/components/cross_corpus/line in-window
+    # r5 demotion — yields the slot to curate_corpus_capped (the planted
+    # hot-band cap fixture the driver has never sampled):
+    "punct_stats",              # metacompare family: pair_symbols, pair_stats, content_filters in-window
 })
 
 

@@ -393,17 +393,43 @@ def retry_bucket(
         raise ValueError(f"bucket must be in [0, {n_buckets}), got {bucket}")
     _validate_lake_scheme(lake, n_buckets)
     docs = _with_bucket(documents, n_buckets)
-    # an input that contains NO documents for this bucket means the
-    # caller pointed --input at the wrong place: the dynamic overwrite
-    # would touch nothing (stale partition survives) while a fresh
-    # 'completed' lineage row reported the old rows as a successful
-    # re-extraction — fail loudly instead
+    # an input that contains NO documents for this bucket USUALLY means
+    # the caller pointed --input at the wrong place: the dynamic
+    # overwrite would touch nothing (stale partition survives) while a
+    # fresh 'completed' lineage row reported the old rows as a
+    # successful re-extraction. But with a small corpus and many buckets
+    # a bucket can GENUINELY hash to zero docs (ADVICE r4) — the
+    # distinguishing witness is the lake itself: stale spans under this
+    # bucket prove the input is missing docs the lake has (raise), no
+    # spans either side means an honestly empty bucket (proceed: the
+    # overwrite touches nothing and the completed 0-doc lineage row is
+    # the truthful record).
     if docs.filter(F.col("bucket") == bucket).limit(1).count() == 0:
-        raise ValueError(
-            f"input contains no documents for bucket {bucket} "
-            f"(n_buckets={n_buckets}); a retry over it would write "
-            "nothing yet record a fresh completed lineage row"
-        )
+        if documents.limit(1).count() == 0:
+            raise ValueError(
+                f"input is empty — retry of bucket {bucket} "
+                f"(n_buckets={n_buckets}) needs the same --input the "
+                "lake was extracted from"
+            )
+        from pyspark.errors import AnalysisException
+
+        try:
+            stale = (
+                lake.read_spans_out()
+                .filter(F.col("bucket") == bucket)
+                .limit(1)
+                .count()
+            )
+        except AnalysisException:
+            stale = 0  # no spans_out yet: nothing stale to protect
+        if stale:
+            raise ValueError(
+                f"input contains no documents for bucket {bucket} "
+                f"(n_buckets={n_buckets}) but the lake has spans there; "
+                "a retry over it would write nothing yet record a fresh "
+                "completed lineage row — is --input the corpus the lake "
+                "was extracted from?"
+            )
     report = RunReport(run_id=run_id, buckets_total=n_buckets)
     _process_group(lake, docs, run_id, [bucket], n_buckets, num_partitions, report)
     return report

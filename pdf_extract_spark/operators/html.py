@@ -67,12 +67,22 @@ def parse_html_safe_udf(content: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"spans": spans_out, "parse_error": errs})
 
 
+HTML_GATE_SCAN_BYTES = 4096
+
+
 def html_gate(content_col: str = "content"):
-    """The S2-analog validity predicate: non-empty payload containing
-    markup. NULL-safe (coalesces to false)."""
+    """The S2-analog validity predicate: non-empty payload whose FIRST
+    ``HTML_GATE_SCAN_BYTES`` contain markup. NULL-safe (coalesces to
+    false). The scan is bounded (ADVICE r4): casting the whole payload
+    to string copies every page twice before the parser ever runs —
+    the PDF gate reads 5 bytes, this one reads at most 4 KiB (any real
+    HTML shows '<' in its first handful of bytes via doctype/html/head;
+    a page whose first tag sits past 4 KiB of tagless prose is
+    quarantined as markup-free, the documented gate semantics)."""
     c = F.col(content_col)
+    head = F.substring(c, 1, HTML_GATE_SCAN_BYTES).cast("string")
     return F.coalesce(
-        c.isNotNull() & (F.length(c) > 0) & (F.instr(c.cast("string"), "<") > 0),
+        c.isNotNull() & (F.length(c) > 0) & (F.instr(head, "<") > 0),
         F.lit(False),
     )
 

@@ -148,9 +148,18 @@ def domain_cap(
     url_col: str = "url",
     id_col: str = "doc_id",
     salt_buckets: int = 64,
+    keep_unkeyed: bool = False,
 ) -> DataFrame:
     """At most ``max_per_domain`` rows per registrable host, keeping the
     lowest ids (deterministic, exact).
+
+    Rows with NO parseable http(s) host (mailto:, relative paths, NULL
+    urls) have no domain to cap on. By default they are DROPPED — the
+    cap doubles as an "is a web document" gate. Pass
+    ``keep_unkeyed=True`` to union them back uncapped instead (the same
+    passthrough contract dedup_url applies to unkeyed rows), which is
+    what a composed pipeline wants when non-URL docs must survive the
+    curation chain (web_curate does this).
 
     The naive plan — ONE row_number window partitioned by domain — is the
     textbook hot-key straggler at web scale: a giant domain's every row
@@ -188,4 +197,11 @@ def domain_cap(
         .filter(F.col("_rn") <= max_per_domain)
         .select(id_col)
     )
-    return df.join(kept, id_col, "left_semi")
+    capped = df.join(kept, id_col, "left_semi")
+    if not keep_unkeyed:
+        return capped
+    # unkeyed = no registrable host (NULL canonical or empty extract);
+    # mirrors the slim-projection filter above, which drops exactly
+    # NOT(_domain != ''), i.e. NULL and ''.
+    unkeyed = df.filter(dom.isNull() | (dom == ""))
+    return capped.unionByName(unkeyed)

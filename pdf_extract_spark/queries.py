@@ -2349,15 +2349,21 @@ def _web_curate_sql() -> str:
 WITH urls AS ({_MESSY_URL_SQL}),
 canon AS (SELECT doc_id, {canonicalize_url_sql("url")} AS c FROM urls),
 keepers AS (
-  SELECT MIN(doc_id) AS doc_id, c FROM canon WHERE c IS NOT NULL GROUP BY c),
+  SELECT MIN(doc_id) AS doc_id, c FROM canon WHERE c IS NOT NULL GROUP BY c
+  UNION ALL SELECT doc_id, c FROM canon WHERE c IS NULL),
+hosted AS (SELECT doc_id, {_host_c} AS host FROM keepers),
 ranked AS (
-  SELECT doc_id, {_host_c} AS domain,
-         row_number() OVER (PARTITION BY {_host_c}
-                            ORDER BY doc_id) AS rn
-  FROM keepers),
-capped AS (SELECT doc_id, domain FROM ranked WHERE rn <= 3),
+  SELECT doc_id, host,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+  FROM hosted WHERE host IS NOT NULL AND host <> ''),
+capped AS (
+  SELECT doc_id, host FROM ranked WHERE rn <= 3
+  UNION ALL
+  SELECT doc_id, host FROM hosted WHERE host IS NULL OR host = ''),
 kept AS (
-  SELECT capped.domain, d.n_chars FROM capped
+  SELECT CASE WHEN capped.host IS NULL OR capped.host = ''
+              THEN '(no-url)' ELSE capped.host END AS domain,
+         d.n_chars FROM capped
   JOIN documents d USING (doc_id) WHERE d.n_chars >= 200)
 SELECT domain, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS total_chars
 FROM kept GROUP BY 1
@@ -2368,16 +2374,21 @@ FROM kept GROUP BY 1
 def web_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed web-curation path under ONE oracle (the curate_corpus
     pattern applied to the URL leg): messy crawl URLs -> canonical
-    keep-first dedup -> per-domain cap (3) -> length quality gate
-    (n_chars >= 200) -> per-domain survivor stats. Each stage keeps its
-    pinned shape; inter-stage dataflow is (doc_id, url/domain) only."""
+    keep-first dedup -> per-domain cap (3, keep_unkeyed so non-URL docs
+    dedup_url preserved are not silently lost at the cap — ADVICE r4) ->
+    length quality gate (n_chars >= 200) -> per-domain survivor stats
+    (unkeyed docs under '(no-url)'). Each stage keeps its pinned shape;
+    inter-stage dataflow is (doc_id, url/domain) only."""
     from pdf_extract_spark.operators import weburl
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", _messy_url().alias("url")
     )
-    capped = weburl.domain_cap(weburl.dedup_url(docs), 3)
-    dom = weburl.url_host(weburl.canonicalize_url(F.col("url")))
+    capped = weburl.domain_cap(weburl.dedup_url(docs), 3, keep_unkeyed=True)
+    host = weburl.url_host(weburl.canonicalize_url(F.col("url")))
+    dom = F.when(
+        host.isNull() | (host == ""), F.lit("(no-url)")
+    ).otherwise(host)
     return (
         capped.filter(F.col("n_chars") >= 200)
         .select(dom.alias("domain"), "n_chars")
@@ -2553,6 +2564,13 @@ def extract_spans_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   2: 3 columns but 60pt row pitch            -> rejected (adjacency gate)
 #   3: single column, one line per row         -> rejected (no multi rows)
 # Map-only plan: no shuffle, no collect.
+# Quantization pin (ADVICE r4): the kernel computes int(x // 2.0) —
+# Python FLOAT FLOOR division. The oracle mirrors it with
+# CAST(floor(x / 2.0) AS BIGINT), which agrees for ANY sign (DuckDB's
+# integer '//' truncates toward zero on some engines and would diverge
+# on negative geometry). The current fixture is non-negative integers,
+# so both forms coincide today; keep floor() so a future fixture with
+# negative or fractional coordinates stays exact.
 # ---------------------------------------------------------------------
 
 TABLE_DETECT_SQL = """
@@ -2573,7 +2591,9 @@ geo AS (
       WHEN 2 THEN 100 + 60 * (i // 3)
       ELSE 100 + 25 * i END AS y0
   FROM lines),
-q AS (SELECT doc_id, i, x0 // 2 AS qx, y0 // 2 AS qy FROM geo),
+q AS (SELECT doc_id, i,
+        CAST(floor(x0 / 2.0) AS BIGINT) AS qx,
+        CAST(floor(y0 / 2.0) AS BIGINT) AS qy FROM geo),
 multi AS (
   SELECT doc_id, qy FROM q GROUP BY doc_id, qy
   HAVING COUNT(DISTINCT qx) >= 2),

@@ -366,3 +366,30 @@ def test_corrupt_lineage_surfaces_not_first_run(spark, docs_df, tmp_path):
         assert lin is not None  # None would be the "first run" regression
         lin.collect()
     assert not isinstance(ei.value, (ValueError, AttributeError, AssertionError))
+
+
+def test_retry_bucket_genuinely_empty_is_a_truthful_noop(spark, docs_df, tmp_path):
+    """A bucket can legitimately hash to zero docs (small corpus, many
+    buckets — ADVICE r4): retrying it with the CORRECT input must not
+    raise (the lake agrees the bucket is empty; the overwrite touches
+    nothing and the completed 0-doc lineage row is the truthful record).
+    An empty INPUT still raises — that is the wrong-path case."""
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.lineage import bucket_of, retry_bucket
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    thin = docs_df.filter(bucket_of(F.col("doc_id"), N_BUCKETS) != 3)
+    run_extraction_with_lineage(
+        lake, thin, run_id="r1", n_buckets=N_BUCKETS, group_size=GROUP
+    )
+    rep = retry_bucket(lake, thin, run_id="r2", bucket=3, n_buckets=N_BUCKETS)
+    assert rep.buckets_processed
+    lin = lake.read_lineage()
+    rows = lin.filter((lin.bucket == 3) & (lin.run_id == "r2")).collect()
+    assert [r["status"] for r in rows] == ["completed"]
+    assert (rows[0]["doc_count"] or 0) == 0
+    with pytest.raises(ValueError, match="input is empty"):
+        retry_bucket(
+            lake, thin.limit(0), run_id="r3", bucket=3, n_buckets=N_BUCKETS
+        )

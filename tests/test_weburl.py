@@ -154,3 +154,21 @@ def test_canonicalize_twins_agree_on_newline_bearing_urls(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_domain_cap_keep_unkeyed_passthrough(spark):
+    """keep_unkeyed=True unions the no-domain rows (mailto:, relative
+    paths, NULL urls) back UNCAPPED — the same passthrough contract
+    dedup_url applies — so composed pipelines don't silently lose
+    non-URL docs at the cap stage (ADVICE r4). Default stays the
+    documented drop."""
+    rows = [(i, f"https://d{i % 2}.example/p/{i}") for i in range(10)]
+    unkeyed = [(99, "mailto:x@example.org"), (98, "/relative/path"), (97, None)]
+    df = spark.createDataFrame(rows + unkeyed, "doc_id long, url string")
+    dropped = {r["doc_id"] for r in weburl.domain_cap(df, 2).collect()}
+    assert dropped == {0, 2, 1, 3}
+    kept = {
+        r["doc_id"]
+        for r in weburl.domain_cap(df, 2, keep_unkeyed=True).collect()
+    }
+    assert kept == {0, 2, 1, 3, 99, 98, 97}

@@ -69,6 +69,8 @@ HEADLINE = [
     "table_detect",             # grid-aligned table source_type classification
     "link_domains",             # JVM-regex href harvest + per-domain counts
     "url_dedup_hosts",          # URL canonicalization + keep-first dedup
+    "domain_cap_kept",          # salted two-phase per-domain cap (r5: recorded number)
+    "web_curate",               # composed URL leg: dedup_url -> domain_cap -> gate
     "line_dedup",               # corpus-level duplicated-line removal (RefinedWeb step)
 ]
 
@@ -310,7 +312,7 @@ def write_bench_md(result: dict) -> None:
     lines += [
         "## ANN accuracy/cost trade (recall@10 vs brute-force cosine)",
         "",
-        f"MEASURED in this bench run on the sf{rsf} embeddings (5 queries,",
+        f"MEASURED in this bench run on the sf{rsf} embeddings (50 queries,",
         "k=10, dim 64; fully deterministic — md5-derived hyperplanes and",
         "centroid seeds; reproduce with",
         "tests/test_similarity_ann.py::test_ann_recall_measured):",
@@ -410,7 +412,10 @@ def write_bench_md(result: dict) -> None:
         "The headline suite is cumulative: 26 queries in r2, 29 in r3, 35 at",
         "the end of r4 (added across r4: table_detect, decontaminate,",
         "html_extract, link_domains, url_dedup_hosts, line_dedup — the last",
-        "four are the new HTML/web-curation leg). Total suite wall time GROWS by",
+        "four are the new HTML/web-curation leg), 37 in r5 (added:",
+        "domain_cap_kept and web_curate, so the salted two-phase domain cap",
+        "has recorded numbers to regress against — VERDICT r4 item 6).",
+        "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",
         "— in line with its structural twin pdf_bytes_extract; link_domains",
@@ -440,6 +445,19 @@ def write_bench_md(result: dict) -> None:
         "  [1.31, 1.289, 1.211, 1.243, 1.058] s, median 1.243 s, faster",
         "  than either suite reading. Ambient noise, not a regression; the",
         "  plan was unchanged and no fix was applied.",
+        "- curate_corpus r4 suite reading 12.5 s (vs 9.6 s r3, +30%, with",
+        "  the decontamination stage added in-round): SPLIT in r5 by the",
+        "  isolated protocol — 5 warm reps each at sf0.1, same session:",
+        "  r4-shape WITHOUT decontaminate median 12.30 s, WITH it 11.91 s.",
+        "  The decontamination stage's marginal cost is ZERO within the",
+        "  noise band (the broadcast eval-gram anti-join rides the already-",
+        "  shuffled quality survivors); the r4 +30% was ambient drift.",
+        "  The r5 default hot-band cap (max_bucket=256) measured 13.96 s",
+        "  median in the same session: ~2 s of real guard overhead (one",
+        "  extra band-key aggregate + anti-join) bought as insurance — at",
+        "  sf0.1 no bucket is hot so it is pure cost here; on a",
+        "  boilerplate-collapsed corpus it is the difference between a",
+        "  bounded band join and a quadratic one.",
         "",
         "## Iceberg commit overhead — not measurable in this sandbox",
         "",

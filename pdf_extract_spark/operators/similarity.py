@@ -621,10 +621,14 @@ def _recall_vs_exact(emb, variants: dict, n_queries: int, k: int) -> dict[str, f
     return out
 
 
-def measure_ann_recall(spark, sf_dir: str, n_queries: int = 5, k: int = 10,
+def measure_ann_recall(spark, sf_dir: str, n_queries: int = 50, k: int = 10,
                        dim: int = 64) -> dict[str, float]:
     """recall@k of every ANN variant vs cosine_topk ground truth on the
-    sf_dir embeddings — the accuracy side of the accuracy/cost trade."""
+    sf_dir embeddings — the accuracy side of the accuracy/cost trade.
+    n_queries defaults to 50 (VERDICT r4 item 5): at 5 queries a single
+    unlucky query moves recall@10 by 0.2, too thin for the design claims
+    BENCH.md rests on; 50 queries x k=10 = 500 candidate slots keeps the
+    table load-bearing and still runs in seconds at sf0.1."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     variants = {
         "lsh": ann_lsh_topk(emb, n_queries=n_queries, k=k, dim=dim),
@@ -664,11 +668,15 @@ def make_clustered_embeddings(spark, n: int = 400, k_clusters: int = 8,
     )
 
 
-def measure_clustered_ivf_recall(spark, n_queries: int = 5,
+def measure_clustered_ivf_recall(spark, n_queries: int = 50,
                                  k: int = 10) -> dict[str, float]:
     """recall@k of trained vs untrained IVF on the planted-cluster
     corpus — the evidence behind BENCH.md's 'training wins on clustered
-    corpora' claim."""
+    corpora' claim. At n_queries=50 the query set spans every planted
+    cluster (not just the degenerate near-dup seeding prefix the first
+    5 ids are), so the gap is the honest cross-cluster one: trained
+    ~0.96 vs untrained ~0.71, rather than the prefix-only 0.82 vs
+    0.18."""
     emb = make_clustered_embeddings(spark)
     emb = emb.cache()
     emb.count()

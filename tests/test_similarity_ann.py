@@ -160,7 +160,7 @@ def test_minhash_hot_bucket_cap_and_plan(spark):
     assert hot_buckets >= 1
 
 
-def ann_recall_at_k(spark, sf_dir, n_queries=5, k=10):
+def ann_recall_at_k(spark, sf_dir, n_queries=50, k=10):
     """recall@k of each ANN variant vs cosine_topk ground truth — the
     accuracy side of the accuracy/cost trade. Lives in similarity.py so
     bench.py measures the same numbers it writes into BENCH.md."""
@@ -169,24 +169,28 @@ def ann_recall_at_k(spark, sf_dir, n_queries=5, k=10):
 
 def test_ann_recall_measured(spark):
     recalls = ann_recall_at_k(spark, SF)
-    print(f"\nANN recall@10 vs brute force: {recalls}")
+    print(f"\nANN recall@10 vs brute force (n=50): {recalls}")
     # multiprobe probes a superset of lsh's buckets
     assert recalls["multiprobe"] >= recalls["lsh"]
     # the accuracy ladder this corpus exhibits (weakly clustered synthetic
-    # embeddings): one fine-grained sign-LSH table has near-zero recall,
-    # multi-table recovers a third of the true neighbours, distance-
-    # trained IVF with 2-of-8 probed cells finds most of them
-    assert recalls["multitable"] >= 0.25
+    # embeddings), now over 50 queries x k=10 = 500 candidate slots
+    # (VERDICT r4 item 5: at n=5 one unlucky query moved recall by 0.2):
+    # one fine-grained sign-LSH table has near-zero recall, multi-table
+    # recovers over a third of the true neighbours, distance-trained IVF
+    # with 2-of-8 probed cells finds over half. Measured n=50 values:
+    # sf0.001 {lsh .02, multiprobe .104, multitable .376, ivf_fixed
+    # .518, ivf .572}; sf0.1 {.03, .134, .44, .498, .50}.
+    assert recalls["multitable"] >= 0.3
     assert recalls["multitable"] > recalls["multiprobe"]
     assert recalls["ivf"] >= 0.5
     # the fixed (untrained-seed) quantizer shares the probe machinery, so
     # its recall lands in the same band — on THIS weakly-clustered
-    # synthetic corpus it is competitive with the trained one (at sf0.01
-    # it even edges it out, 0.94 vs 0.90: Lloyd pulls centroids toward
-    # the global mean when clusters are weak, trading probe diversity for
-    # within-cell fit). Training pays on genuinely clustered data;
+    # synthetic corpus it is competitive with the trained one: Lloyd
+    # pulls centroids toward the global mean when clusters are weak,
+    # trading probe diversity for within-cell fit. Training pays on
+    # genuinely clustered data (test_trained_ivf_wins_on_clustered_corpus);
     # ann_ivf_fixed exists for oracle exactness either way.
-    assert recalls["ivf_fixed"] >= 0.5
+    assert recalls["ivf_fixed"] >= 0.45
 
 
 def test_dedup_components_transitive_chain(spark):
@@ -289,9 +293,15 @@ def test_trained_ivf_wins_on_clustered_corpus(spark):
     decisively beat the untrained seed quantizer — the evidence behind
     BENCH.md's 'training pays on clustered corpora' claim (the sf
     embeddings show the opposite regime: weak clusters, where untrained
-    seeds are competitive)."""
+    seeds are competitive).
+
+    n_queries=50 (VERDICT r4 item 5): the query set now spans every
+    planted cluster instead of only the degenerate near-dup seeding
+    prefix, so the measured gap is the honest cross-cluster one —
+    trained 0.96 vs untrained 0.708 (deterministic fixture) — rather
+    than the prefix-only 0.82 vs 0.18 r4 reported."""
     recalls = S.measure_clustered_ivf_recall(spark)
-    print(f"\nclustered-corpus IVF recall@10: {recalls}")
-    assert recalls["ivf"] >= 0.7, recalls
-    assert recalls["ivf_fixed"] <= 0.4, recalls
-    assert recalls["ivf"] - recalls["ivf_fixed"] >= 0.3, recalls
+    print(f"\nclustered-corpus IVF recall@10 (n=50): {recalls}")
+    assert recalls["ivf"] >= 0.9, recalls
+    assert recalls["ivf_fixed"] <= 0.8, recalls
+    assert recalls["ivf"] - recalls["ivf_fixed"] >= 0.2, recalls

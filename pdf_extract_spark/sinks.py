@@ -55,6 +55,74 @@ def write_sentences(
         rows.write.mode("append").parquet(path)
 
 
+SENTENCE_HASH_COL = "sentence_hash"
+
+
+def write_sentences_indexed(
+    sentences: DataFrame,
+    path: str,
+    n_files: int = 32,
+    sentence_col: str = "sentence",
+    bloom_ndv: int = 1_000_000,
+) -> None:
+    """Point-lookup-optimized sentence layout — the Spark-native answer
+    to the reference's full-sentence-text SQLite indexes
+    (/root/reference/database.py:140,146; SURVEY.md §1.4 maps them to
+    "partitioning + bloom filters / z-order"). Storage organization is
+    paid ONCE at write time so a "find this sentence" probe never
+    full-scans:
+
+    * a persisted 64-bit ``xxhash64(sentence)`` key column,
+    * files range-partitioned and rows sorted by that key, so a
+      hash-equality probe prunes to one row group via parquet min/max
+      statistics (the z-order analog for a single key),
+    * a parquet BLOOM FILTER on the raw sentence column, so an
+      equality probe on the string itself skips row groups whose
+      min/max would otherwise admit it (absent-probe scans read ZERO
+      rows — measured in tests/test_sentence_lookup.py).
+
+    At 100 TB the probe cost is footer reads + one row group; both
+    pruning layers act in the parquet reader before any row reaches
+    Spark."""
+    keyed = sentences.withColumn(
+        SENTENCE_HASH_COL, F.xxhash64(F.col(sentence_col))
+    )
+    (
+        keyed.repartitionByRange(n_files, SENTENCE_HASH_COL)
+        .sortWithinPartitions(SENTENCE_HASH_COL)
+        .write.mode("overwrite")
+        .option(f"parquet.bloom.filter.enabled#{sentence_col}", "true")
+        .option(
+            f"parquet.bloom.filter.expected.ndv#{sentence_col}",
+            str(bloom_ndv),
+        )
+        .parquet(path)
+    )
+
+
+def lookup_sentence(
+    spark, path: str, text: str, sentence_col: str = "sentence"
+) -> DataFrame:
+    """Exact-sentence point lookup against a ``write_sentences_indexed``
+    layout. The probe hash is computed by SPARK itself (one row-local
+    job) so it is byte-identical to the persisted key, then pushed as a
+    LITERAL equality — ``xxhash64`` of a literal is not constant-folded
+    by Catalyst, and a non-literal comparand would not reach
+    PushedFilters. Both equalities (hash and raw string) land in the
+    parquet scan: the hash hits the sorted min/max layout, the string
+    hits the bloom filter."""
+    h = (
+        spark.range(1)
+        .select(F.xxhash64(F.lit(text)).alias("h"))
+        .collect()[0]["h"]
+    )
+    df = spark.read.parquet(path)
+    return df.filter(
+        (F.col(SENTENCE_HASH_COL) == F.lit(h))
+        & (F.col(sentence_col) == F.lit(text))
+    )
+
+
 def write_csv(df: DataFrame, path: str, bom: bool = False) -> None:
     """S12 — header CSV export.
 

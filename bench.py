@@ -452,12 +452,24 @@ def write_bench_md(result: dict) -> None:
         "  The decontamination stage's marginal cost is ZERO within the",
         "  noise band (the broadcast eval-gram anti-join rides the already-",
         "  shuffled quality survivors); the r4 +30% was ambient drift.",
-        "  The r5 default hot-band cap (max_bucket=256) measured 13.96 s",
-        "  median in the same session: ~2 s of real guard overhead (one",
-        "  extra band-key aggregate + anti-join) bought as insurance — at",
-        "  sf0.1 no bucket is hot so it is pure cost here; on a",
-        "  boilerplate-collapsed corpus it is the difference between a",
-        "  bounded band join and a quadratic one.",
+        "- the r5 default hot-band cap (max_bucket=256) in curate_corpus:",
+        "  a first groupBy-sizes + anti-join implementation measured ~2 s",
+        "  of guard overhead (13.96 s median vs 11.91 uncapped — the size",
+        "  aggregate's exchange carries partial rows, so the anti-join",
+        "  recomputed the corpus-sized minhash upstream). Rewritten as a",
+        "  WINDOW count over band_key (plan-pinned: no LeftAnti, no",
+        "  broadcast, one Generate explode with ReusedExchange), the",
+        "  capped pipeline measured FASTER than uncapped — 7.58 s vs",
+        "  9.80 s median, 5 interleaved warm reps. Root cause isolated:",
+        "  NOT the cap dropping work (sf0.1's densest band bucket holds 5",
+        "  docs — nothing is hot), but the exchange boundary the window",
+        "  introduces, which materializes the minhash upstream as ONE",
+        "  reusable shuffle stage; without it the band self-join's second",
+        "  side recomputes shingles+minhash for the whole corpus. The",
+        "  uncapped path now gets the same boundary via an explicit",
+        "  repartition(band_key) — minhash_lsh_pairs alone went",
+        "  5.84 s -> 3.28 s median (5 interleaved warm reps at sf0.1),",
+        "  and the join needed that partitioning anyway.",
         "",
         "## Iceberg commit overhead — not measurable in this sandbox",
         "",

@@ -2684,6 +2684,50 @@ def table_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# sentence point lookup (the reference's full-sentence-text indexes,
+# database.py:140,146 — re-expressed as write-time storage organization)
+# =====================================================================
+
+_SENTENCE_LOOKUP_SQL = """
+SELECT d.doc_id AS original_filename, d.text AS sentence
+FROM documents d
+WHERE d.text = (SELECT text FROM documents WHERE doc_id = 123)
+"""
+
+
+@query("sentence_lookup", _SENTENCE_LOOKUP_SQL)
+def sentence_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-sentence point lookup through the indexed layout
+    (sinks.write_sentences_indexed / lookup_sentence): the corpus is
+    written range-partitioned + sorted on xxhash64(sentence) with a
+    parquet bloom filter on the raw string, then probed for doc 123's
+    text. The oracle is the semantic contract (every doc carrying that
+    exact text); the PRUNING evidence — one row group read for present
+    probes, zero rows for absent ones — is pinned separately in
+    tests/test_sentence_lookup.py. The single-row probe collect is the
+    point-lookup's input, not a driver-side loop."""
+    import os
+    import tempfile
+
+    from pdf_extract_spark import sinks
+
+    docs = _t(spark, sf_dir, "documents")
+    sentences = docs.select(
+        F.col("text").alias("sentence"),
+        F.col("doc_id").alias("original_filename"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pes_sentence_lake_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    sinks.write_sentences_indexed(sentences, path, n_files=8)
+    probe = docs.filter(F.col("doc_id") == 123).collect()[0]["text"]
+    return sinks.lookup_sentence(spark, path, probe).select(
+        "original_filename", "sentence"
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate samples the FIRST 50
 # entries of queries().  Three tiers:
@@ -2724,9 +2768,10 @@ _DEMOTED_ORACLED = frozenset({
     "fingerprint",              # textstats family: token_count, quality_score, repetition_stats in-window
     "lang_id",                  # textstats family (see above)
     "dedup_exact",              # dedup family: keepfirst/minhash/simhash/components/cross_corpus/line in-window
-    # r5 demotion — yields the slot to curate_corpus_capped (the planted
-    # hot-band cap fixture the driver has never sampled):
+    # r5 demotions — yield slots to curate_corpus_capped and
+    # sentence_lookup (new registrations the driver has never sampled):
     "punct_stats",              # metacompare family: pair_symbols, pair_stats, content_filters in-window
+    "zip_join_events",          # join family: left/full-outer/asof/semi joins in-window
 })
 
 

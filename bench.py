@@ -470,6 +470,10 @@ def write_bench_md(result: dict) -> None:
         "  repartition(band_key) — minhash_lsh_pairs alone went",
         "  5.84 s -> 3.28 s median (5 interleaved warm reps at sf0.1),",
         "  and the join needed that partitioning anyway.",
+        "- dedup_cross_corpus r5 suite reading 5.97 s (vs 4.54 s r4,",
+        "  nominal 1.31x, code untouched): KILLED by the isolated protocol",
+        "  — 5 warm reps at sf0.1 gave median 4.362 s, at r4's level.",
+        "  Ambient suite-position noise, no fix applied.",
         "",
         "## Iceberg commit overhead — not measurable in this sandbox",
         "",

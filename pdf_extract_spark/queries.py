@@ -1126,12 +1126,21 @@ SELECT doc_id, bucket, pack_id, n_tokens FROM walk
 
 
 def _curate_pipeline(
-    docs: DataFrame, max_bucket: int | None
+    docs: DataFrame, max_bucket: int | None,
+    eval_docs: DataFrame | None = None,
 ) -> DataFrame:
-    """Shared body of curate_corpus / curate_corpus_capped: split off the
-    protected benchmark slice, near-dedup (banded MinHash with the
-    degenerate-bucket guard), quality-gate, decontaminate, sample, pack."""
-    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    """Shared body of the curate_corpus family: split off the protected
+    benchmark slice, near-dedup (banded MinHash with the
+    degenerate-bucket guard), quality-gate, decontaminate, sample, pack.
+    ``eval_docs`` overrides the benchmark slice when the caller has
+    already preprocessed ``docs`` (curate_corpus_full decontaminates
+    against the RAW benchmark — the external eval set is never run
+    through the corpus's own cleaning)."""
+    ev = (
+        eval_docs
+        if eval_docs is not None
+        else docs.filter(F.col("doc_id") % 50 == 0)
+    )
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     pairs = dedup.minhash_lsh_pairs(
         corpus, max_bucket=max_bucket
@@ -1238,6 +1247,102 @@ def curate_corpus_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return _curate_pipeline(docs, _CURATE_CAPPED_MAX_BUCKET)
+
+
+# The FULL curation chain a real 100 TB run executes: corpus-level
+# line dedup (nav bars / rights lines removed across pages) -> PII
+# scrub -> the capped curate pipeline (near-dedup, quality, benchmark
+# decontamination, sampling, packing) — all under ONE composed oracle.
+# The fixture decorates every document into three lines so the new
+# stages do real work: a corpus-wide boilerplate line on even docs
+# ('All Rights Reserved', removed by line dedup), the original text as
+# the content line (keeps the quality gate meaningful), and a PII line
+# on every third doc (doc-unique contact email + phone, survives line
+# dedup, then scrubbed to [EMAIL]/[PHONE]).
+_FULL_DECOR_SQL = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 2 = 0 THEN 'All Rights Reserved'
+             ELSE 'intro ' || doc_id::VARCHAR END)
+       || chr(10) || coalesce(text, '')
+       || chr(10) || (CASE WHEN doc_id % 3 = 0
+             THEN 'contact user' || doc_id::VARCHAR
+                  || '@example.com office 555-123-4567'
+             ELSE 'tail ' || doc_id::VARCHAR END)
+       AS text, lang, source, n_chars
+FROM documents
+"""
+
+
+def _curate_full_corpus_sql() -> str:
+    """The corpus CTE of curate_corpus_full: decorated corpus slice ->
+    dedup_lines -> pii_scrub -> documents-shaped relation (n_chars
+    recomputed over the cleaned text)."""
+    ld = dedup.dedup_lines_sql(
+        table=f"(SELECT * FROM ({_FULL_DECOR_SQL}) fd "
+              "WHERE doc_id % 50 <> 0) dc"
+    )
+    pii = textstats.pii_scrub_sql(table=f"({ld}) ld", text_expr="clean_text")
+    return f"""
+SELECT r.doc_id, p.scrubbed AS text, r.lang, r.source,
+       length(p.scrubbed)::BIGINT AS n_chars
+FROM documents r JOIN ({pii}) p ON p.doc_id = r.doc_id
+WHERE r.doc_id % 50 <> 0
+"""
+
+
+def _full_decorated(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    deco = F.concat_ws(
+        "\n",
+        F.when(d % 2 == 0, F.lit("All Rights Reserved")).otherwise(
+            F.concat(F.lit("intro "), ds)
+        ),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("contact user"), ds,
+                F.lit("@example.com office 555-123-4567"),
+            ),
+        ).otherwise(F.concat(F.lit("tail "), ds)),
+    )
+    return docs.withColumn("text", deco)
+
+
+@query(
+    "curate_corpus_full",
+    curate_corpus_sql(
+        max_bucket=CURATE_MAX_BUCKET, corpus_sql=_curate_full_corpus_sql()
+    ),
+)
+def curate_corpus_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full web-curation chain under ONE oracle (r5): line dedup and
+    PII scrubbing run BEFORE near-dedup so boilerplate lines and
+    redaction tokens — not raw PII — drive the MinHash signatures, then
+    the capped curate pipeline (components, keepers, quality gate,
+    benchmark decontamination, stratified sample, packing) runs over
+    the cleaned corpus. The benchmark slice stays RAW — an external
+    eval set is never run through the corpus's own cleaning. Inter-stage
+    dataflow beyond the cleaned text itself is ids + short columns; every
+    stage keeps its individually pinned plan shape."""
+    raw = _t(spark, sf_dir, "documents")
+    deco = _full_decorated(raw)
+    corpus_raw = deco.filter(F.col("doc_id") % 50 != 0)
+    ld = dedup.dedup_lines(corpus_raw)
+    scrub = textstats.pii_scrub(
+        ld.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    base = (
+        corpus_raw.select("doc_id", "lang", "source")
+        .join(scrub.select("doc_id", F.col("scrubbed").alias("text")), "doc_id")
+        .select(
+            "doc_id", "text", "lang", "source",
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+    ev = raw.filter(F.col("doc_id") % 50 == 0)
+    return _curate_pipeline(base, CURATE_MAX_BUCKET, eval_docs=ev)
 
 
 @query("dedup_simhash", dedup.simhash_sql())
@@ -2768,10 +2873,12 @@ _DEMOTED_ORACLED = frozenset({
     "fingerprint",              # textstats family: token_count, quality_score, repetition_stats in-window
     "lang_id",                  # textstats family (see above)
     "dedup_exact",              # dedup family: keepfirst/minhash/simhash/components/cross_corpus/line in-window
-    # r5 demotions — yield slots to curate_corpus_capped and
-    # sentence_lookup (new registrations the driver has never sampled):
+    # r5 demotions — yield slots to curate_corpus_capped,
+    # sentence_lookup and curate_corpus_full (new registrations the
+    # driver has never sampled):
     "punct_stats",              # metacompare family: pair_symbols, pair_stats, content_filters in-window
     "zip_join_events",          # join family: left/full-outer/asof/semi joins in-window
+    "compression_ratio",        # agg family: pricing_summary, mode_quantity in-window
 })
 
 

@@ -59,3 +59,28 @@ def test_capped_fixture_is_hot_and_cap_changes_keepers(spark):
     assert _family_keepers(
         corpus, fam, Q._CURATE_CAPPED_MAX_BUCKET
     ) == n_fam
+
+
+def test_curate_full_stages_do_real_work(spark):
+    """The curate_corpus_full fixture must EXERCISE its two new stages:
+    line dedup removes the corpus-wide boilerplate line from every even
+    doc, and pii_scrub replaces the planted contact line's email/phone
+    with redaction tokens BEFORE anything downstream hashes the text."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from pdf_extract_spark import queries as Q
+    from pdf_extract_spark.operators import textstats
+
+    deco = Q._full_decorated(docs).filter(F.col("doc_id") % 50 != 0)
+    ld = D.dedup_lines(deco)
+    removed = ld.filter(F.col("n_removed") > 0).count()
+    assert removed > 0
+    sample = ld.filter((F.col("doc_id") % 2 == 0)).limit(5).collect()
+    assert all("All Rights Reserved" not in r["clean_text"] for r in sample)
+    scrub = textstats.pii_scrub(
+        ld.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    pii_rows = scrub.filter(F.col("n_emails") > 0)
+    assert pii_rows.count() > 0
+    one = pii_rows.limit(1).collect()[0]
+    assert "[EMAIL]" in one["scrubbed"] and "@example.com" not in one["scrubbed"]
+    assert "[PHONE]" in one["scrubbed"]

@@ -477,6 +477,14 @@ def write_bench_md(result: dict) -> None:
         "  nominal 1.31x, code untouched): KILLED by the isolated protocol",
         "  — 5 warm reps at sf0.1 gave median 4.362 s, at r4's level.",
         "  Ambient suite-position noise, no fix applied.",
+        "- web_curate's r5 keep_unkeyed passthrough, first implemented as",
+        "  filter-and-union, re-ran the canonicalize regex chain over the",
+        "  corpus a second time (isolated A/B: 4.53 s vs 3.45 s for the",
+        "  old drop semantics). Rewritten single-pass — unkeyed rows ride",
+        "  the same window under per-row sentinel keys in a disjoint",
+        "  namespace — measured 2.75 s median, faster than even the",
+        "  drop-semantics version (the drop path's filter also paid a",
+        "  canonicalize evaluation the sentinel projection folds away).",
         "",
         "## Iceberg commit overhead — not measurable in this sandbox",
         "",

@@ -391,7 +391,9 @@ def minhash_lsh_pairs_sql(
 ) -> str:
     """DuckDB twin of minhash_lsh_pairs. With ``max_bucket`` the cand
     CTE excludes band keys holding more than that many docs — the same
-    recall cap the Spark side applies via _cap_hot_bands' anti-join."""
+    recall cap the Spark side applies via _cap_hot_bands' window count
+    (a NOT IN subquery expresses it most directly in SQL; the Spark
+    plan shape is pinned separately in test_plans.py)."""
     cap_cte, cand_src = "", "bands"
     if max_bucket is not None:
         cap_cte = (

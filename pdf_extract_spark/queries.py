@@ -1075,8 +1075,8 @@ _CURATE_MIN_TOKENS, _CURATE_MIN_STOP = 25, 0.01
 # on). 256 is far above any honest near-dup family (a real family of n
 # docs costs n^2/2 candidate rows; 256 -> ~32k rows per bucket, bounded)
 # while catching the pathological nav-bar/cookie-banner collapse. The
-# dropped buckets stay auditable: hot_band_stats / dedup.lsh_band_stats
-# lists every bucket a cap excludes.
+# dropped buckets stay auditable: dedup.lsh_band_stats (SQL twin
+# dedup.lsh_band_stats_sql) lists every bucket a cap excludes.
 CURATE_MAX_BUCKET = 256
 
 

@@ -2789,6 +2789,18 @@ def table_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("lsh_band_audit", dedup.lsh_band_stats_sql(min_docs=2))
+def lsh_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dropped-bucket ledger a capped MinHash run consults
+    (dedup.lsh_band_stats): band-bucket occupancy for every bucket
+    holding >= 2 docs. Band keys are byte-identical across engines
+    (concat_ws of the band index and the band's minhash values), so the
+    audit surface itself is value-exact — a capped run's excluded
+    buckets (n_docs > cap) are exactly reproducible by the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.lsh_band_stats(d).filter(F.col("n_docs") >= 2)
+
+
 # =====================================================================
 # sentence point lookup (the reference's full-sentence-text indexes,
 # database.py:140,146 — re-expressed as write-time storage organization)
@@ -2879,6 +2891,7 @@ _DEMOTED_ORACLED = frozenset({
     "punct_stats",              # metacompare family: pair_symbols, pair_stats, content_filters in-window
     "zip_join_events",          # join family: left/full-outer/asof/semi joins in-window
     "compression_ratio",        # agg family: pricing_summary, mode_quantity in-window
+    "monotonic_prune",          # window family: sectionize_events, asof_last_signup in-window
 })
 
 

@@ -123,6 +123,85 @@ def lookup_sentence(
     )
 
 
+def zorder_key(cols, bits: int = 16):
+    """Morton (z-order) bit-interleave of non-negative integer columns
+    into ONE long sort key — the multi-column half of SURVEY.md §1.4's
+    "partitioning + bloom filters / z-order" mapping of the reference's
+    composite SQLite indexes (/root/reference/database.py:136-175, e.g.
+    the (session_id, batch_number) pairs). Sorting by the interleaved
+    key gives EVERY participating column spatial locality, so parquet
+    row-group min/max statistics prune equality/range probes on ANY
+    single column — not just the leading one a plain sort favors.
+
+    Out-of-range values are CLAMPED into [0, 2^bits) rather than
+    rejected: a clamped row degrades to the edge bucket (a pruning
+    -recall cost only, never a correctness cost — lookups filter on the
+    original columns, which are stored verbatim). ``bits * len(cols)``
+    must fit a signed long. The key is a pure Catalyst expression
+    (shift/and/or) — whole-stage-codegen'd, no UDF, no shuffle of its
+    own."""
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    m = len(cols)
+    if bits < 1 or bits * m > 63:
+        raise ValueError(f"bits*len(cols) must be in [1, 63], got {bits}*{m}")
+    lo, hi = F.lit(0).cast("long"), F.lit((1 << bits) - 1).cast("long")
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        cl = (F.col(c) if isinstance(c, str) else c).cast("long")
+        cl = F.least(F.greatest(cl, lo), hi)
+        for i in range(bits):
+            bit = F.shiftright(cl, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * m + j))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 16,
+    row_group_bytes: int | None = None,
+) -> None:
+    """Z-order-clustered parquet layout: range-partition + sort by the
+    Morton key of ``cols``, then DROP the key (a projection after the
+    sort — order-preserving, no Exchange) so files carry only the
+    original columns; their per-row-group min/max statistics are what
+    the scan prunes on. ``row_group_bytes`` tightens parquet's block
+    size when pruning granularity matters more than scan throughput
+    (tests use it; at 100 TB the default 128 MiB row group is right).
+    Pruning evidence — either-column probes read a small fraction, the
+    leading-sort counterfactual cannot prune its second column — is
+    pinned in tests/test_zorder.py."""
+    keyed = df.withColumn("_zkey", zorder_key(cols, bits))
+    writer = (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+    )
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.parquet(path)
+
+
+def lookup_zordered(spark, path: str, probes: dict) -> DataFrame:
+    """Point lookup against a ``write_zordered`` layout: a conjunction
+    of equality filters on the ORIGINAL columns (any subset of the
+    z-order columns — that is the point of the interleave). Every
+    equality lands in PushedFilters; row groups whose min/max exclude
+    the probe are never read."""
+    if not probes:
+        raise ValueError("lookup_zordered needs at least one probe")
+    df = spark.read.parquet(path)
+    cond = None
+    for c, v in probes.items():
+        eq = F.col(c) == F.lit(v)
+        cond = eq if cond is None else (cond & eq)
+    return df.filter(cond)
+
+
 def write_csv(df: DataFrame, path: str, bom: bool = False) -> None:
     """S12 — header CSV export.
 

@@ -107,3 +107,28 @@ def test_zorder_key_validates_and_clamps(spark):
     # -5 clamps to 0, 2^40 clamps to 255: interleave of (0, 255) at
     # m=2 puts b's bits on odd positions -> 0b1010...10 = 0xAAAA >> 0
     assert row["k"] == sum(1 << (2 * i + 1) for i in range(8))
+
+
+def test_zorder_key_is_invertible_on_in_range_values(spark):
+    """The interleave is a bijection on [0, 2^bits)^m: decoding the
+    Spark-computed key bit-by-bit in pure Python must recover every
+    coordinate exactly (seeded random triples, 3 columns x 12 bits —
+    the general-m path, not just the m=2 layout the lake tests use)."""
+    import random
+
+    rng = random.Random(20260818)
+    bits, m = 12, 3
+    rows = [
+        tuple(rng.randrange(1 << bits) for _ in range(m)) for _ in range(512)
+    ]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = df.select(
+        "a", "b", "c", sinks.zorder_key(["a", "b", "c"], bits=bits).alias("k")
+    ).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        decoded = [0] * m
+        for i in range(bits):
+            for j in range(m):
+                decoded[j] |= ((r["k"] >> (i * m + j)) & 1) << i
+        assert decoded == [r["a"], r["b"], r["c"]], (r, decoded)

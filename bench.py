@@ -485,6 +485,15 @@ def write_bench_md(result: dict) -> None:
         "  namespace — measured 2.75 s median, faster than even the",
         "  drop-semantics version (the drop path's filter also paid a",
         "  canonicalize evaluation the sentinel projection folds away).",
+        "- curate_corpus_full's cleaned corpus (line dedup -> PII scrub)",
+        "  feeds THREE downstream consumers (minhash shingles, the",
+        "  component universe, the keeper/quality chain) and was being",
+        "  recomputed by each — plain curate_corpus never hits this",
+        "  because its corpus is a cheap parquet filter. An executor-",
+        "  local checkpoint of the cleaned corpus pays the subtree once:",
+        "  15.1 -> 13.0 s median, 5 interleaved warm reps at sf0.1 (the",
+        "  in-session equivalent of writing the cleaned corpus to a lake",
+        "  table between stages, which is what a real 100 TB run does).",
         "",
         "## Iceberg commit overhead — not measurable in this sandbox",
         "",

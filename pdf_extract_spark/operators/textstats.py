@@ -199,18 +199,23 @@ FROM (SELECT doc_id, lang AS label_lang, {inner}, {best} AS best
 """
 
 
-def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Rolling polynomial document fingerprint over tokens (mod 2^31-1),
-    token hashes from the portable md5 family — a locality-insensitive
-    exact-content fingerprint (C13/C24 analog)."""
-    toks = tokens(F.col(text_col))
+def fingerprint_col(text_col):
+    """The fingerprint as a reusable Column expression (streaming dedup
+    keys on it; ``fingerprint`` below is the relational packaging)."""
+    toks = tokens(text_col if not isinstance(text_col, str) else F.col(text_col))
     tok_hashes = F.transform(toks, lambda x: phash(x) % F.lit(MOD))
-    fp = F.aggregate(
+    return F.aggregate(
         tok_hashes,
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % F.lit(MOD),
     )
-    return df.select("doc_id", fp.alias("fingerprint"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling polynomial document fingerprint over tokens (mod 2^31-1),
+    token hashes from the portable md5 family — a locality-insensitive
+    exact-content fingerprint (C13/C24 analog)."""
+    return df.select("doc_id", fingerprint_col(text_col).alias("fingerprint"))
 
 
 def fingerprint_sql(table: str = "documents", text_expr: str = "text") -> str:

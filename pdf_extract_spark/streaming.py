@@ -326,6 +326,63 @@ def windowed_doc_metrics(
 
 
 # --------------------------------------------------------------------------
+# streaming ingest dedup (bounded state)
+# --------------------------------------------------------------------------
+
+DOC_ARRIVALS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("ingest_ts", T.TimestampType(), False),
+    ]
+)
+
+
+def streaming_dedup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark_delay: str = "30 minutes",
+) -> StreamingQuery:
+    """Exact content dedup ON THE INGEST STREAM: arriving documents are
+    keyed by their rolling token fingerprint (textstats.fingerprint_col
+    — the same key the batch `fingerprint` query exposes) and duplicates
+    arriving within ``watermark_delay`` of the kept copy are dropped via
+    ``dropDuplicatesWithinWatermark``.
+
+    Why this shape survives an unbounded 100 TB crawl feed: the dedup
+    state holds one compact (fingerprint) entry per RETAINED key and the
+    watermark EVICTS entries once event time passes ingest_ts + delay —
+    state is bounded by the arrival rate × window, not by corpus size
+    (a plain streaming ``dropDuplicates`` would grow state forever). The
+    trade is explicit and standard for crawl pipelines: a re-crawled
+    page outside the window is re-admitted here and left to the batch
+    pass (`dedup_exact` / `dedup_keepfirst`, the full-corpus analog) —
+    the stream stage exists to cheaply absorb the bursty duplication
+    (mirrors, redeliveries, rapid re-crawls) that would otherwise bloat
+    the lake between batch passes. Kept rows flow through immediately
+    (dedup emits on arrival, unlike a windowed agg that waits for the
+    watermark), so downstream availableNow consumers see no added
+    latency."""
+    docs = spark.readStream.schema(DOC_ARRIVALS).parquet(input_dir)
+    from pdf_extract_spark.operators.textstats import fingerprint_col
+
+    keyed = docs.withColumn("fingerprint", fingerprint_col("text"))
+    deduped = keyed.withWatermark(
+        "ingest_ts", watermark_delay
+    ).dropDuplicatesWithinWatermark(["fingerprint"])
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# --------------------------------------------------------------------------
 # idempotent foreachBatch lake sink
 # --------------------------------------------------------------------------
 

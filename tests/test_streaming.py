@@ -405,3 +405,54 @@ def test_stateful_assembler_quarantines_unparseable_payload(spark, tmp_path):
     assert "unparseable payload" in json.loads(out["bad_json"]["spans_json"])["error"]
     assert out["bad_shape"]["status"] == "malformed"
     assert "not a span list" in json.loads(out["bad_shape"]["spans_json"])["error"]
+
+
+def test_streaming_dedup_ingest_bounded_window(spark, tmp_path):
+    """Ingest-stream exact dedup: duplicates within the watermark window
+    are dropped, the state entry is EVICTED once the watermark passes
+    ingest_ts + delay (bounded state), and a re-crawl arriving after
+    eviction is re-admitted (left to the batch dedup pass by design)."""
+    from datetime import datetime
+
+    from pdf_extract_spark.streaming import DOC_ARRIVALS, streaming_dedup_ingest
+
+    def ts(h, m):
+        return datetime(2026, 1, 1, h, m)
+
+    X = "alpha beta gamma delta"
+    Y = "epsilon zeta eta theta"
+    Z = "iota kappa lambda mu"
+
+    inp = str(tmp_path / "arrivals")
+    outp, ckpt = str(tmp_path / "kept"), str(tmp_path / "ck")
+
+    # wave 1: a/c share content X within the window (one kept, one
+    # dropped — WHICH of the two survives inside a single microbatch is
+    # unspecified, so assertions count per-fingerprint survivors);
+    # z advances event time to 11:10, so after this run the watermark is
+    # 10:40 and both the X and Y entries (expiring 10:3x) are evicted.
+    wave1 = [
+        ("a", X, ts(10, 0)), ("b", Y, ts(10, 2)),
+        ("c", X, ts(10, 4)), ("z", Z, ts(11, 10)),
+    ]
+    spark.createDataFrame(wave1, schema=DOC_ARRIVALS).write.mode(
+        "append"
+    ).parquet(inp)
+    q = streaming_dedup_ingest(spark, inp, outp, ckpt)
+    q.awaitTermination(180)
+
+    # wave 2: X re-arrives AFTER its state was evicted — re-admitted
+    # (exactly one of d/e survives; had the state NOT been evicted, BOTH
+    # would have been dropped as duplicates of wave 1's keeper).
+    wave2 = [("d", X, ts(11, 5)), ("e", X, ts(11, 6))]
+    spark.createDataFrame(wave2, schema=DOC_ARRIVALS).write.mode(
+        "append"
+    ).parquet(inp)
+    q2 = streaming_dedup_ingest(spark, inp, outp, ckpt)
+    q2.awaitTermination(180)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(outp).collect()}
+    assert "b" in kept and "z" in kept
+    assert len(kept & {"a", "c"}) == 1  # in-window duplicate dropped
+    assert len(kept & {"d", "e"}) == 1  # evicted key re-admitted once
+    assert len(kept) == 4

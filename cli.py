@@ -8,6 +8,9 @@
   folder    a directory of *.pdf (or --format html: *.html) files ->
             spans_out (byte paths)
   stream    incremental availableNow pass over an arriving documents dir
+  curate    documents parquet -> curated packed corpus (line dedup, PII
+            scrub, capped near-dedup, quality gate, optional eval-set
+            decontamination + per-lang sampling, packing)
   status    lineage/metrics summary for a lake (the reference's --status)
 
 Examples:
@@ -46,6 +49,24 @@ def main() -> None:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint", required=True)
+
+    p = sub.add_parser(
+        "curate",
+        help="documents parquet -> curated packed corpus parquet "
+        "(line dedup, PII scrub, capped near-dedup, quality gate, "
+        "optional decontamination + per-lang sampling, packing)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument(
+        "--eval-input", default=None,
+        help="eval-set parquet (doc_id, text) for benchmark decontamination",
+    )
+    p.add_argument("--max-bucket", type=int, default=None)
+    p.add_argument(
+        "--sample", default=None,
+        help="per-lang keep rates, e.g. en=0.3,de=1.0 (unlisted langs keep all)",
+    )
 
     p = sub.add_parser("status", help="lineage/metrics summary for a lake")
     p.add_argument("--lake", required=True)
@@ -106,6 +127,22 @@ def main() -> None:
         q = incremental_extraction(spark, args.input, args.output, args.checkpoint)
         q.awaitTermination()
         print(f"drained new files -> {args.output}")
+    elif args.cmd == "curate":
+        from pdf_extract_spark.curation import DEFAULT_MAX_BUCKET, curate_documents
+
+        docs = spark.read.parquet(args.input)
+        ev = spark.read.parquet(args.eval_input) if args.eval_input else None
+        rates = None
+        if args.sample:
+            rates = {
+                k: float(v)
+                for k, v in (kv.split("=", 1) for kv in args.sample.split(","))
+            }
+        cap = args.max_bucket if args.max_bucket is not None else DEFAULT_MAX_BUCKET
+        out = curate_documents(docs, eval_docs=ev, max_bucket=cap, sample_rates=rates)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"curated {n} documents -> {args.output}")
     elif args.cmd == "count":
         from pdf_extract_spark.lineage import Lake, count_summary
 

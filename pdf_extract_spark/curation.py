@@ -1,0 +1,118 @@
+"""Production curation entry point: the full web-corpus chain over a
+real documents table, composed from the individually verified operators.
+
+This is the operational twin of the oracle fixtures in queries.py
+(`curate_corpus` / `curate_corpus_full`): those carve their protected
+eval slice out of the corpus by doc_id arithmetic so DuckDB can replay
+the whole pipeline value-exactly; a real run instead takes the eval set
+as an EXPLICIT second table (you decontaminate against the benchmarks
+you ship, not a slice of your own crawl) and curates the entire input.
+Reference analog: the end-to-end batch loop main.py:996-1017 of
+/root/reference — always-on hot-bucket capping mirrors its fixed batch
+split (utils.py:40-106).
+
+Stage order (each stage's plan shape is pinned by its own tests):
+
+1. corpus-level line dedup   — nav bars / rights lines removed across
+   pages (`dedup.dedup_lines`: line-key-only shuffle);
+2. PII scrub                 — map-only staged redaction, BEFORE
+   near-dedup so redaction tokens, not raw PII, drive signatures;
+3. capped MinHash near-dedup — banded LSH candidates (band join carries
+   only ids; hot buckets > max_bucket dropped, auditable via
+   `dedup.lsh_band_stats`), pointer-jumping component resolution,
+   keep-first keeper per cluster;
+4. quality gate              — map-only auditable verdicts;
+5. decontamination           — optional, vs the explicit eval table
+   (broadcast of the bounded eval-gram set);
+6. stratified sampling       — optional per-lang keep rates,
+   deterministic salted-hash decision, shuffle-free;
+7. sequence packing          — greedy first-fit per hash bucket, ONE
+   Exchange + Arrow kernel.
+
+The cleaned corpus (stages 1-2) feeds three downstream consumers
+(minhash shingles, the component universe, the keeper/quality chain),
+so it is materialized once — on a cluster, write it to a lake table
+between stages; in-session, executor-local checkpoint is the
+equivalent (measured 15.1 -> 13.0 s on the oracle fixture's twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pdf_extract_spark.operators import dedup, packing, textstats
+
+# Same rationale as queries.CURATE_MAX_BUCKET (the oracle fixture): far
+# above any honest near-dup family, catches the nav-bar/cookie-banner
+# band collapse that degenerates the band self-join quadratic.
+DEFAULT_MAX_BUCKET = 256
+
+
+def curate_documents(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    sample_rates: dict[str, float] | None = None,
+    min_tokens: int = 25,
+    min_stopword_ratio: float = 0.01,
+    pack_budget: int = 128,
+    line_dedup_min_count: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """Run the full curation chain over a documents-shaped DataFrame
+    (doc_id castable to long, text, lang, source) and return the packed
+    curated corpus: (doc_id, bucket, pack_id, n_tokens, text, lang,
+    source), one row per surviving document.
+
+    ``eval_docs`` (doc_id, text) enables benchmark decontamination —
+    any document sharing a word-5-gram with it is dropped.
+    ``sample_rates`` maps lang -> keep rate; langs absent from the map
+    keep everything (rate 1.0). ``materialize=False`` skips the
+    localCheckpoint of the cleaned corpus (useful when the caller
+    persists it to a lake table between stages instead)."""
+    ld = dedup.dedup_lines(docs, min_count=line_dedup_min_count)
+    scrub = textstats.pii_scrub(
+        ld.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    base = (
+        docs.select("doc_id", "lang", "source")
+        .join(scrub.select("doc_id", F.col("scrubbed").alias("text")), "doc_id")
+        .select(
+            "doc_id", "text", "lang", "source",
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+    if materialize:
+        base = base.localCheckpoint(eager=False)
+    pairs = dedup.minhash_lsh_pairs(base, max_bucket=max_bucket).select(
+        "id_a", "id_b"
+    )
+    comps = dedup.dedup_components(pairs, universe=base)
+    keepers = base.join(
+        comps.filter(F.col("is_keeper")).select("doc_id"), "doc_id", "semi"
+    )
+    verdicts = textstats.quality_filter(
+        keepers, min_tokens=min_tokens, min_stopword_ratio=min_stopword_ratio
+    )
+    survivors = keepers.join(
+        verdicts.filter(F.col("keep")).select("doc_id"), "doc_id", "semi"
+    )
+    if eval_docs is not None:
+        contaminated = (
+            dedup.decontaminate(survivors, eval_docs)
+            .filter(F.col("is_contaminated"))
+            .select("doc_id")
+        )
+        survivors = survivors.join(contaminated, "doc_id", "anti")
+    if sample_rates:
+        survivors = textstats.stratified_sample(
+            survivors, sample_rates, default_rate=1.0
+        )
+    packed = packing.pack_documents(survivors, budget=pack_budget)
+    return packed.join(
+        survivors.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "text", "lang", "source",
+        ),
+        "doc_id",
+    )

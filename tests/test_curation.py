@@ -1,0 +1,93 @@
+"""End-to-end tests for the production curation entry point
+(pdf_extract_spark/curation.py) — the operational twin of the oracle
+fixtures curate_corpus / curate_corpus_full: explicit eval table,
+whole-input curation, optional sampling."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pdf_extract_spark.curation import curate_documents
+
+BOILER = "All Rights Reserved"
+
+
+def _doc(i, body, lang="en"):
+    # every doc carries the corpus-wide boilerplate line (>=3 occurrences
+    # -> removed by line dedup) around a unique body
+    return (i, f"{BOILER}\n{body}", lang, "web")
+
+
+def _body(tag):
+    # 24 words, stopword-rich (passes min_tokens=20 / stopword gate)
+    return (
+        f"the {tag} report is a long account of the {tag} season and "
+        f"it goes on to describe the {tag} results in detail for everyone"
+    )
+
+
+@pytest.fixture(scope="module")
+def curated(spark):
+    docs = spark.createDataFrame(
+        [
+            # near-dup family: 1/2/3 share one body -> keeper = 1
+            _doc(1, _body("harvest")),
+            _doc(2, _body("harvest")),
+            _doc(3, _body("harvest")),
+            # unique survivors
+            _doc(4, _body("voyage")),
+            # PII doc: email + phone redacted before signatures
+            _doc(5, _body("ledger") + " contact alice@example.com office 555-123-4567"),
+            # low quality: too few tokens after cleaning
+            (6, BOILER + "\ntiny text", "en", "web"),
+            # contaminated: shares the planted 5-gram with the eval doc
+            _doc(7, _body("census") + " quartz marble basalt granite slate"),
+        ],
+        schema="doc_id long, text string, lang string, source string",
+    )
+    ev = spark.createDataFrame(
+        [(1000, "quartz marble basalt granite slate obsidian")],
+        schema="doc_id long, text string",
+    )
+    # min_count=4: the corpus-wide boilerplate (7 occurrences) is still
+    # removed, but the near-dup family's shared BODY line (3 occurrences
+    # across docs 1/2/3) must survive line dedup so the family reaches
+    # the MinHash stage intact — at the default 3 the line pass would
+    # wipe the family's text before near-dedup ever saw it
+    out = curate_documents(
+        docs, eval_docs=ev, min_tokens=20, line_dedup_min_count=4
+    )
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_curate_documents_survivor_set(curated):
+    # 2/3 collapse into 1; 6 fails quality; 7 decontaminated away
+    assert set(curated) == {1, 4, 5}
+
+
+def test_curate_documents_cleans_text(curated):
+    for r in curated.values():
+        assert BOILER not in r["text"]  # corpus-wide line removed
+    assert "[EMAIL]" in curated[5]["text"]
+    assert "[PHONE]" in curated[5]["text"]
+    assert "alice@example.com" not in curated[5]["text"]
+
+
+def test_curate_documents_packs(curated):
+    for r in curated.values():
+        assert r["pack_id"] >= 0 and r["bucket"] >= 0 and r["n_tokens"] > 0
+        assert r["lang"] == "en" and r["source"] == "web"
+
+
+def test_curate_documents_sampling(spark):
+    docs = spark.createDataFrame(
+        [_doc(i, _body(f"tag{i}"), lang=("en" if i % 2 else "de"))
+         for i in range(1, 21)],
+        schema="doc_id long, text string, lang string, source string",
+    )
+    out = curate_documents(
+        docs, sample_rates={"en": 0.0}, min_tokens=20
+    ).collect()
+    langs = {r["lang"] for r in out}
+    # en sampled away entirely; de (unlisted) keeps everything
+    assert langs == {"de"}
+    assert len(out) == 10

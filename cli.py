@@ -29,6 +29,30 @@ import uuid
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _parse_rates(s: str) -> dict[str, float] | None:
+    """argparse type for --sample: 'en=0.3,de=1.0' -> {'en': 0.3,
+    'de': 1.0}. Validated at parse time — BEFORE a SparkSession is
+    built — so a malformed entry fails fast with usage, not as a
+    ValueError mid-job. Empty tokens (trailing commas) are ignored."""
+    rates: dict[str, float] = {}
+    for kv in s.split(","):
+        kv = kv.strip()
+        if not kv:
+            continue
+        if "=" not in kv:
+            raise argparse.ArgumentTypeError(
+                f"--sample entry {kv!r} must be lang=rate (e.g. en=0.3)"
+            )
+        k, v = kv.split("=", 1)
+        try:
+            rates[k.strip()] = float(v)
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"--sample rate {v!r} for {k.strip()!r} is not a number"
+            )
+    return rates or None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -64,7 +88,7 @@ def main() -> None:
     )
     p.add_argument("--max-bucket", type=int, default=None)
     p.add_argument(
-        "--sample", default=None,
+        "--sample", default=None, type=_parse_rates,
         help="per-lang keep rates, e.g. en=0.3,de=1.0 (unlisted langs keep all)",
     )
 
@@ -132,14 +156,10 @@ def main() -> None:
 
         docs = spark.read.parquet(args.input)
         ev = spark.read.parquet(args.eval_input) if args.eval_input else None
-        rates = None
-        if args.sample:
-            rates = {
-                k: float(v)
-                for k, v in (kv.split("=", 1) for kv in args.sample.split(","))
-            }
         cap = args.max_bucket if args.max_bucket is not None else DEFAULT_MAX_BUCKET
-        out = curate_documents(docs, eval_docs=ev, max_bucket=cap, sample_rates=rates)
+        out = curate_documents(
+            docs, eval_docs=ev, max_bucket=cap, sample_rates=args.sample
+        )
         out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(f"curated {n} documents -> {args.output}")

@@ -42,10 +42,40 @@ from pyspark.sql import DataFrame, functions as F
 
 from pdf_extract_spark.operators import dedup, packing, textstats
 
-# Same rationale as queries.CURATE_MAX_BUCKET (the oracle fixture): far
-# above any honest near-dup family, catches the nav-bar/cookie-banner
-# band collapse that degenerates the band self-join quadratic.
+# Far above any honest near-dup family, catches the nav-bar/cookie-
+# banner band collapse that degenerates the band self-join quadratic.
+# queries.CURATE_MAX_BUCKET (the oracle fixture's default) aliases this
+# constant — one knob, no drift.
 DEFAULT_MAX_BUCKET = 256
+
+
+def clean_corpus(
+    docs: DataFrame,
+    line_dedup_min_count: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """Stages 1-2 of the chain — corpus-level line dedup then PII scrub
+    — returning a documents-shaped relation (doc_id, text, lang, source,
+    n_chars recomputed over the cleaned text). Shared verbatim by
+    `curate_documents` and the oracle fixture
+    `queries.curate_corpus_full_q` (twin-drift guard: ONE
+    implementation, two callers). The cleaned corpus feeds several
+    downstream consumers, so ``materialize`` localCheckpoints it by
+    default — on a cluster, write it to a lake table between stages
+    instead and pass ``materialize=False``."""
+    ld = dedup.dedup_lines(docs, min_count=line_dedup_min_count)
+    scrub = textstats.pii_scrub(
+        ld.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    base = (
+        docs.select("doc_id", "lang", "source")
+        .join(scrub.select("doc_id", F.col("scrubbed").alias("text")), "doc_id")
+        .select(
+            "doc_id", "text", "lang", "source",
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+    return base.localCheckpoint(eager=False) if materialize else base
 
 
 def curate_documents(
@@ -68,22 +98,13 @@ def curate_documents(
     any document sharing a word-5-gram with it is dropped.
     ``sample_rates`` maps lang -> keep rate; langs absent from the map
     keep everything (rate 1.0). ``materialize=False`` skips the
-    localCheckpoint of the cleaned corpus (useful when the caller
-    persists it to a lake table between stages instead)."""
-    ld = dedup.dedup_lines(docs, min_count=line_dedup_min_count)
-    scrub = textstats.pii_scrub(
-        ld.select("doc_id", F.col("clean_text").alias("text"))
+    localCheckpoints of the cleaned corpus and the survivor set (useful
+    when the caller persists them to lake tables between stages
+    instead)."""
+    base = clean_corpus(
+        docs, line_dedup_min_count=line_dedup_min_count,
+        materialize=materialize,
     )
-    base = (
-        docs.select("doc_id", "lang", "source")
-        .join(scrub.select("doc_id", F.col("scrubbed").alias("text")), "doc_id")
-        .select(
-            "doc_id", "text", "lang", "source",
-            F.length("text").cast("long").alias("n_chars"),
-        )
-    )
-    if materialize:
-        base = base.localCheckpoint(eager=False)
     pairs = dedup.minhash_lsh_pairs(base, max_bucket=max_bucket).select(
         "id_a", "id_b"
     )
@@ -108,6 +129,12 @@ def curate_documents(
         survivors = textstats.stratified_sample(
             survivors, sample_rates, default_rate=1.0
         )
+    # the survivor set feeds TWO consumers below (the packing walk and
+    # the payload join) — without a materialization the keeper semi-join,
+    # quality gate and decontaminate gram-explosion re-evaluate once per
+    # consumer, the same recompute pathology clean_corpus guards against
+    if materialize:
+        survivors = survivors.localCheckpoint(eager=False)
     packed = packing.pack_documents(survivors, budget=pack_budget)
     return packed.join(
         survivors.select(

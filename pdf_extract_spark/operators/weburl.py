@@ -165,7 +165,15 @@ def domain_cap(
     "d:<host>"), so it trivially survives rn=1 <= cap — because a
     filter-and-union branch would run the whole canonicalize regex
     chain over the corpus a second time (measured ~30% of the composed
-    web_curate at sf0.1).
+    web_curate at sf0.1). Unkeyed rows whose ``id_col`` is ALSO NULL
+    can't ride the sentinel (the payload rejoin is an equi-join on the
+    id, and NULL never equi-joins): they are unioned back explicitly —
+    the id-NULL pre-filter keeps that branch's regex cost proportional
+    to the (normally empty) NULL-id slice, not the corpus. A KEYED row
+    with a NULL id is dropped — the id is the cap's window key and the
+    payload rejoin key — and is excluded from the window input up
+    front, so it can't consume a cap slot it will never use (NULL sorts
+    first in an ascending window and would otherwise shadow a real id).
 
     The naive plan — ONE row_number window partitioned by domain — is the
     textbook hot-key straggler at web scale: a giant domain's every row
@@ -197,10 +205,12 @@ def domain_cap(
             dom.isNull() | (dom == ""),
             F.concat(F.lit("u:"), F.col(id_col).cast("string")),
         ).otherwise(F.concat(F.lit("d:"), dom))
-        slim = df.select(F.col(id_col), key.alias("_domain"))
+        slim = df.select(F.col(id_col), key.alias("_domain")).filter(
+            F.col(id_col).isNotNull()
+        )
     else:
         slim = df.select(F.col(id_col), dom.alias("_domain")).filter(
-            F.col("_domain") != ""
+            F.col(id_col).isNotNull() & (F.col("_domain") != "")
         )
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
     w1 = Window.partitionBy("_domain", "_salt").orderBy(F.col(id_col))
@@ -216,4 +226,13 @@ def domain_cap(
         .filter(F.col("_rn") <= max_per_domain)
         .select(id_col)
     )
-    return df.join(kept, id_col, "left_semi")
+    capped = df.join(kept, id_col, "left_semi")
+    if not keep_unkeyed:
+        return capped
+    # NULL-id unkeyed rows can't survive the left_semi (NULL never
+    # equi-joins); the id-NULL filter comes FIRST so the canonicalize
+    # regex below it only ever runs over that slice
+    null_id_unkeyed = df.filter(F.col(id_col).isNull()).filter(
+        dom.isNull() | (dom == "")
+    )
+    return capped.unionByName(null_id_unkeyed)

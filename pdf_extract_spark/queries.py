@@ -23,6 +23,7 @@ from collections.abc import Callable
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from pdf_extract_spark import curation
 from pdf_extract_spark.operators import dedup, metacompare as MC, packing, similarity, textstats
 from pdf_extract_spark.operators.extract import extract_spans
 
@@ -1077,7 +1078,9 @@ _CURATE_MIN_TOKENS, _CURATE_MIN_STOP = 25, 0.01
 # while catching the pathological nav-bar/cookie-banner collapse. The
 # dropped buckets stay auditable: dedup.lsh_band_stats (SQL twin
 # dedup.lsh_band_stats_sql) lists every bucket a cap excludes.
-CURATE_MAX_BUCKET = 256
+# Aliases curation.DEFAULT_MAX_BUCKET — the production entry point and
+# the oracle fixtures share one knob.
+CURATE_MAX_BUCKET = curation.DEFAULT_MAX_BUCKET
 
 
 def curate_corpus_sql(
@@ -1329,29 +1332,18 @@ def curate_corpus_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _t(spark, sf_dir, "documents")
     deco = _full_decorated(raw)
     corpus_raw = deco.filter(F.col("doc_id") % 50 != 0)
-    ld = dedup.dedup_lines(corpus_raw)
-    scrub = textstats.pii_scrub(
-        ld.select("doc_id", F.col("clean_text").alias("text"))
-    )
-    base = (
-        corpus_raw.select("doc_id", "lang", "source")
-        .join(scrub.select("doc_id", F.col("scrubbed").alias("text")), "doc_id")
-        .select(
-            "doc_id", "text", "lang", "source",
-            F.length("text").cast("long").alias("n_chars"),
-        )
-    )
-    # the cleaned corpus feeds THREE downstream consumers (minhash
-    # shingles, the component universe, the keeper/quality chain);
-    # unlike plain curate_corpus — whose corpus is a cheap parquet
-    # filter — recomputing this subtree means re-running the line-dedup
-    # aggregates and the scrub regex chain per consumer. Materialize it
-    # once (the same invariant dedup_components applies to its edges;
-    # measured 15.1 -> 13.0 s median at sf0.1, 5 interleaved warm
+    # stages 1-2 are the SAME implementation the production entry point
+    # runs (curation.clean_corpus — twin-drift guard); the cleaned
+    # corpus feeds three downstream consumers (minhash shingles, the
+    # component universe, the keeper/quality chain), so clean_corpus
+    # localCheckpoints it — unlike plain curate_corpus, whose corpus is
+    # a cheap parquet filter, recomputing this subtree means re-running
+    # the line-dedup aggregates and the scrub regex chain per consumer
+    # (measured 15.1 -> 13.0 s median at sf0.1, 5 interleaved warm
     # reps). A real 100 TB run writes the cleaned corpus to a lake
     # table between stages; executor-local checkpoint is the in-session
     # equivalent.
-    base = base.localCheckpoint(eager=False)
+    base = curation.clean_corpus(corpus_raw)
     ev = raw.filter(F.col("doc_id") % 50 == 0)
     return _curate_pipeline(base, CURATE_MAX_BUCKET, eval_docs=ev)
 

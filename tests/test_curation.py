@@ -91,3 +91,20 @@ def test_curate_documents_sampling(spark):
     # en sampled away entirely; de (unlisted) keeps everything
     assert langs == {"de"}
     assert len(out) == 10
+
+
+def test_cli_sample_rate_parsing():
+    """--sample is validated at argparse time (before any SparkSession):
+    trailing commas are tolerated, malformed entries fail with a legible
+    ArgumentTypeError."""
+    import argparse
+
+    import cli
+
+    assert cli._parse_rates("en=0.3,de=1.0,") == {"en": 0.3, "de": 1.0}
+    assert cli._parse_rates(" en = 0.3 ".replace(" ", "")) == {"en": 0.3}
+    assert cli._parse_rates(",") is None
+    with pytest.raises(argparse.ArgumentTypeError, match="must be lang=rate"):
+        cli._parse_rates("en")
+    with pytest.raises(argparse.ArgumentTypeError, match="not a number"):
+        cli._parse_rates("en=lots")

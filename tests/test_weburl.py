@@ -172,3 +172,23 @@ def test_domain_cap_keep_unkeyed_passthrough(spark):
         for r in weburl.domain_cap(df, 2, keep_unkeyed=True).collect()
     }
     assert kept == {0, 2, 1, 3, 99, 98, 97}
+
+
+def test_domain_cap_keep_unkeyed_null_id(spark):
+    """A NULL-id unkeyed row cannot ride the sentinel window key (the
+    payload rejoin is an equi-join on the id, and NULL never
+    equi-joins): it must be unioned back explicitly. A KEYED row with a
+    NULL id stays dropped — the id is the cap's window and rejoin key."""
+    rows = [(i, f"https://d0.example/p/{i}") for i in range(4)]
+    weird = [(None, "mailto:x@example.org"), (None, "https://d0.example/p/x")]
+    df = spark.createDataFrame(rows + weird, "doc_id long, url string")
+    out = weburl.domain_cap(df, 2, keep_unkeyed=True).collect()
+    real_ids = sorted(r["doc_id"] for r in out if r["doc_id"] is not None)
+    urls = {r["url"] for r in out}
+    # capped keepers 0,1 survive (the NULL-id keyed row must NOT consume
+    # a cap slot); the NULL-id mailto row passes through; the NULL-id
+    # KEYED row does not
+    assert real_ids == [0, 1]
+    assert "mailto:x@example.org" in urls
+    assert "https://d0.example/p/x" not in urls
+    assert len(out) == 3

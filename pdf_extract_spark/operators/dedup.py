@@ -817,3 +817,63 @@ SELECT doc_id,
 FROM lines LEFT JOIN bad b ON trim(lines.line) = b.k
 GROUP BY doc_id
 """
+
+
+# ------------------------------------------------- n-gram heavy hitters
+
+def ngram_topk(
+    df: DataFrame,
+    k: int = 3,
+    top: int = 50,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide boilerplate miner: the ``top`` word k-grams ranked by
+    DOCUMENT frequency — the audit query a curation run uses to DISCOVER
+    the repeated phrases (cookie banners, nav bars, license footers)
+    that ``dedup_lines`` removes and that degenerate MinHash bands
+    (reference analog: the repeated-chunk scan its metadata pass applies
+    per document, metadata_generator.py — lifted to corpus scope).
+    Returns (gram, n_docs) with a total deterministic order: n_docs
+    descending, gram ascending (binary UTF-8 in both engines), so the
+    top-N boundary never depends on partitioning.
+
+    Scale (100 TB): ``shingles`` is already distinct-per-doc, so the
+    explode feeds a partial-combinable HashAggregate on the gram key
+    (map-side combine collapses each mapper's duplicates before the only
+    shuffle); the global top-N compiles to TakeOrderedAndProject — a
+    per-partition bounded heap merged at the driver, never a
+    single-partition sort or window. Driver memory is O(top), shuffle
+    volume is O(distinct grams), and no Python runs anywhere."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    grams = df.select(F.explode(shingles(F.col(text_col), k)).alias("gram"))
+    counts = (
+        grams.filter(F.col("gram") != "")
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return counts.orderBy(F.desc("n_docs"), F.asc("gram")).limit(top)
+
+
+def ngram_topk_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    k: int = 3,
+    top: int = 50,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB mirror of ``ngram_topk`` (same shingle CTE as the MinHash
+    verify path; unnest = explode; the ORDER BY total order makes the
+    LIMIT boundary engine-independent)."""
+    return f"""
+WITH {_sh_cte(table, text_expr, k)},
+g AS (SELECT unnest(sh) AS gram FROM sh0),
+c AS (SELECT gram, count(*)::BIGINT AS n_docs FROM g
+      WHERE gram <> '' GROUP BY 1)
+SELECT gram, n_docs FROM c WHERE n_docs >= {min_docs}
+ORDER BY n_docs DESC, gram LIMIT {top}
+"""

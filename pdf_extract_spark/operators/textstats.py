@@ -282,6 +282,70 @@ def stratified_sample_sql(
     return f"SELECT * FROM {table} WHERE {h} < {thr}"
 
 
+def temperature_sample(
+    df: DataFrame, alpha: float = 0.5, stratum_col: str = "lang",
+    key_col: str = "doc_id", salt: str = "temp",
+) -> DataFrame:
+    """Multilingual temperature sampling (the XLM-R / mT5 corpus-mixing
+    rule): per-stratum keep rate ``r_s = (n_min / n_s) ** (1 - alpha)``,
+    so the post-sample stratum shares are proportional to
+    ``p_s ** alpha`` — dominant languages are downsampled toward the
+    temperature-flattened mix while the smallest stratum keeps every row
+    (its rate is exactly 1.0). ``alpha = 1`` keeps everything;
+    ``alpha -> 0`` equalizes strata. Unlike ``stratified_sample`` the
+    rates are not caller-supplied constants: they are DERIVED from the
+    corpus itself, which is what a recurring curation run wants (the mix
+    self-adjusts as the crawl grows).
+
+    Rates round to 6 dp before the threshold compare: ``pow`` is the one
+    non-exactly-rounded IEEE op in the chain (JVM Math.pow and C libm
+    may differ in the last ulp), and the rounding makes the thresholds
+    — and therefore the kept set — engine- and platform-identical. The
+    per-row keep decision is the same portable salted hash as
+    ``stratified_sample``: reproducible across runs, partitionings and
+    engines.
+
+    Scale (100 TB): ONE aggregate bounded by the stratum cardinality
+    (map-side combine), its global min folded in via a single-row
+    broadcast, the rate table broadcast back onto the corpus, then a
+    map-side filter — the corpus itself is never shuffled."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        stratum_col,
+        F.round(
+            F.pow(F.col("_nmin") / F.col("_n"), F.lit(1.0 - alpha)), 6
+        ).alias("_rate"),
+    )
+    h = F.pmod(phash(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
+               F.lit(SAMPLE_MOD))
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(h < F.col("_rate") * SAMPLE_MOD)
+        .select(*df.columns)
+    )
+
+
+def temperature_sample_sql(
+    alpha: float = 0.5, table: str = "documents", stratum_col: str = "lang",
+    key_col: str = "doc_id", salt: str = "temp",
+) -> str:
+    from pdf_extract_spark.operators.hashing import phash_sql
+
+    key_expr = "'" + (salt + ":").replace("'", "''") + "' || " + key_col + "::VARCHAR"
+    h = f"({phash_sql(key_expr)} % {SAMPLE_MOD})"
+    return f"""
+WITH c AS (SELECT {stratum_col}, count(*)::BIGINT AS n FROM {table} GROUP BY 1),
+r AS (SELECT {stratum_col},
+             round(pow((SELECT min(n) FROM c) * 1.0 / n, {1.0 - alpha}), 6) AS rate
+      FROM c)
+SELECT d.* FROM {table} d JOIN r USING ({stratum_col})
+WHERE {h} < rate * {SAMPLE_MOD}
+"""
+
+
 def quality_filter(
     df: DataFrame, text_col: str = "text",
     min_tokens: int = 20, max_tokens: int = 100_000,

@@ -974,6 +974,22 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "temperature_sample",
+    textstats.temperature_sample_sql(alpha=0.5) + " ORDER BY doc_id",
+)
+def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual temperature sampling (XLM-R/mT5 mixing rule): keep
+    rates DERIVED from the corpus's own language distribution — at
+    alpha = 0.5 the dominant 'en' stratum downsamples toward the
+    flattened mix while the smallest stratum keeps every row. Unlike
+    stratified_sample the mix self-adjusts as the crawl grows; the keep
+    decision is the same portable salted hash, so both engines (and any
+    two cluster runs) select the identical row set."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.temperature_sample(d, alpha=0.5).orderBy("doc_id")
+
+
 @query("repetition_stats", textstats.repetition_stats_sql())
 def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021 A1.1.2): per-doc
@@ -1250,6 +1266,34 @@ def curate_corpus_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return _curate_pipeline(docs, _CURATE_CAPPED_MAX_BUCKET)
+
+
+_NGRAM_DECOR_SQL = (
+    "(SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN '" + _CURATE_BOILER
+    + "' ELSE text END AS text FROM documents) dd"
+)
+
+
+@query(
+    "ngram_topk",
+    dedup.ngram_topk_sql(table=_NGRAM_DECOR_SQL, k=3, top=20, min_docs=2),
+)
+def ngram_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate miner over the same planted-boilerplate
+    decoration the capped-curation fixture uses: the doc_id % 7 == 3
+    family all carry one cookie-banner/nav-footer string, so its word
+    3-grams dominate the document-frequency top-20 — the audit a real
+    run does BEFORE choosing dedup_lines thresholds and band caps. The
+    top-N boundary cuts inside the tied family (every planted gram has
+    the same n_docs), so the query also proves the deterministic
+    (n_docs DESC, gram ASC) total order both engines share."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 3, F.lit(_CURATE_BOILER)).otherwise(
+            F.col("text")
+        ),
+    )
+    return dedup.ngram_topk(docs, k=3, top=20, min_docs=2)
 
 
 # The FULL curation chain a real 100 TB run executes: corpus-level
@@ -2945,6 +2989,10 @@ _DEMOTED_ORACLED = frozenset({
     "monotonic_prune",          # window family: sectionize_events, asof_last_signup in-window
     # second r5 wave — yields a slot to zorder_lookup (never sampled):
     "status_counts",            # counts family: pricing_summary, value-counts siblings in-window
+    # third r5 wave — yields slots to ngram_topk and temperature_sample
+    # (never sampled); both demotions were driver-green in r4:
+    "part_type_margins",        # agg family: pricing_summary, mode_quantity in-window
+    "full_outer_nation_counts", # J4 family: align_export_full_outer (value-exact J4 export) in-window
 })
 
 

@@ -1,0 +1,180 @@
+"""ngram_topk (corpus boilerplate miner) and temperature_sample
+(corpus-derived multilingual mixing) — kernel semantics vs pure-Python
+models, determinism, and the plan shapes their 100 TB story rests on.
+The DuckDB oracle twins are value+dtype-checked by test_entry /
+test_dtype_gate like every registered query; these tests pin behavior
+the oracles can't see (tie determinism across reruns, plan shape,
+validation errors)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extract_spark.operators import dedup, textstats
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --------------------------------------------------------------- fixtures
+
+DOCS = [
+    (1, "the cookie banner asks for consent", "en"),
+    (2, "the cookie banner asks for consent", "en"),
+    (3, "the cookie banner asks for consent", "en"),
+    (4, "fresh unique prose about gardens and rain", "en"),
+    (5, "more unique prose about trains", "de"),
+    (6, "tiny", "de"),          # < k tokens: single whole-text shingle
+    (7, "", "fr"),              # empty: shingle '' — mined never
+    (8, None, "fr"),            # NULL text
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+
+
+def _py_doc_freq(texts, k):
+    """Pure-Python model: document frequency of distinct word k-grams."""
+    c = Counter()
+    for t in texts:
+        toks = [w for w in (t or "").lower().split() if w]
+        if len(toks) >= k:
+            grams = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        else:
+            grams = {" ".join(toks)}
+        c.update(g for g in grams if g != "")
+    return c
+
+
+# -------------------------------------------------------------- ngram_topk
+
+def test_ngram_topk_matches_python_model(spark):
+    got = {
+        (r["gram"], r["n_docs"])
+        for r in dedup.ngram_topk(_docs(spark), k=3, top=100, min_docs=1).collect()
+    }
+    want = set(_py_doc_freq([t for _, t, _ in DOCS], 3).items())
+    assert got == want
+
+
+def test_ngram_topk_min_docs_and_boundary_determinism(spark):
+    # the planted triple-doc grams all tie at n_docs=3; top=2 cuts inside
+    # the tie group -> the 2 lexicographically smallest grams, every run
+    runs = [
+        [tuple(r) for r in dedup.ngram_topk(_docs(spark), k=3, top=2, min_docs=2).collect()]
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    grams = [g for g, _ in runs[0]]
+    tied = sorted(g for g, n in _py_doc_freq([t for _, t, _ in DOCS], 3).items() if n == 3)
+    assert grams == tied[:2]
+    assert all(n == 3 for _, n in runs[0])
+
+
+def test_ngram_topk_validation(spark):
+    with pytest.raises(ValueError):
+        dedup.ngram_topk(_docs(spark), k=0)
+    with pytest.raises(ValueError):
+        dedup.ngram_topk(_docs(spark), top=0)
+
+
+def test_ngram_topk_plan_is_heap_topk_not_window(spark):
+    """The global top-N must compile to TakeOrderedAndProject (bounded
+    per-partition heap, O(top) driver memory) — never a single-partition
+    sort or a window, which would funnel the whole distinct-gram
+    relation through one task at corpus scale."""
+    plan = _plan(dedup.ngram_topk(_docs(spark), k=3, top=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    # map-side combine on the gram key before its only shuffle
+    assert "partial_count" in plan, plan
+
+
+# ------------------------------------------------------ temperature_sample
+
+def _py_keep(doc_id, rate, salt="temp"):
+    h = int(hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:15], 16)
+    return (h % textstats.SAMPLE_MOD) < rate * textstats.SAMPLE_MOD
+
+
+def test_temperature_alpha_one_keeps_everything(spark):
+    d = _docs(spark)
+    assert textstats.temperature_sample(d, alpha=1.0).count() == d.count()
+
+
+def test_temperature_smallest_stratum_keeps_all(spark):
+    # de/fr are tied smallest (2 docs each): rate exactly 1.0, and
+    # h < 1.0 * SAMPLE_MOD always holds since h is in [0, SAMPLE_MOD)
+    kept = textstats.temperature_sample(_docs(spark), alpha=0.5)
+    for lang, n in (("de", 2), ("fr", 2)):
+        assert kept.filter(F.col("lang") == lang).count() == n
+
+
+def test_temperature_matches_python_model(spark):
+    counts = Counter(lang for _, _, lang in DOCS)
+    nmin = min(counts.values())
+    kept = {
+        r["doc_id"]
+        for r in textstats.temperature_sample(_docs(spark), alpha=0.5).collect()
+    }
+    want = {
+        doc_id
+        for doc_id, _, lang in DOCS
+        if _py_keep(doc_id, round((nmin / counts[lang]) ** 0.5, 6))
+    }
+    assert kept == want
+
+
+def test_temperature_flattens_shares(spark, ddb):
+    """On the real corpus the dominant stratum's share must shrink and
+    every stratum must retain rows — the mixing rule's whole point."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    before = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    after = {
+        r["lang"]: r["n"]
+        for r in textstats.temperature_sample(docs, alpha=0.5)
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(after) == set(before)
+    tot_b, tot_a = sum(before.values()), sum(after.values())
+    top = max(before, key=before.get)
+    assert after[top] / tot_a < before[top] / tot_b
+    small = min(before, key=before.get)
+    assert after[small] == before[small]  # rate 1.0 keeps every row
+
+
+def test_temperature_preserves_columns_and_is_rerun_stable(spark):
+    d = _docs(spark)
+    k1 = textstats.temperature_sample(d, alpha=0.5)
+    assert k1.columns == d.columns
+    ids = sorted(r["doc_id"] for r in k1.collect())
+    assert ids == sorted(r["doc_id"] for r in textstats.temperature_sample(d, alpha=0.5).collect())
+
+
+def test_temperature_validation(spark):
+    with pytest.raises(ValueError):
+        textstats.temperature_sample(_docs(spark), alpha=0.0)
+    with pytest.raises(ValueError):
+        textstats.temperature_sample(_docs(spark), alpha=1.5)
+
+
+def test_temperature_plan_broadcasts_rates_never_shuffles_corpus(spark):
+    """The rate table (one row per stratum) must reach the corpus via a
+    broadcast join; the corpus side must not be exchanged — its only
+    operations are the joined filter and the projection."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textstats.temperature_sample(docs, alpha=0.5))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the only Exchanges sit on the stratum-counts subtree (bounded by
+    # stratum cardinality); verify none is a repartition of the corpus
+    # by checking every Exchange feeds an aggregate, not the probe scan
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning(doc_id" in line:
+            raise AssertionError(f"corpus shuffled: {line}")

@@ -61,6 +61,62 @@ FROM {table} GROUP BY 1
 """
 
 
+def exact_dedup_keepbest(
+    df: DataFrame, score_col: str = "n_chars", text_col: str = "text"
+) -> DataFrame:
+    """Quality-aware exact dedup (the CCNet-style "keep the best copy"
+    policy): one row per distinct normalized text, keeper = the
+    duplicate with the HIGHEST ``score_col`` (ties break to the smallest
+    doc_id), for corpora where re-crawls of the same page differ in
+    metadata completeness or upstream quality scores.
+
+    Same one-aggregate scale shape as ``exact_dedup``: the argmax is a
+    lexicographic MIN over (negated score, doc_id) structs — associative
+    and partial-combinable, so the map-side combine collapses each
+    mapper's duplicates before the only shuffle. A window-free argmax:
+    a row_number window here would funnel every duplicate family through
+    one task per text_hash.
+
+    Returns (text_hash, keeper_id, best_score, n_dups)."""
+    keyed = df.select(
+        phash(norm_text(F.col(text_col))).alias("text_hash"),
+        "doc_id",
+        F.col(score_col).cast("long").alias("_score"),
+    )
+    m = F.min(
+        F.struct((-F.col("_score")).alias("ns"), F.col("doc_id").alias("id"))
+    )
+    return (
+        keyed.groupBy("text_hash")
+        .agg(m.alias("_m"), F.count("*").alias("n_dups"))
+        .select(
+            "text_hash",
+            F.col("_m.id").alias("keeper_id"),
+            (-F.col("_m.ns")).cast("long").alias("best_score"),
+            "n_dups",
+        )
+    )
+
+
+def exact_dedup_keepbest_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    score_expr: str = "n_chars",
+) -> str:
+    """DuckDB mirror of ``exact_dedup_keepbest`` (named-struct min is
+    lexicographic by field order in both engines)."""
+    h = phash_sql(NORM_SQL.format(e=text_expr))
+    return f"""
+WITH g AS (
+  SELECT {h} AS text_hash,
+         min({{'ns': -({score_expr})::BIGINT, 'id': doc_id}}) AS m,
+         count(*) AS n_dups
+  FROM {table} GROUP BY 1)
+SELECT text_hash, m.id AS keeper_id, (-m.ns)::BIGINT AS best_score, n_dups
+FROM g
+"""
+
+
 # --------------------------------------------------------------- shingles
 
 def shingles(col, k: int = 3):

@@ -912,6 +912,34 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+_KEEPBEST_DECOR_SQL = (
+    "(SELECT doc_id, CASE WHEN doc_id % 5 = 2 THEN "
+    "'one shared page recrawled many times' ELSE text END AS text, "
+    "n_chars FROM documents) dd"
+)
+
+
+@query(
+    "dedup_keepbest",
+    dedup.exact_dedup_keepbest_sql(table=_KEEPBEST_DECOR_SQL),
+)
+def dedup_keepbest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup (keep the BEST copy, not the first):
+    the doc_id % 5 == 2 docs all carry one re-crawled page text but keep
+    their organic n_chars as the quality score, so the keeper is the
+    family member with the longest original document — a keeper the
+    keep-first policy would never pick. Window-free argmax: min of a
+    (negated score, doc_id) struct, partial-combinable."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 2,
+            F.lit("one shared page recrawled many times"),
+        ).otherwise(F.col("text")),
+    )
+    return dedup.exact_dedup_keepbest(docs)
+
+
 @query("dedup_jaccard", dedup.jaccard_pairs_sql())
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (the verifier path)."""
@@ -2989,10 +3017,11 @@ _DEMOTED_ORACLED = frozenset({
     "monotonic_prune",          # window family: sectionize_events, asof_last_signup in-window
     # second r5 wave — yields a slot to zorder_lookup (never sampled):
     "status_counts",            # counts family: pricing_summary, value-counts siblings in-window
-    # third r5 wave — yields slots to ngram_topk and temperature_sample
-    # (never sampled); both demotions were driver-green in r4:
+    # third r5 wave — yields slots to ngram_topk, temperature_sample and
+    # dedup_keepbest (never sampled); all demotions were driver-green in r4:
     "part_type_margins",        # agg family: pricing_summary, mode_quantity in-window
     "full_outer_nation_counts", # J4 family: align_export_full_outer (value-exact J4 export) in-window
+    "dedup_keepfirst",          # exact-dedup family: dedup_keepbest (same machinery, argmax keeper) in-window
 })
 
 

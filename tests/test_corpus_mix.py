@@ -96,6 +96,40 @@ def test_ngram_topk_plan_is_heap_topk_not_window(spark):
     assert "partial_count" in plan, plan
 
 
+# ---------------------------------------------------- exact_dedup_keepbest
+
+def test_keepbest_picks_highest_score_then_smallest_id(spark):
+    rows = [
+        (10, "same page", 50),
+        (3, "same page", 400),   # highest score -> keeper despite id 3 > ...
+        (1, "same page", 400),   # ... tie at 400 -> smallest id 1 wins
+        (7, "other page", 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    got = {
+        r["keeper_id"]: (r["best_score"], r["n_dups"])
+        for r in dedup.exact_dedup_keepbest(df).collect()
+    }
+    assert got == {1: (400, 3), 7: (10, 1)}
+
+
+def test_keepbest_normalizes_text_like_exact_dedup(spark):
+    # whitespace/case variants are the SAME page (norm_text semantics)
+    rows = [(1, "Same  Page", 5), (2, "same page", 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = dedup.exact_dedup_keepbest(df).collect()
+    assert len(out) == 1 and out[0]["keeper_id"] == 2 and out[0]["n_dups"] == 2
+
+
+def test_keepbest_plan_is_aggregate_not_window(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1)], "doc_id long, text string, n_chars long"
+    )
+    plan = _plan(dedup.exact_dedup_keepbest(df))
+    assert "partial_min" in plan, plan    # map-side combine of the argmax
+    assert "Window" not in plan, plan
+
+
 # ------------------------------------------------------ temperature_sample
 
 def _py_keep(doc_id, rate, salt="temp"):

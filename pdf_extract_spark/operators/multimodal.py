@@ -298,3 +298,47 @@ def join_spans_to_media(spans_df: DataFrame, media_df: DataFrame) -> DataFrame:
         "doc_id", "media_ref", "offset"
     )
     return media_spans.join(media_df, "media_ref", "left")
+
+
+def dedup_media(
+    df: DataFrame, content_col: str = "content", ref_col: str = "media_ref"
+) -> DataFrame:
+    """Exact dedup for BINARY media payloads (the multimodal twin of
+    dedup.exact_dedup): byte-identical images/audio/video collapse to
+    one keeper per digest, keeper = min ref (deterministic; string min
+    is binary-collation in both engines). Returns
+    (content_hash, keeper_ref, n_dups).
+
+    The digest is ``md5(hex(content))`` rather than md5 of the raw
+    bytes: DuckDB's md5 is VARCHAR-only, and hex() is uppercase in both
+    engines, so digest-of-hex is the engine-portable form — the hex
+    expansion is map-local and never shuffled.
+
+    Scale (100 TB of media): ONE partial-combinable hash aggregate;
+    the shuffle carries only (32-char digest, ref) — the payload bytes
+    themselves never move. Collision risk is md5's (fine for dedup;
+    cryptographic adversaries are out of scope, same stance as the text
+    families)."""
+    return (
+        df.select(
+            F.md5(F.hex(F.col(content_col))).alias("content_hash"),
+            F.col(ref_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(ref_col).alias("keeper_ref"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def dedup_media_sql(table: str, content_hex_expr: str, ref_expr: str) -> str:
+    """DuckDB mirror of ``dedup_media`` over a relation that exposes the
+    payload's UPPERCASE hex form (fixtures derive payloads via portable
+    md5/repeat/substring expressions, so the hex form is available
+    without a BLOB md5, which DuckDB lacks)."""
+    return f"""
+SELECT md5(upper({content_hex_expr})) AS content_hash,
+       min({ref_expr}) AS keeper_ref, count(*) AS n_dups
+FROM {table} GROUP BY 1
+"""

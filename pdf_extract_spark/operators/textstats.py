@@ -346,6 +346,60 @@ WHERE {h} < rate * {SAMPLE_MOD}
 """
 
 
+def length_quantiles(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    by: str = "lang",
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    relative_error: float | None = None,
+) -> DataFrame:
+    """Per-stratum length distribution — the corpus profile a curation
+    run reads before choosing quality_filter thresholds and pack
+    budgets. Returns one row per stratum: qNN per requested percentile
+    plus the stratum count.
+
+    Two paths, one signature (the dedup_jaccard-vs-minhash pattern):
+    the default EXACT ``percentile`` interpolates over the group's
+    sorted values — it materializes each group's values, so it is the
+    verifier (and the DuckDB ``quantile_cont`` twin is bit-identical on
+    integer inputs: interpolation fractions are exact binary
+    fractions). With ``relative_error`` set, ``approx_percentile``
+    swaps in the 100 TB path: a mergeable sketch aggregated map-side
+    with bounded state per group, no value materialization — at the
+    cost of rank error, which is why the oracle pins the exact form."""
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    aggs = []
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile {p} outside [0, 1]")
+        name = f"q{int(round(p * 100)):02d}"
+        if relative_error is None:
+            aggs.append(F.percentile(value_col, F.lit(p)).alias(name))
+        else:
+            acc = max(100, int(round(1.0 / relative_error)))
+            aggs.append(
+                F.approx_percentile(value_col, F.lit(p), F.lit(acc))
+                .cast("double")
+                .alias(name)
+            )
+    aggs.append(F.count("*").alias("n"))
+    return df.groupBy(by).agg(*aggs)
+
+
+def length_quantiles_sql(
+    table: str = "documents",
+    value_col: str = "n_chars",
+    by: str = "lang",
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> str:
+    cols = ", ".join(
+        f"quantile_cont({value_col}, {p}) AS q{int(round(p * 100)):02d}"
+        for p in probs
+    )
+    return f"SELECT {by}, {cols}, count(*) AS n FROM {table} GROUP BY 1"
+
+
 def quality_filter(
     df: DataFrame, text_col: str = "text",
     min_tokens: int = 20, max_tokens: int = 100_000,

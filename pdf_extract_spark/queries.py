@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from pdf_extract_spark import curation
-from pdf_extract_spark.operators import dedup, metacompare as MC, packing, similarity, textstats
+from pdf_extract_spark.operators import dedup, metacompare as MC, multimodal, packing, similarity, textstats
 from pdf_extract_spark.operators.extract import extract_spans
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1948,6 +1948,50 @@ def media_frame_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(df, fps=2.0).orderBy("media_ref", "frame_idx")
 
 
+_MEDIA_DUP_SQL = (
+    "(SELECT 'm:' || doc_id::VARCHAR AS media_ref, "
+    "md5(CASE WHEN doc_id % 6 = 1 THEN 'shared frame bytes' "
+    "ELSE text END) AS hx FROM documents) dd"
+)
+
+
+@query(
+    "dedup_media",
+    multimodal.dedup_media_sql(_MEDIA_DUP_SQL, "hx", "media_ref"),
+)
+def dedup_media_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup over a planted re-encode family: the
+    doc_id % 6 == 1 media payloads are byte-identical (same source
+    frame), every other payload is doc-unique. The Spark kernel hashes
+    the RAW binary column; the oracle re-derives the digest from the
+    payload's hex form (the media fixtures' md5-expression derivation
+    makes that possible — DuckDB has no BLOB md5)."""
+    from pdf_extract_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m:"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.unhex(
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 6 == 1, F.lit("shared frame bytes")
+                ).otherwise(F.col("text"))
+            )
+        ).alias("content"),
+    )
+    return M.dedup_media(media)
+
+
+@query("length_quantiles", textstats.length_quantiles_sql())
+def length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length distribution (exact percentile — the
+    verifier twin of the approx_percentile sketch path): the corpus
+    profile read before choosing quality_filter thresholds and pack
+    budgets. Bit-identical to DuckDB quantile_cont on integer inputs
+    (interpolation fractions are exact binary fractions)."""
+    return textstats.length_quantiles(_t(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # alignment suite (SURVEY.md §2.4 J5-J10)
 # =====================================================================
@@ -3022,6 +3066,10 @@ _DEMOTED_ORACLED = frozenset({
     "part_type_margins",        # agg family: pricing_summary, mode_quantity in-window
     "full_outer_nation_counts", # J4 family: align_export_full_outer (value-exact J4 export) in-window
     "dedup_keepfirst",          # exact-dedup family: dedup_keepbest (same machinery, argmax keeper) in-window
+    # fourth r5 wave — yields slots to dedup_media and length_quantiles
+    # (never sampled); both demotions were driver-green in r4:
+    "media_frame_plan",         # multimodal family: media_features, dedup_media in-window
+    "align_export_kr",          # align-export family: align_export_en, align_export_full_outer in-window
 })
 
 

@@ -96,6 +96,68 @@ def test_ngram_topk_plan_is_heap_topk_not_window(spark):
     assert "partial_count" in plan, plan
 
 
+# ---------------------------------------------------------- length stats
+
+def test_length_quantiles_exact_matches_python(spark):
+    import statistics
+
+    rows = [(i, "en" if i < 7 else "de", v) for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6, 5, 3])]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    got = {r["lang"]: (r["q25"], r["q50"], r["q75"], r["n"]) for r in textstats.length_quantiles(df).collect()}
+    for lang, vals in (("en", [3, 1, 4, 1, 5, 9, 2]), ("de", [6, 5, 3])):
+        q = statistics.quantiles(sorted(vals), n=4, method="inclusive")
+        assert got[lang] == (q[0], q[1], q[2], len(vals)), (lang, got[lang], q)
+
+
+def test_length_quantiles_approx_within_tolerance_and_mergeable(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {r["lang"]: r["q50"] for r in textstats.length_quantiles(docs).collect()}
+    approx = {
+        r["lang"]: r["q50"]
+        for r in textstats.length_quantiles(docs, relative_error=0.01).collect()
+    }
+    for lang, e in exact.items():
+        assert abs(approx[lang] - e) / max(e, 1.0) < 0.1, (lang, e, approx[lang])
+    # the sketch path must stay a partial-combinable aggregate
+    plan = _plan(textstats.length_quantiles(docs, relative_error=0.01))
+    assert "partial_approx_percentile" in plan, plan
+
+
+def test_length_quantiles_validation(spark):
+    df = spark.createDataFrame([(1, "en", 2)], "doc_id long, lang string, n_chars long")
+    with pytest.raises(ValueError):
+        textstats.length_quantiles(df, probs=())
+    with pytest.raises(ValueError):
+        textstats.length_quantiles(df, probs=(1.5,))
+
+
+# -------------------------------------------------------------- dedup_media
+
+def test_dedup_media_groups_identical_payloads(spark):
+    from pdf_extract_spark.operators import multimodal as M
+
+    rows = [
+        ("m:1", bytes([1, 2, 3])),
+        ("m:2", bytes([1, 2, 3])),
+        ("m:10", bytes([1, 2, 3])),  # 'm:1' < 'm:10' < 'm:2' binary min
+        ("m:3", bytes([9, 9])),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+    got = {r["keeper_ref"]: r["n_dups"] for r in M.dedup_media(df).collect()}
+    assert got == {"m:1": 3, "m:3": 1}
+
+
+def test_dedup_media_plan_is_single_partial_aggregate(spark):
+    from pdf_extract_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [("m:1", bytes([1]))], "media_ref string, content binary"
+    )
+    plan = _plan(M.dedup_media(df))
+    assert "partial_min" in plan and "partial_count" in plan, plan
+    assert "Window" not in plan, plan
+
+
 # ---------------------------------------------------- exact_dedup_keepbest
 
 def test_keepbest_picks_highest_score_then_smallest_id(spark):

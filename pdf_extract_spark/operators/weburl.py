@@ -236,3 +236,116 @@ def domain_cap(
         dom.isNull() | (dom == "")
     )
     return capped.unionByName(null_id_unkeyed)
+
+
+# ------------------------------------------------------- host PageRank
+
+def host_pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 1_000_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-point integer PageRank over the host link graph — the
+    crawl-prioritization / domain-authority signal a web curation
+    pipeline derives from ``harvest_links`` output. Returns
+    (host, rank) with ranks in ``scale`` units after ``iterations``
+    synchronous rounds of r' = scale*(1-d) + d * sum(r_in / outdeg).
+
+    ALL arithmetic is 64-bit integer (ranks in scale units, trunc
+    division when splitting rank across out-edges and when damping), so
+    results are bit-identical across engines, partitionings and reruns
+    — float PageRank is none of those (shuffle-order-dependent
+    summation). The caller must keep
+    ``damping_num * n_hosts * scale < 2**63`` (defaults are safe to
+    ~10^8 hosts). Mass flowing into dangling hosts (no out-edges) is
+    retained by them but not redistributed — the documented choice; the
+    redistribution variant needs a per-round global sum that buys
+    nothing for ranking ORDER at web scale.
+
+    Scale (100 TB crawl): edges are deduplicated then localCheckpointed
+    ONCE (the dedup_components lesson — every round joins them and the
+    upstream harvest must not re-run per round); each round is one
+    key-only join + one partial-combinable aggregate, both shuffling on
+    the host key; lineage stays bounded by the explicit iteration
+    count."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not 0 < damping_num < damping_den:
+        raise ValueError(
+            f"damping must satisfy 0 < num < den, got {damping_num}/{damping_den}"
+        )
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    ).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    base = (scale * (damping_den - damping_num)) // damping_den
+    ranks = nodes.select("host", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["host"])
+            .join(outdeg, "src")
+            .select("dst", F.expr("rank DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["host"] == contrib["dst"], "left")
+            .select(
+                "host",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(s, 0L)) DIV {damping_den}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+        # bound the iterative lineage (same contract as dedup_components)
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def host_pagerank_sql(
+    edges_sql: str,
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 1_000_000_000,
+) -> str:
+    """DuckDB mirror of ``host_pagerank``: the synchronous rounds UNROLL
+    into chained CTEs (standard SQL forbids aggregates in a recursive
+    CTE member; unrolling sidesteps the restriction and keeps the oracle
+    pure ANSI). ``edges_sql`` must yield (src, dst). DuckDB's sum()
+    widens BIGINT to HUGEINT, so every round casts back ::BIGINT after
+    the damping division — values stay in int64 range by the operator's
+    overflow contract, so the casts are lossless."""
+    base = (scale * (damping_den - damping_num)) // damping_den
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1)",
+        f"r0 AS (SELECT host, {scale}::BIGINT AS rank FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"r{i} AS (SELECT n.host, ({base} + ({damping_num} * "
+            f"coalesce(s.c, 0)) // {damping_den})::BIGINT AS rank "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS host, sum({prev}.rank // deg.d) AS c "
+            f"FROM e JOIN {prev} ON e.src = {prev}.host "
+            f"JOIN deg ON e.src = deg.src GROUP BY 1) s USING (host))"
+        )
+        prev = f"r{i}"
+    return "WITH " + ",\n".join(parts) + f"\nSELECT host, rank FROM {prev}"

@@ -2376,6 +2376,44 @@ FROM doms WHERE domain <> '' GROUP BY 1
 """
 
 
+from pdf_extract_spark.operators.weburl import host_pagerank_sql as _hpr_sql
+
+_HOST_EDGES_SQL = """
+SELECT 'h' || (doc_id % 7)::VARCHAR AS src,
+       'h' || ((doc_id * 3 + 1) % 7)::VARCHAR AS dst
+FROM documents
+UNION ALL
+SELECT 'h' || (doc_id % 7)::VARCHAR AS src,
+       'm' || (doc_id % 3)::VARCHAR AS dst
+FROM documents
+"""
+
+
+@query("host_pagerank", _hpr_sql(_HOST_EDGES_SQL, iterations=5))
+def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank over the documents-derived host
+    graph (the link_domains decoration's hosts: seven h*.example hubs in
+    a 3i+1 ring plus three dangling m*.org targets). Integer arithmetic
+    makes the five synchronous rounds hash-exact vs the oracle's
+    unrolled CTEs — a float PageRank could never be value-checked across
+    engines (shuffle-order summation)."""
+    from pdf_extract_spark.operators import weburl as WU
+
+    docs = _t(spark, sf_dir, "documents")
+    h_src = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+    ring = docs.select(
+        h_src.alias("src"),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 3 + 1) % 7).cast("string")
+        ).alias("dst"),
+    )
+    out = docs.select(
+        h_src.alias("src"),
+        F.concat(F.lit("m"), (F.col("doc_id") % 3).cast("string")).alias("dst"),
+    )
+    return WU.host_pagerank(ring.unionByName(out), iterations=5)
+
+
 @query("link_domains", _LINK_DOMAINS_SQL)
 def link_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The web-graph pass every curation pipeline runs corpus-wide
@@ -3070,6 +3108,8 @@ _DEMOTED_ORACLED = frozenset({
     # (never sampled); both demotions were driver-green in r4:
     "media_frame_plan",         # multimodal family: media_features, dedup_media in-window
     "align_export_kr",          # align-export family: align_export_en, align_export_full_outer in-window
+    # fifth r5 wave — yields a slot to host_pagerank (never sampled):
+    "pair_stats",               # metacompare family: pair_symbols, pair_status_counts, content_filters in-window
 })
 
 

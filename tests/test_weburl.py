@@ -192,3 +192,58 @@ def test_domain_cap_keep_unkeyed_null_id(spark):
     assert "mailto:x@example.org" in urls
     assert "https://d0.example/p/x" not in urls
     assert len(out) == 3
+
+
+# ----------------------------------------------------------- host PageRank
+
+def test_host_pagerank_matches_python_model(spark):
+    from pdf_extract_spark.operators import weburl as WU
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["host"]: r["rank"] for r in WU.host_pagerank(df, iterations=5).collect()}
+
+    # pure-Python fixed-point model (same trunc-division semantics)
+    scale, num, den = 1_000_000_000, 85, 100
+    base = (scale * (den - num)) // den
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, set()).add(d)
+    hosts = {h for e in edges for h in e}
+    r = {h: scale for h in hosts}
+    for _ in range(5):
+        s = {h: 0 for h in hosts}
+        for u, dsts in out.items():
+            share = r[u] // len(dsts)
+            for v in dsts:
+                s[v] += share
+        r = {h: base + (num * s[h]) // den for h in hosts}
+    assert got == r
+
+
+def test_host_pagerank_dangling_and_source_ranks(spark):
+    from pdf_extract_spark.operators import weburl as WU
+
+    # d -> a only: d receives nothing (rank = base forever); a is the
+    # ring hub so it must outrank everything else
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["host"]: r["rank"] for r in WU.host_pagerank(df, iterations=5).collect()}
+    assert got["d"] == 150_000_000  # scale*(1-d) exactly, never fed
+    assert got["a"] == max(got.values())
+
+
+def test_host_pagerank_rerun_identical_and_validation(spark):
+    import pytest
+    from pdf_extract_spark.operators import weburl as WU
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    r1 = sorted(map(tuple, WU.host_pagerank(df, iterations=3).collect()))
+    r2 = sorted(map(tuple, WU.host_pagerank(df, iterations=3).collect()))
+    assert r1 == r2
+    with pytest.raises(ValueError):
+        WU.host_pagerank(df, iterations=0)
+    with pytest.raises(ValueError):
+        WU.host_pagerank(df, damping_num=100, damping_den=100)

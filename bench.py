@@ -75,6 +75,7 @@ HEADLINE = [
     "curate_corpus_full",       # FULL chain: line dedup -> pii scrub -> capped curation
     "ngram_topk",               # corpus boilerplate miner (heap top-k, no window)
     "temperature_sample",       # corpus-derived multilingual mixing (XLM-R rule)
+    "host_pagerank",            # fixed-point integer link-graph centrality (iterative)
 ]
 
 
@@ -415,13 +416,14 @@ def write_bench_md(result: dict) -> None:
         "The headline suite is cumulative: 26 queries in r2, 29 in r3, 35 at",
         "the end of r4 (added across r4: table_detect, decontaminate,",
         "html_extract, link_domains, url_dedup_hosts, line_dedup — the last",
-        "four are the new HTML/web-curation leg), 40 in r5 (added:",
+        "four are the new HTML/web-curation leg), 41 in r5 (added:",
         "domain_cap_kept and web_curate — so the salted two-phase domain",
         "cap has recorded numbers to regress against, VERDICT r4 item 6 —",
         "curate_corpus_full, the line-dedup -> pii-scrub -> capped",
         "curation chain under one composed oracle; ngram_topk, the corpus",
-        "boilerplate miner; and temperature_sample, the corpus-derived",
-        "multilingual mixing rule).",
+        "boilerplate miner; temperature_sample, the corpus-derived",
+        "multilingual mixing rule; and host_pagerank, the fixed-point",
+        "integer link-graph centrality pass).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

@@ -76,6 +76,7 @@ HEADLINE = [
     "ngram_topk",               # corpus boilerplate miner (heap top-k, no window)
     "temperature_sample",       # corpus-derived multilingual mixing (XLM-R rule)
     "host_pagerank",            # fixed-point integer link-graph centrality (iterative)
+    "quality_buckets",          # CCNet-style LM-surprisal quartile buckets (2-pass train/score)
 ]
 
 

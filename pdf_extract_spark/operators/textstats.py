@@ -569,3 +569,178 @@ def pii_scrub_sql(
         prev = f"s{i}"
     cols = ", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS)
     return f"WITH {', '.join(ctes)}\nSELECT doc_id, {cols}, t AS scrubbed FROM {prev}"
+
+
+# ---------------------------------------------------------------------
+# Unigram LM surprisal + CCNet-style quality buckets
+# ---------------------------------------------------------------------
+
+def _flog2(col: Column) -> Column:
+    """floor(log2(n)) for a positive integer column, EXACTLY: the bit
+    length of the binary representation minus one. A float log2 is off
+    by one at powers of two whenever the libm result lands a hair under
+    the integer; string length of the base-2 digits cannot be. DuckDB
+    twin: length(bin(n)) - 1."""
+    return (F.length(F.conv(col.cast("string"), 10, 2)) - 1).cast("long")
+
+
+def unigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-trained unigram LM surprisal per document — the integer
+    analog of CCNet's LM-perplexity quality signal (Wenzek et al. 2020):
+    train token frequencies on the corpus itself, then score each doc by
+    how surprising its tokens are under that model. Typical text scores
+    low, gibberish / rare-token soup scores high.
+
+    All arithmetic is INTEGER so the result is bit-identical across
+    engines, partitionings and reruns: per-token surprisal is the
+    floor-log2 bit count ``flog2(N_total) - flog2(count(token))``
+    (exact via binary-digit length, see _flog2), doc totals are integer
+    sums (associative — float log-prob sums are shuffle-order
+    dependent), and the per-token average is milli-bits via integer
+    division (1000 * total DIV n, trunc == floor on non-negatives, ==
+    DuckDB ``//``).
+
+    Returns (doc_id, n_tokens, total_bits, milli_bits_per_token);
+    zero-token docs keep n_tokens = total_bits = 0 with a NULL average.
+
+    Scale (100 TB): two passes over the corpus, exactly like CCNet —
+    a train pass (explode -> vocab-sized count aggregate, map-side
+    combine; the shuffle carries only the token string) and a score pass
+    (explode -> equi-join to the vocab table -> per-doc sum, both
+    partial-combinable; the join carries only (token, doc_id, bits) —
+    document text never shuffles). The single-row corpus total folds in
+    via one broadcast. The tokenize subtree runs twice rather than
+    materializing an exploded 100 TB corpus — the standard train/score
+    tradeoff."""
+    ex = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n_total"))
+    vocab_bits = freq.crossJoin(F.broadcast(total)).select(
+        "tok",
+        (_flog2(F.col("n_total")) - _flog2(F.col("cnt"))).alias("bits"),
+    )
+    per_doc = (
+        ex.join(vocab_bits, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("bits").cast("long").alias("total_bits"),
+        )
+    )
+    return (
+        df.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("total_bits", F.lit(0).cast("long")).alias("total_bits"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("total_bits * 1000 DIV n_tokens"),
+            ).cast("long").alias("milli_bits_per_token"),
+        )
+    )
+
+
+def unigram_surprisal_sql(table: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB mirror of unigram_surprisal (self-contained WITH — embed
+    as a subquery via ``(SELECT * FROM (<this>))``; DuckDB allows a
+    nested WITH inside a CTE body)."""
+    toks = tokens_sql(text_expr)
+    return f"""
+WITH ex AS (SELECT doc_id, unnest({toks}) AS tok FROM {table}),
+freq AS (SELECT tok, count(*)::BIGINT AS cnt FROM ex GROUP BY tok),
+tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM freq),
+vb AS (SELECT tok,
+              (length(bin((SELECT n_total FROM tot)))
+               - length(bin(cnt)))::BIGINT AS bits
+       FROM freq),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(bits)::BIGINT AS total_bits
+        FROM ex JOIN vb USING (tok) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(p.total_bits, 0)::BIGINT AS total_bits,
+       (CASE WHEN p.n_tokens > 0
+             THEN p.total_bits * 1000 // p.n_tokens END)::BIGINT
+           AS milli_bits_per_token
+FROM {table} d LEFT JOIN per p USING (doc_id)
+"""
+
+
+def quality_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "lang",
+    relative_error: float | None = None,
+) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing: score every document
+    with the corpus-trained unigram surprisal, then cut each stratum
+    (language) at its own 25th/75th percentile — lowest-surprisal
+    (most typical) quarter is ``head``, the top quarter ``tail``, the
+    rest ``middle``. Downstream mixing then oversamples head the way
+    CCNet's perplexity buckets do. Cut points are quartiles, not
+    CCNet's thirds, as a documented choice: 0.25/0.75 interpolation
+    positions are exact binary fractions, so the exact-percentile
+    thresholds (and hence the bucket assignment) are bit-identical to
+    DuckDB's quantile_cont on the integer scores (same argument as
+    length_quantiles).
+
+    Zero-token docs have NULL surprisal: they take no part in the
+    thresholds (percentile ignores NULLs in both engines) and get a
+    NULL bucket.
+
+    Two paths, one signature (the length_quantiles pattern): default
+    EXACT percentile is the oracled verifier; ``relative_error`` swaps
+    in approx_percentile — the mergeable-sketch 100 TB path with
+    bounded state per stratum, at the cost of boundary-rank error.
+
+    Scale: unigram_surprisal's two corpus passes + ONE tiny per-stratum
+    aggregate (bounded by |langs|) broadcast back onto the scored rows —
+    the corpus is never shuffled by stratum."""
+    scored = df.select("doc_id", by).join(
+        unigram_surprisal(df, text_col=text_col), "doc_id"
+    )
+    mbpt = F.col("milli_bits_per_token")
+    if relative_error is None:
+        q25 = F.percentile(mbpt, F.lit(0.25))
+        q75 = F.percentile(mbpt, F.lit(0.75))
+    else:
+        acc = max(100, int(round(1.0 / relative_error)))
+        q25 = F.approx_percentile(mbpt, F.lit(0.25), F.lit(acc)).cast("double")
+        q75 = F.approx_percentile(mbpt, F.lit(0.75), F.lit(acc)).cast("double")
+    th = scored.groupBy(by).agg(q25.alias("_q25"), q75.alias("_q75"))
+    return (
+        scored.join(F.broadcast(th), by)
+        .select(
+            "doc_id",
+            by,
+            mbpt,
+            F.when(mbpt.isNull(), F.lit(None).cast("string"))
+            .when(mbpt <= F.col("_q25"), F.lit("head"))
+            .when(mbpt <= F.col("_q75"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+def quality_buckets_sql(
+    table: str = "documents", text_expr: str = "text", by: str = "lang"
+) -> str:
+    inner = unigram_surprisal_sql(table=table, text_expr=text_expr)
+    return f"""
+WITH s AS (SELECT * FROM ({inner})),
+j AS (SELECT d.doc_id, d.{by}, s.milli_bits_per_token
+      FROM {table} d JOIN s USING (doc_id)),
+th AS (SELECT {by},
+              quantile_cont(milli_bits_per_token, 0.25) AS q25,
+              quantile_cont(milli_bits_per_token, 0.75) AS q75
+       FROM j GROUP BY {by})
+SELECT j.doc_id, j.{by}, j.milli_bits_per_token,
+       CASE WHEN j.milli_bits_per_token IS NULL THEN NULL
+            WHEN j.milli_bits_per_token <= th.q25 THEN 'head'
+            WHEN j.milli_bits_per_token <= th.q75 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM j JOIN th USING ({by})
+"""

@@ -1992,6 +1992,37 @@ def length_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.length_quantiles(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "unigram_surprisal",
+    textstats.unigram_surprisal_sql() + " ORDER BY doc_id",
+)
+def unigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM surprisal (the integer CCNet
+    perplexity analog): train token frequencies on the corpus, score
+    each doc in floor-log2 bits. All-integer arithmetic (binary-digit
+    lengths, associative sums, trunc division) makes it bit-identical
+    across engines and shuffle orders — a float log-prob sum is
+    neither."""
+    return textstats.unigram_surprisal(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+@query(
+    "quality_buckets",
+    textstats.quality_buckets_sql() + " ORDER BY doc_id",
+)
+def quality_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail buckets: per-language quartile cuts of
+    the unigram surprisal score (exact-percentile verifier path; the
+    approx_percentile sketch path shares the signature). Thresholds are
+    a |langs|-row broadcast — the corpus is never shuffled by
+    stratum."""
+    return textstats.quality_buckets(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
 # =====================================================================
 # alignment suite (SURVEY.md §2.4 J5-J10)
 # =====================================================================
@@ -3110,6 +3141,12 @@ _DEMOTED_ORACLED = frozenset({
     "align_export_kr",          # align-export family: align_export_en, align_export_full_outer in-window
     # fifth r5 wave — yields a slot to host_pagerank (never sampled):
     "pair_stats",               # metacompare family: pair_symbols, pair_status_counts, content_filters in-window
+    # sixth r5 wave — yields slots to unigram_surprisal and
+    # quality_buckets (never sampled); both demotions were driver-green
+    # in r4 and their family keeps repetition_stats, quality_filter and
+    # stratified_sample in-window:
+    "token_count",              # textstats family (see above)
+    "quality_score",            # textstats family (see above)
 })
 
 

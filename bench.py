@@ -77,6 +77,7 @@ HEADLINE = [
     "temperature_sample",       # corpus-derived multilingual mixing (XLM-R rule)
     "host_pagerank",            # fixed-point integer link-graph centrality (iterative)
     "quality_buckets",          # CCNet-style LM-surprisal quartile buckets (2-pass train/score)
+    "url_blocklist",            # UT1-style domain blocklist (suffix hash join, anti-join back)
 ]
 
 

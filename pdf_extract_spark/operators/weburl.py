@@ -238,6 +238,107 @@ def domain_cap(
     return capped.unionByName(null_id_unkeyed)
 
 
+# ----------------------------------------------------- domain blocklist
+
+# Suffix matching is bounded: only the last MAX_HOST_LABELS labels of a
+# host generate candidate suffixes, so an adversarial 500-dot hostname
+# amplifies to 8 join rows, not 500. Real blocklist entries (UT1-style
+# registrable domains) are 2-4 labels, far inside the bound; an entry
+# with MORE labels than the bound can never match, which is the
+# documented tradeoff.
+MAX_HOST_LABELS = 8
+
+_PORT_SUFFIX = r":[0-9]+\z"
+
+
+def url_blocklist(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    match_subdomains: bool = True,
+) -> DataFrame:
+    """Drop rows whose URL's canonical host is on a domain blocklist
+    (the UT1/adult-list stage of a web-curation pipeline). A blocklist
+    entry matches its exact host and — with ``match_subdomains`` (the
+    standard semantics) — every subdomain of it: ``example.com`` blocks
+    ``example.com`` AND ``cdn.a.example.com``.
+
+    ``blocklist`` is a DataFrame with a ``host`` column, not a literal
+    list: real blocklists are millions of entries, so membership must be
+    a JOIN (AQE broadcasts it while it fits, falls back to a
+    key-partitioned join when it doesn't — correctness never depends on
+    it fitting in one executor). Entries are lowercased defensively;
+    they are expected in canonical form (no scheme, no www., no port).
+
+    Rows with NO parseable http(s) host (mailto:, relative paths, NULL)
+    are NEVER dropped: a blocklist removes what it names, and it cannot
+    name what has no host. Gating non-web rows out is domain_cap's job
+    (its default), not this operator's — the two contracts are
+    documented where they differ (dedup_url passes unkeyed rows too).
+
+    Scale (100 TB): suffix matching as a HASH join, never a regex/LIKE
+    cross-product — each host explodes into its ≤ MAX_HOST_LABELS
+    dot-suffixes (a projection of (id, suffix) only), equi-joins the
+    blocklist, and the blocked id set anti-joins back, so document
+    payloads never shuffle by host and the per-row amplification is a
+    small constant."""
+    canon = canonicalize_url(F.col(url_col))
+    host = F.regexp_replace(url_host(canon), _PORT_SUFFIX, "")
+    keyed = df.select(F.col(id_col), host.alias("_h")).filter(
+        F.col(id_col).isNotNull() & F.col("_h").isNotNull() & (F.col("_h") != "")
+    )
+    parts = F.split(F.col("_h"), r"\.")
+    n = F.size(parts)
+    if match_subdomains:
+        starts = F.sequence(F.greatest(F.lit(1), n - F.lit(MAX_HOST_LABELS - 1)), n)
+        sfx = F.transform(
+            starts, lambda i: F.array_join(F.slice(parts, i, n - i + 1), ".")
+        )
+    else:
+        sfx = F.array(F.col("_h"))
+    exploded = keyed.select(id_col, F.explode(sfx).alias("_sfx"))
+    bl = blocklist.select(F.lower(F.col("host")).alias("_sfx")).distinct()
+    blocked = exploded.join(bl, "_sfx").select(id_col).distinct()
+    return df.join(blocked, id_col, "left_anti")
+
+
+def url_blocklist_sql(
+    blocked_hosts: tuple[str, ...],
+    table: str = "documents",
+    url_expr: str = "url",
+    id_col: str = "doc_id",
+    match_subdomains: bool = True,
+) -> str:
+    """DuckDB mirror of url_blocklist over a VALUES blocklist relation
+    (step-for-step: same canonicalize/host twins, same label bound,
+    same anti-join)."""
+    if not blocked_hosts:
+        raise ValueError("blocked_hosts must be non-empty")
+    vals = ", ".join("('" + h.replace("'", "''") + "')" for h in blocked_hosts)
+    host = url_host_sql(canonicalize_url_sql(url_expr))
+    if match_subdomains:
+        sfx_cte = f"""
+sfx AS (SELECT {id_col}, array_to_string(parts[i:len(parts)], '.') AS s
+        FROM (SELECT {id_col}, parts,
+                     unnest(range(greatest(1, len(parts) - {MAX_HOST_LABELS - 1}),
+                                  len(parts) + 1)) AS i
+              FROM keyed))"""
+    else:
+        sfx_cte = f"""
+sfx AS (SELECT {id_col}, array_to_string(parts, '.') AS s FROM keyed)"""
+    return f"""
+WITH bl AS (SELECT DISTINCT lower(h) AS s FROM (VALUES {vals}) t(h)),
+hosts AS (SELECT {id_col},
+                 regexp_replace({host}, '{_PORT_SUFFIX}', '') AS h
+          FROM {table}),
+keyed AS (SELECT {id_col}, string_split(h, '.') AS parts
+          FROM hosts WHERE {id_col} IS NOT NULL AND h IS NOT NULL AND h <> ''),{sfx_cte},
+blocked AS (SELECT DISTINCT {id_col} FROM sfx JOIN bl ON sfx.s = bl.s)
+SELECT d.* FROM {table} d ANTI JOIN blocked USING ({id_col})
+"""
+
+
 # ------------------------------------------------------- host PageRank
 
 def host_pagerank(

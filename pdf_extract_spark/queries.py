@@ -2693,6 +2693,84 @@ def web_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Blocklist fixture: messy crawl URLs with a SUBDOMAIN arm (the messy
+# fixture above has none), so the suffix-join semantics — an entry
+# blocks its exact host AND every subdomain — are exercised by the
+# oracle, alongside case/www/port normalization and unkeyed (mailto:)
+# passthrough.
+def _blocklist_url():
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    return (
+        F.when(d % 5 == 0, F.concat(F.lit("mailto:u"), ds, F.lit("@x.org")))
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit("https://Site"), (d % 7).cast("string"),
+                F.lit(".Example/p/"), (d % 40).cast("string"),
+            ),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(
+                F.lit("https://cdn"), (d % 3).cast("string"),
+                F.lit(".site"), (d % 7).cast("string"), F.lit(".example/x"),
+            ),
+        )
+        .when(
+            d % 5 == 3,
+            F.concat(
+                F.lit("HTTP://www.Blocked"), (d % 2).cast("string"),
+                F.lit(".Net:80/a"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("http://ok.org/p/"), ds, F.lit("#f")))
+    )
+
+
+_BLOCKLIST_URL_SQL = """
+SELECT doc_id, CASE
+  WHEN doc_id % 5 = 0 THEN 'mailto:u' || doc_id::VARCHAR || '@x.org'
+  WHEN doc_id % 5 = 1 THEN 'https://Site' || (doc_id % 7)::VARCHAR
+       || '.Example/p/' || (doc_id % 40)::VARCHAR
+  WHEN doc_id % 5 = 2 THEN 'https://cdn' || (doc_id % 3)::VARCHAR
+       || '.site' || (doc_id % 7)::VARCHAR || '.example/x'
+  WHEN doc_id % 5 = 3 THEN 'HTTP://www.Blocked' || (doc_id % 2)::VARCHAR
+       || '.Net:80/a'
+  ELSE 'http://ok.org/p/' || doc_id::VARCHAR || '#f'
+END AS url FROM documents
+"""
+
+_BLOCKED_HOSTS = ("site2.example", "blocked0.net")
+
+
+def _url_blocklist_oracle() -> str:
+    from pdf_extract_spark.operators.weburl import url_blocklist_sql
+
+    return url_blocklist_sql(
+        _BLOCKED_HOSTS, table=f"({_BLOCKLIST_URL_SQL})"
+    ) + " ORDER BY doc_id"
+
+
+@query("url_blocklist", _url_blocklist_oracle())
+def url_blocklist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist filtering (the UT1-style web-curation stage):
+    'site2.example' must block its exact hosts AND the cdn*.site2.example
+    subdomain arm; 'blocked0.net' must match through scheme case, www
+    and an explicit port; mailto: rows have no host and must survive.
+    Suffix matching is a hash join on exploded dot-suffixes (bounded at
+    MAX_HOST_LABELS per row) — never a regex cross-product."""
+    from pdf_extract_spark.operators import weburl
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _blocklist_url().alias("url")
+    )
+    bl = docs.sparkSession.createDataFrame(
+        [(h,) for h in _BLOCKED_HOSTS], "host string"
+    )
+    return weburl.url_blocklist(docs, bl).orderBy("doc_id")
+
+
 # Deterministic multi-line decoration of the documents table: the
 # synthetic corpus is single-line, so the line-dedup fixture rebuilds
 # each document as five lines covering every removal class — a
@@ -3147,6 +3225,8 @@ _DEMOTED_ORACLED = frozenset({
     # stratified_sample in-window:
     "token_count",              # textstats family (see above)
     "quality_score",            # textstats family (see above)
+    # seventh r5 wave — yields a slot to url_blocklist (never sampled):
+    "url_canonicalize",         # URL family: url_dedup_hosts, domain_cap_kept, web_curate in-window
 })
 
 

@@ -247,3 +247,64 @@ def test_host_pagerank_rerun_identical_and_validation(spark):
         WU.host_pagerank(df, iterations=0)
     with pytest.raises(ValueError):
         WU.host_pagerank(df, damping_num=100, damping_den=100)
+
+
+def test_url_blocklist_semantics(spark):
+    """Exact host, subdomain suffix, case/www/port normalization, and
+    no-host passthrough — plus match_subdomains=False narrowing."""
+    rows = [
+        (0, "https://bad.example/x"),            # exact hit
+        (1, "https://cdn.a.bad.example/y"),      # subdomain hit
+        (2, "HTTPS://WWW.Bad.Example:443/z"),    # normalizes to bad.example
+        (3, "https://good.example/p"),           # kept
+        (4, "https://notbad.example/p"),         # NOT a suffix match (label-wise)
+        (5, "mailto:a@bad.example"),             # no host -> never dropped
+        (6, None),                               # NULL url -> never dropped
+        (7, "https://bad.example.com/q"),        # different registrable host, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame([("bad.example",)], "host string")
+    kept = sorted(
+        r["doc_id"] for r in weburl.url_blocklist(df, bl).collect()
+    )
+    assert kept == [3, 4, 5, 6, 7]
+    exact_only = sorted(
+        r["doc_id"]
+        for r in weburl.url_blocklist(df, bl, match_subdomains=False).collect()
+    )
+    assert exact_only == [1, 3, 4, 5, 6, 7]  # subdomain row survives
+
+
+def test_url_blocklist_label_bound_and_null_ids(spark):
+    """Hosts beyond MAX_HOST_LABELS still match entries within the
+    bound; NULL-id rows are never exploded (and never dropped)."""
+    deep = "a.b.c.d.e.f.g.h.i.j.bad.example"  # 12 labels
+    df = spark.createDataFrame(
+        [(0, f"https://{deep}/x"), (None, "https://bad.example/y")],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("bad.example",)], "host string")
+    out = weburl.url_blocklist(df, bl).collect()
+    # the deep host's last-8-label suffixes include bad.example -> blocked;
+    # the NULL-id row cannot anti-join away -> kept
+    assert [r["doc_id"] for r in out] == [None]
+
+
+def test_url_blocklist_plan_is_hash_join_no_python(spark):
+    """Scale pins: suffix membership is a join (broadcast on a small
+    list), the rejoin is a left_anti hash join, and there is no Python
+    eval or cartesian product anywhere."""
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 11).cast("string"),
+            F.lit(".example/p"),
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame([("h3.example",)], "host string")
+    plan = (
+        weburl.url_blocklist(df, bl)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "EvalPython" not in plan
+    assert "LeftAnti" in plan

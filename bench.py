@@ -78,6 +78,7 @@ HEADLINE = [
     "host_pagerank",            # fixed-point integer link-graph centrality (iterative)
     "quality_buckets",          # CCNet-style LM-surprisal quartile buckets (2-pass train/score)
     "url_blocklist",            # UT1-style domain blocklist (suffix hash join, anti-join back)
+    "upsample_mix",             # Dolma-style weighted upsampling (map-only epoch explode)
 ]
 
 

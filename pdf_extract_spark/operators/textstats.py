@@ -744,3 +744,104 @@ SELECT j.doc_id, j.{by}, j.milli_bits_per_token,
             ELSE 'tail' END AS bucket
 FROM j JOIN th USING ({by})
 """
+
+
+def upsample_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted corpus mixing WITH upsampling — the Dolma/GPT-3 mixing
+    table, where a stratum's weight may exceed 1: weight 2.5 emits every
+    row twice (epochs 0 and 1) plus a deterministic half of the rows a
+    third time (epoch 2); weight 0.4 is plain downsampling; weight 0
+    removes the stratum. The complement of ``temperature_sample``
+    (derived downsampling only) and ``stratified_sample`` (caller-set
+    rates capped at 1): training mixes routinely REPEAT high-quality
+    sources, and the repeats must be explicit rows so downstream
+    shuffling/packing sees them.
+
+    The ``epoch`` column (0-based copy index) distinguishes repeats —
+    dedup keys stay honest and packing can interleave epochs. The
+    fractional copy keeps the same portable salted-hash decision as
+    stratified_sample: reproducible across runs, partitionings and
+    engines; a rerun emits the SAME rows.
+
+    Scale (100 TB): map-only — the weight table folds into the plan as
+    a CASE over the stratum column (weights are driver-side constants,
+    like stratified_sample's rates), the copies come from exploding a
+    per-row sequence bounded by ceil(max weight), and there is ZERO
+    shuffle; cost is exactly the output volume."""
+    import math
+
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
+    if default_weight < 0:
+        raise ValueError(f"default_weight must be >= 0, got {default_weight}")
+
+    def _split(w: float) -> tuple[int, int]:
+        full = math.floor(w)
+        return full, round((w - full) * SAMPLE_MOD)
+
+    full_c, thr_c = None, None
+    for s, w in weights.items():
+        full, thr = _split(w)
+        cond = F.col(stratum_col) == s
+        full_c = (F.when(cond, full) if full_c is None else full_c.when(cond, full))
+        thr_c = (F.when(cond, thr) if thr_c is None else thr_c.when(cond, thr))
+    dfull, dthr = _split(default_weight)
+    full_c = full_c.otherwise(F.lit(dfull)) if full_c is not None else F.lit(dfull)
+    thr_c = thr_c.otherwise(F.lit(dthr)) if thr_c is not None else F.lit(dthr)
+
+    h = F.pmod(
+        phash(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
+        F.lit(SAMPLE_MOD),
+    )
+    n_copies = (full_c + (h < thr_c).cast("int")).cast("long")
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0).cast("long"), n_copies - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return df.select("*", F.explode(copies).alias("epoch"))
+
+
+def upsample_mix_sql(
+    weights: dict[str, float],
+    table: str = "documents",
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> str:
+    """DuckDB mirror of upsample_mix (unnest(range(0, n_copies)) drops
+    zero-copy rows exactly like exploding an empty array)."""
+    import math
+
+    from pdf_extract_spark.operators.hashing import phash_sql
+
+    def q(lit: str) -> str:
+        return "'" + lit.replace("'", "''") + "'"
+
+    def _split(w: float) -> tuple[int, int]:
+        full = math.floor(w)
+        return full, round((w - full) * SAMPLE_MOD)
+
+    fulls = " ".join(
+        f"WHEN {q(s)} THEN {_split(w)[0]}" for s, w in weights.items()
+    )
+    thrs = " ".join(
+        f"WHEN {q(s)} THEN {_split(w)[1]}" for s, w in weights.items()
+    )
+    dfull, dthr = _split(default_weight)
+    full_expr = f"CASE {stratum_col} {fulls} ELSE {dfull} END" if weights else str(dfull)
+    thr_expr = f"CASE {stratum_col} {thrs} ELSE {dthr} END" if weights else str(dthr)
+    key_expr = q(salt + ":") + " || " + key_col + "::VARCHAR"
+    h = f"({phash_sql(key_expr)} % {SAMPLE_MOD})"
+    return f"""
+SELECT *, unnest(range(0, ({full_expr})
+                        + (CASE WHEN {h} < ({thr_expr}) THEN 1 ELSE 0 END)))::BIGINT AS epoch
+FROM {table}
+"""

@@ -1018,6 +1018,30 @@ def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.temperature_sample(d, alpha=0.5).orderBy("doc_id")
 
 
+_MIX_WEIGHTS = {"en": 2.5, "de": 0.4, "zh": 0.0}
+
+
+@query(
+    "upsample_mix",
+    "SELECT doc_id, lang, epoch FROM ("
+    + textstats.upsample_mix_sql(_MIX_WEIGHTS)
+    + ") ORDER BY doc_id, epoch",
+)
+def upsample_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma/GPT-3 mixing-table upsampling: weight 2.5 repeats every
+    'en' doc twice plus a salted-hash half a third time (the epoch
+    column makes repeats explicit rows for downstream packing), 0.4
+    downsamples 'de', 0 removes 'zh', everything else passes at the
+    default 1.0. Map-only — the weight table folds into the plan as a
+    CASE; zero shuffle, cost is exactly the output volume."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        textstats.upsample_mix(d, _MIX_WEIGHTS)
+        .select("doc_id", "lang", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
 @query("repetition_stats", textstats.repetition_stats_sql())
 def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021 A1.1.2): per-doc
@@ -3227,6 +3251,8 @@ _DEMOTED_ORACLED = frozenset({
     "quality_score",            # textstats family (see above)
     # seventh r5 wave — yields a slot to url_blocklist (never sampled):
     "url_canonicalize",         # URL family: url_dedup_hosts, domain_cap_kept, web_curate in-window
+    # eighth r5 wave — yields a slot to upsample_mix (never sampled):
+    "stratified_sample",        # sampling family: temperature_sample, upsample_mix in-window
 })
 
 

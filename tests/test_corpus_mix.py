@@ -274,3 +274,54 @@ def test_temperature_plan_broadcasts_rates_never_shuffles_corpus(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "hashpartitioning(doc_id" in line:
             raise AssertionError(f"corpus shuffled: {line}")
+
+
+def test_upsample_mix_epoch_semantics(spark):
+    """weight 2.5: every row at epochs 0,1 and a deterministic subset at
+    epoch 2; weight 0 removes the stratum; default 1.0 emits epoch 0
+    only; reruns emit the identical row set."""
+    from pdf_extract_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else ("zh" if i % 4 == 1 else "fr"))
+         for i in range(200)],
+        "doc_id long, lang string",
+    )
+    w = {"en": 2.5, "zh": 0.0}
+    out = textstats.upsample_mix(df, w).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert not any(r["lang"] == "zh" for r in out)
+    en_docs = [d for d in by_doc if d % 2 == 0]
+    for d in en_docs:
+        eps = sorted(by_doc[d])
+        assert eps in ([0, 1], [0, 1, 2])  # 2 full epochs + maybe frac
+    frac = sum(1 for d in en_docs if len(by_doc[d]) == 3) / len(en_docs)
+    assert 0.3 < frac < 0.7  # ~0.5 of en docs get the third epoch
+    for d in (d for d in by_doc if d % 4 == 3):  # fr default 1.0
+        assert by_doc[d] == [0]
+    rerun = textstats.upsample_mix(df, w).collect()
+    assert sorted((r["doc_id"], r["epoch"]) for r in out) == sorted(
+        (r["doc_id"], r["epoch"]) for r in rerun
+    )
+
+
+def test_upsample_mix_validation_and_plan(spark):
+    """Negative weights raise; the plan is map-only: zero Exchange, no
+    Python eval — the weight table folds into the plan as a CASE."""
+    import pytest
+
+    from pdf_extract_spark.operators import textstats
+
+    df = spark.createDataFrame([(0, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        textstats.upsample_mix(df, {"en": -0.1})
+    with pytest.raises(ValueError):
+        textstats.upsample_mix(df, {}, default_weight=-1.0)
+    plan = (
+        textstats.upsample_mix(df, {"en": 1.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_ex = plan.count("+- Exchange") + plan.count("   Exchange")
+    assert n_ex == 0 and "EvalPython" not in plan

@@ -110,3 +110,80 @@ def pack_documents_sql(
 WITH RECURSIVE {ctes}
 SELECT doc_id, bucket, pack_id, n_tokens FROM walk
 """
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-token-window chunking with stride — the pretraining prep
+    step for documents LONGER than the sequence budget (the complement
+    of pack_documents, which packs documents shorter than it): split
+    each document's token stream into windows of ``window`` tokens
+    starting every ``stride`` tokens, so consecutive chunks overlap by
+    ``window - stride`` tokens when stride < window.
+
+    Chunks emit at starts 0, stride, 2*stride, ... while start < n, so
+    the final chunk may be shorter than ``window`` and every token is
+    covered; zero-token documents yield no chunks (nothing to train
+    on). Output: (id, chunk_id, chunk_text, n_chunk_tokens) with
+    chunk_id = start / stride (0-based, dense per doc).
+
+    Chunking is whitespace-token based (textstats.tokens — the shared
+    portable tokenizer), and chunk_text re-joins with single spaces:
+    chunk boundaries are a modeling choice, not a byte-preserving
+    transform (pack/chunk feed a tokenizer next, not a renderer).
+
+    Scale (100 TB): map-only — tokenize, explode a bounded per-row
+    start sequence, slice. ZERO shuffle, no Python; per-row
+    amplification is ceil(n/stride), i.e. proportional to each
+    document's own length, and a giant document's chunks are produced
+    where the document already lives."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if stride < 1 or stride > window:
+        raise ValueError(
+            f"stride must be in [1, window], got stride={stride} window={window}"
+        )
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    with_start = df.select(
+        F.col(id_col), toks.alias("_toks"), F.explode(starts).alias("_start")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, window)
+    return with_start.select(
+        id_col,
+        (F.col("_start") / stride).cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+def chunk_documents_sql(
+    window: int = 64,
+    stride: int = 48,
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of chunk_documents (1-based inclusive list slicing;
+    range() is empty for n = 0, dropping zero-token docs exactly like
+    exploding an empty array)."""
+    toks = tokens_sql(text_expr)
+    return f"""
+WITH base AS (SELECT {id_col}, {toks} AS toks FROM {table}),
+st AS (SELECT {id_col}, toks,
+              unnest(range(0, len(toks), {stride})) AS start
+       FROM base)
+SELECT {id_col},
+       (start // {stride})::BIGINT AS chunk_id,
+       array_to_string(toks[start + 1:start + {window}], ' ') AS chunk_text,
+       len(toks[start + 1:start + {window}])::BIGINT AS n_chunk_tokens
+FROM st
+"""

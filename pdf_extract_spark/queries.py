@@ -1123,6 +1123,24 @@ def pack_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_documents(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+@query(
+    "chunk_documents",
+    "SELECT * FROM ("
+    + packing.chunk_documents_sql(window=24, stride=16)
+    + ") ORDER BY doc_id, chunk_id",
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking with stride (window 24, stride 16 →
+    8-token overlap): the pretraining prep for documents LONGER than
+    the sequence budget, complementing pack_documents (which packs the
+    shorter ones). Map-only: tokenize, explode the bounded start
+    sequence, slice — zero shuffle; a giant doc's chunks are produced
+    where the doc already lives."""
+    return packing.chunk_documents(
+        _t(spark, sf_dir, "documents"), window=24, stride=16
+    ).orderBy("doc_id", "chunk_id")
+
+
 # the composed curation pipeline — the query a 100 TB training-data run
 # actually executes, verified end-to-end (not just stage by stage):
 # minhash near-dup pairs -> connected-component resolution -> keeper
@@ -3253,6 +3271,8 @@ _DEMOTED_ORACLED = frozenset({
     "url_canonicalize",         # URL family: url_dedup_hosts, domain_cap_kept, web_curate in-window
     # eighth r5 wave — yields a slot to upsample_mix (never sampled):
     "stratified_sample",        # sampling family: temperature_sample, upsample_mix in-window
+    # ninth r5 wave — yields a slot to chunk_documents (never sampled):
+    "json_validity",            # scalar-fn family: filename_ops, remove_numbering in-window
 })
 
 

@@ -130,3 +130,60 @@ def test_tokens_edge_whitespace_no_phantom_tokens(spark):
         textstats.quality_score_sql()).fetchall()}
     assert qs[2] is None and qo[2] is None  # 0/0 -> NULL in BOTH engines
     assert qs == qo
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token is covered, consecutive chunks overlap by
+    window - stride, the tail chunk may be short, and zero-token docs
+    (empty/NULL) yield no chunks. Validation rejects bad stride."""
+    import pytest
+
+    from pdf_extract_spark.operators import packing
+
+    text = " ".join(f"t{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(0, text), (1, ""), (2, None), (3, "a b")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        packing.chunk_documents(df, window=8, stride=6).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {0, 3}  # empty/NULL docs chunkless
+    chunks0 = [r["chunk_text"].split(" ") for r in by_doc[0]]
+    # starts 0,6,12,18 over 20 tokens: sizes 8,8,8,2
+    assert [len(c) for c in chunks0] == [8, 8, 8, 2]
+    # consecutive overlap = window - stride = 2
+    for a, b in zip(chunks0, chunks0[1:]):
+        assert a[-2:] == b[:2]
+    # full coverage in order
+    flat = chunks0[0] + [t for c in chunks0[1:] for t in c[2:]]
+    assert flat == text.split(" ")
+    assert [r["chunk_text"] for r in by_doc[3]] == ["a b"]
+
+    with pytest.raises(ValueError):
+        packing.chunk_documents(df, window=8, stride=9)
+    with pytest.raises(ValueError):
+        packing.chunk_documents(df, window=0)
+    with pytest.raises(ValueError):
+        packing.chunk_documents(df, window=8, stride=0)
+
+
+def test_chunk_documents_plan_is_map_only(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.operators import packing
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("one two three four five six").alias("text"),
+    )
+    plan = (
+        packing.chunk_documents(df, window=4, stride=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_ex = plan.count("+- Exchange") + plan.count("   Exchange")
+    assert n_ex == 0 and "EvalPython" not in plan

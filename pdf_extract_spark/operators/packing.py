@@ -18,7 +18,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from pdf_extract_spark.operators.hashing import phash, phash_sql
-from pdf_extract_spark.operators.textstats import tokens, tokens_sql
+from pdf_extract_spark.operators.textstats import (
+    tokens,
+    tokens_cased,
+    tokens_cased_sql,
+    tokens_sql,
+)
 
 PACKED = T.StructType(
     [
@@ -132,10 +137,12 @@ def chunk_documents(
     on). Output: (id, chunk_id, chunk_text, n_chunk_tokens) with
     chunk_id = start / stride (0-based, dense per doc).
 
-    Chunking is whitespace-token based (textstats.tokens — the shared
-    portable tokenizer), and chunk_text re-joins with single spaces:
-    chunk boundaries are a modeling choice, not a byte-preserving
-    transform (pack/chunk feed a tokenizer next, not a renderer).
+    Chunking is whitespace-token based (textstats.tokens_cased — the
+    portable tokenizer WITHOUT the statistics-only case folding: chunk
+    output is corpus text and must preserve case), and chunk_text
+    re-joins with single spaces: chunk boundaries are a modeling
+    choice, not a byte-preserving transform (pack/chunk feed a
+    tokenizer next, not a renderer).
 
     Scale (100 TB): map-only — tokenize, explode a bounded per-row
     start sequence, slice. ZERO shuffle, no Python; per-row
@@ -148,7 +155,7 @@ def chunk_documents(
         raise ValueError(
             f"stride must be in [1, window], got stride={stride} window={window}"
         )
-    toks = tokens(F.col(text_col))
+    toks = tokens_cased(F.col(text_col))
     n = F.size(toks)
     starts = F.when(
         n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
@@ -174,8 +181,8 @@ def chunk_documents_sql(
 ) -> str:
     """DuckDB mirror of chunk_documents (1-based inclusive list slicing;
     range() is empty for n = 0, dropping zero-token docs exactly like
-    exploding an empty array)."""
-    toks = tokens_sql(text_expr)
+    exploding an empty array; tokens_cased twin — no case folding)."""
+    toks = tokens_cased_sql(text_expr)
     return f"""
 WITH base AS (SELECT {id_col}, {toks} AS toks FROM {table}),
 st AS (SELECT {id_col}, toks,

@@ -56,6 +56,22 @@ def tokens_sql(expr: str) -> str:
     )
 
 
+def tokens_cased(col: Column) -> Column:
+    """tokens() WITHOUT the lowercasing — for operators whose OUTPUT is
+    text (chunk_documents re-emits the tokens): statistics want
+    case-folded counts, but a pretraining prep step must not destroy
+    the corpus's case. Same WS class, same phantom-empty-token
+    filter."""
+    return F.filter(F.split(col, WS + "+"), lambda x: x != "")
+
+
+def tokens_cased_sql(expr: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array({expr}, '{WS}+'), "
+        f"x -> x <> '')"
+    )
+
+
 def stop_ratio(toks: Column) -> Column:
     """Stopword fraction of a token array, rounded to 6 dp — the shared
     form used by quality_score and quality_filter (one definition, one
@@ -236,6 +252,41 @@ FROM {table}
 SAMPLE_MOD = 1_000_000
 
 
+def _sql_quote(lit: str) -> str:
+    """SQL string literal, quotes doubled (the one quoting rule every
+    *_sql builder in this module uses)."""
+    return "'" + lit.replace("'", "''") + "'"
+
+
+def _sketch_accuracy(relative_error: float) -> int:
+    """approx_percentile accuracy knob from a relative-error target —
+    ONE definition (quality_buckets + length_quantiles), with the
+    validation both entry points need (0 divides, negatives silently
+    produced a sketch the caller never asked for)."""
+    if relative_error <= 0:
+        raise ValueError(f"relative_error must be > 0, got {relative_error}")
+    return max(100, int(round(1.0 / relative_error)))
+
+
+def _split_weight(w: float) -> tuple[int, int]:
+    """(full epochs, fractional-copy hash threshold) decomposition of a
+    mixing weight — ONE definition shared by the upsample_mix kernel
+    AND its SQL twin, so the rounding can never diverge between
+    engines."""
+    import math
+
+    full = math.floor(w)
+    return full, round((w - full) * SAMPLE_MOD)
+
+
+def _validate_weights(weights: dict[str, float], default_weight: float) -> None:
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
+    if default_weight < 0:
+        raise ValueError(f"default_weight must be >= 0, got {default_weight}")
+
+
 def stratified_sample(
     df: DataFrame, rates: dict[str, float], stratum_col: str = "lang",
     default_rate: float = 0.0, key_col: str = "doc_id", salt: str = "strat",
@@ -377,7 +428,7 @@ def length_quantiles(
         if relative_error is None:
             aggs.append(F.percentile(value_col, F.lit(p)).alias(name))
         else:
-            acc = max(100, int(round(1.0 / relative_error)))
+            acc = _sketch_accuracy(relative_error)
             aggs.append(
                 F.approx_percentile(value_col, F.lit(p), F.lit(acc))
                 .cast("double")
@@ -695,6 +746,11 @@ def quality_buckets(
     in approx_percentile — the mergeable-sketch 100 TB path with
     bounded state per stratum, at the cost of boundary-rank error.
 
+    Rows whose stratum itself is NULL are kept with a NULL bucket (they
+    belong to no stratum, so no thresholds apply) — same contract as
+    zero-token docs, and the SQL twin's LEFT JOIN + q25-NULL guard
+    mirrors it exactly.
+
     Scale: unigram_surprisal's two corpus passes + ONE tiny per-stratum
     aggregate (bounded by |langs|) broadcast back onto the scored rows —
     the corpus is never shuffled by stratum."""
@@ -706,17 +762,22 @@ def quality_buckets(
         q25 = F.percentile(mbpt, F.lit(0.25))
         q75 = F.percentile(mbpt, F.lit(0.75))
     else:
-        acc = max(100, int(round(1.0 / relative_error)))
+        acc = _sketch_accuracy(relative_error)
         q25 = F.approx_percentile(mbpt, F.lit(0.25), F.lit(acc)).cast("double")
         q75 = F.approx_percentile(mbpt, F.lit(0.75), F.lit(acc)).cast("double")
-    th = scored.groupBy(by).agg(q25.alias("_q25"), q75.alias("_q75"))
+    th = (
+        scored.filter(F.col(by).isNotNull())
+        .groupBy(by)
+        .agg(q25.alias("_q25"), q75.alias("_q75"))
+    )
     return (
-        scored.join(F.broadcast(th), by)
+        scored.join(F.broadcast(th), by, "left")
         .select(
             "doc_id",
             by,
             mbpt,
             F.when(mbpt.isNull(), F.lit(None).cast("string"))
+            .when(F.col("_q25").isNull(), F.lit(None).cast("string"))
             .when(mbpt <= F.col("_q25"), F.lit("head"))
             .when(mbpt <= F.col("_q75"), F.lit("middle"))
             .otherwise(F.lit("tail"))
@@ -736,13 +797,14 @@ j AS (SELECT d.doc_id, d.{by}, s.milli_bits_per_token
 th AS (SELECT {by},
               quantile_cont(milli_bits_per_token, 0.25) AS q25,
               quantile_cont(milli_bits_per_token, 0.75) AS q75
-       FROM j GROUP BY {by})
+       FROM j WHERE {by} IS NOT NULL GROUP BY {by})
 SELECT j.doc_id, j.{by}, j.milli_bits_per_token,
        CASE WHEN j.milli_bits_per_token IS NULL THEN NULL
+            WHEN th.q25 IS NULL THEN NULL
             WHEN j.milli_bits_per_token <= th.q25 THEN 'head'
             WHEN j.milli_bits_per_token <= th.q75 THEN 'middle'
             ELSE 'tail' END AS bucket
-FROM j JOIN th USING ({by})
+FROM j LEFT JOIN th USING ({by})
 """
 
 
@@ -770,38 +832,41 @@ def upsample_mix(
     stratified_sample: reproducible across runs, partitionings and
     engines; a rerun emits the SAME rows.
 
+    A NULL ``key_col`` gets exactly floor(weight) epochs and never the
+    fractional copy — there is no key to hash the decision on — in BOTH
+    engines (the fractional term coalesces to 0 on NULL hash, matching
+    SQL's CASE WHEN NULL THEN 1 ELSE 0 END = 0).
+
     Scale (100 TB): map-only — the weight table folds into the plan as
     a CASE over the stratum column (weights are driver-side constants,
     like stratified_sample's rates), the copies come from exploding a
     per-row sequence bounded by ceil(max weight), and there is ZERO
-    shuffle; cost is exactly the output volume."""
-    import math
-
-    for s, w in weights.items():
-        if w < 0:
-            raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
-    if default_weight < 0:
-        raise ValueError(f"default_weight must be >= 0, got {default_weight}")
-
-    def _split(w: float) -> tuple[int, int]:
-        full = math.floor(w)
-        return full, round((w - full) * SAMPLE_MOD)
-
+    shuffle; cost is exactly the output volume. All-integer weight
+    tables skip the per-row hash entirely (every fractional threshold
+    is 0, so the comparison is constant-false)."""
+    _validate_weights(weights, default_weight)
     full_c, thr_c = None, None
     for s, w in weights.items():
-        full, thr = _split(w)
+        full, thr = _split_weight(w)
         cond = F.col(stratum_col) == s
         full_c = (F.when(cond, full) if full_c is None else full_c.when(cond, full))
         thr_c = (F.when(cond, thr) if thr_c is None else thr_c.when(cond, thr))
-    dfull, dthr = _split(default_weight)
+    dfull, dthr = _split_weight(default_weight)
     full_c = full_c.otherwise(F.lit(dfull)) if full_c is not None else F.lit(dfull)
     thr_c = thr_c.otherwise(F.lit(dthr)) if thr_c is not None else F.lit(dthr)
 
-    h = F.pmod(
-        phash(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
-        F.lit(SAMPLE_MOD),
+    all_integral = dthr == 0 and all(
+        _split_weight(w)[1] == 0 for w in weights.values()
     )
-    n_copies = (full_c + (h < thr_c).cast("int")).cast("long")
+    if all_integral:
+        n_copies = full_c.cast("long")
+    else:
+        h = F.pmod(
+            phash(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
+            F.lit(SAMPLE_MOD),
+        )
+        frac = F.coalesce((h < thr_c).cast("int"), F.lit(0))
+        n_copies = (full_c + frac).cast("long")
     copies = F.when(
         n_copies > 0, F.sequence(F.lit(0).cast("long"), n_copies - 1)
     ).otherwise(F.array().cast("array<long>"))
@@ -817,25 +882,21 @@ def upsample_mix_sql(
     salt: str = "mix",
 ) -> str:
     """DuckDB mirror of upsample_mix (unnest(range(0, n_copies)) drops
-    zero-copy rows exactly like exploding an empty array)."""
-    import math
-
+    zero-copy rows exactly like exploding an empty array; a NULL key's
+    hash comparison is NULL, so CASE adds 0 — the kernel's coalesce
+    twin). Shares _split_weight with the kernel so the (full,
+    threshold) decomposition can never diverge between twins."""
     from pdf_extract_spark.operators.hashing import phash_sql
 
-    def q(lit: str) -> str:
-        return "'" + lit.replace("'", "''") + "'"
-
-    def _split(w: float) -> tuple[int, int]:
-        full = math.floor(w)
-        return full, round((w - full) * SAMPLE_MOD)
-
+    _validate_weights(weights, default_weight)
+    q = _sql_quote
     fulls = " ".join(
-        f"WHEN {q(s)} THEN {_split(w)[0]}" for s, w in weights.items()
+        f"WHEN {q(s)} THEN {_split_weight(w)[0]}" for s, w in weights.items()
     )
     thrs = " ".join(
-        f"WHEN {q(s)} THEN {_split(w)[1]}" for s, w in weights.items()
+        f"WHEN {q(s)} THEN {_split_weight(w)[1]}" for s, w in weights.items()
     )
-    dfull, dthr = _split(default_weight)
+    dfull, dthr = _split_weight(default_weight)
     full_expr = f"CASE {stratum_col} {fulls} ELSE {dfull} END" if weights else str(dfull)
     thr_expr = f"CASE {stratum_col} {thrs} ELSE {dthr} END" if weights else str(dthr)
     key_expr = q(salt + ":") + " || " + key_col + "::VARCHAR"

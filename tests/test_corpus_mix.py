@@ -325,3 +325,85 @@ def test_upsample_mix_validation_and_plan(spark):
     )
     n_ex = plan.count("+- Exchange") + plan.count("   Exchange")
     assert n_ex == 0 and "EvalPython" not in plan
+
+
+def test_upsample_mix_null_key_and_integer_weights(spark):
+    """NULL key rows get exactly floor(weight) epochs (no fractional
+    copy — nothing to hash) in BOTH engines; an all-integer weight
+    table skips the per-row hash entirely (no md5 in the plan)."""
+    import duckdb
+
+    from pdf_extract_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(None, "en"), (1, "en"), (None, "fr")],
+        "doc_id long, lang string",
+    )
+    w = {"en": 2.5}
+    out = textstats.upsample_mix(df, w).collect()
+    null_en = sorted(r["epoch"] for r in out if r["doc_id"] is None and r["lang"] == "en")
+    assert null_en == [0, 1]  # floor(2.5) epochs, never the fractional third
+    assert sorted(r["epoch"] for r in out if r["lang"] == "fr") == [0]
+    # twin agreement on NULL keys
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW t AS SELECT * FROM (VALUES (NULL::BIGINT, 'en'),"
+        " (1::BIGINT, 'en'), (NULL::BIGINT, 'fr')) v(doc_id, lang)"
+    )
+    sql_rows = con.sql(
+        "SELECT lang, epoch FROM ("
+        + textstats.upsample_mix_sql(w, table="t")
+        + ")"
+    ).fetchall()
+    assert sorted(sql_rows) == sorted(
+        (r["lang"], r["epoch"]) for r in out
+    )
+    # integer weights -> constant-false fractional term -> no hash
+    plan = (
+        textstats.upsample_mix(df, {"en": 2.0, "fr": 3.0})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "md5" not in plan
+
+
+def test_quality_buckets_null_stratum_kept(spark):
+    """Docs whose stratum is NULL are kept with a NULL bucket (no
+    thresholds apply) — not silently dropped by the threshold join."""
+    from pdf_extract_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(0, "the cat", "en"), (1, "the cat", "en"), (2, "the cat", None)],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.quality_buckets(df).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[2]["bucket"] is None
+    assert rows[2]["milli_bits_per_token"] is not None  # scored, unbucketed
+    assert rows[0]["bucket"] is not None
+
+
+def test_sketch_accuracy_validation(spark):
+    import pytest
+
+    from pdf_extract_spark.operators import textstats
+
+    df = spark.createDataFrame([(0, "a", "en")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError):
+        textstats.quality_buckets(df, relative_error=0.0)
+    with pytest.raises(ValueError):
+        textstats.quality_buckets(df, relative_error=-0.5)
+    with pytest.raises(ValueError):
+        textstats.length_quantiles(df.withColumnRenamed("doc_id", "n_chars"),
+                                   relative_error=0.0)
+
+
+def test_chunk_documents_preserves_case(spark):
+    from pdf_extract_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(0, "The CEO met NASA")], "doc_id long, text string"
+    )
+    rows = packing.chunk_documents(df, window=3, stride=3).collect()
+    assert [r["chunk_text"] for r in sorted(rows, key=lambda r: r["chunk_id"])] == [
+        "The CEO met", "NASA",
+    ]

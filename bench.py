@@ -80,6 +80,7 @@ HEADLINE = [
     "url_blocklist",            # UT1-style domain blocklist (suffix hash join, anti-join back)
     "upsample_mix",             # Dolma-style weighted upsampling (map-only epoch explode)
     "chunk_documents",          # fixed-token-window chunking with stride (map-only)
+    "corpus_diff",              # snapshot diff between ingests (fingerprint full outer join)
 ]
 
 
@@ -427,12 +428,14 @@ def write_bench_md(result: dict) -> None:
         "curation chain under one composed oracle; ngram_topk, the corpus",
         "boilerplate miner; temperature_sample, the corpus-derived",
         "multilingual mixing rule; and host_pagerank, the fixed-point",
-        "integer link-graph centrality pass), then 45 late in r5 (added:",
+        "integer link-graph centrality pass), then 46 late in r5 (added:",
         "quality_buckets, the CCNet LM-surprisal quartile bucketing —",
         "two corpus passes, train + score; url_blocklist, the UT1-style",
         "domain blocklist as a bounded suffix hash join; upsample_mix,",
-        "Dolma-style weighted upsampling via map-only epoch explode; and",
-        "chunk_documents, fixed-token-window chunking with stride).",
+        "Dolma-style weighted upsampling via map-only epoch explode;",
+        "chunk_documents, fixed-token-window chunking with stride; and",
+        "corpus_diff, the between-ingests snapshot diff as a",
+        "fingerprint-only full outer join).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

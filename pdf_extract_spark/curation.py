@@ -143,3 +143,83 @@ def curate_documents(
         ),
         "doc_id",
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the ops tool an
+    incremental crawl pipeline runs between ingests: which documents
+    were added, removed, changed, or are byte-stable (by content
+    fingerprint), keyed by document id.
+
+    Returns one row per key present in EITHER side:
+    (key, status in {'added','removed','changed','unchanged'},
+    old_fingerprint, new_fingerprint). Presence is tracked by explicit
+    flags, not fingerprint NULLness, so a present document with NULL
+    text (NULL fingerprint) still diffs correctly; fingerprints compare
+    null-safely (two NULL-text versions of a doc are 'unchanged').
+
+    Scale (100 TB): fingerprints are map-side Catalyst expressions
+    (textstats.fingerprint_col) computed BEFORE the join, so the full
+    outer join carries only (key, fingerprint, flag) per side — never
+    document payloads; one shuffle per side on the unskewed key."""
+    from pdf_extract_spark.operators.textstats import fingerprint_col
+
+    o = old.select(
+        F.col(key_col),
+        fingerprint_col(text_col).alias("old_fingerprint"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(key_col),
+        fingerprint_col(text_col).alias("new_fingerprint"),
+        F.lit(True).alias("_in_new"),
+    )
+    j = o.join(n, [key_col], "full_outer")
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_fingerprint").eqNullSafe(F.col("new_fingerprint")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        key_col,
+        status.alias("status"),
+        "old_fingerprint",
+        "new_fingerprint",
+    )
+
+
+def corpus_diff_sql(
+    old_table: str,
+    new_table: str,
+    key_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB mirror of corpus_diff (FULL OUTER JOIN USING coalesces
+    the key like Spark's list-form join; IS NOT DISTINCT FROM is the
+    eqNullSafe twin)."""
+    from pdf_extract_spark.operators.textstats import fingerprint_expr_sql
+
+    fp = fingerprint_expr_sql(text_expr)
+    return f"""
+WITH o AS (SELECT {key_col}, {fp} AS old_fingerprint, TRUE AS in_old
+           FROM {old_table}),
+n AS (SELECT {key_col}, {fp} AS new_fingerprint, TRUE AS in_new
+      FROM {new_table})
+SELECT {key_col},
+       CASE WHEN in_old IS NULL THEN 'added'
+            WHEN in_new IS NULL THEN 'removed'
+            WHEN old_fingerprint IS NOT DISTINCT FROM new_fingerprint
+                 THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_fingerprint, new_fingerprint
+FROM o FULL OUTER JOIN n USING ({key_col})
+"""

@@ -234,15 +234,23 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", fingerprint_col(text_col).alias("fingerprint"))
 
 
-def fingerprint_sql(table: str = "documents", text_expr: str = "text") -> str:
+def fingerprint_expr_sql(text_expr: str) -> str:
+    """The fingerprint as a DuckDB EXPRESSION (twin of fingerprint_col;
+    fingerprint_sql below is the relational packaging)."""
     toks = tokens_sql(text_expr)
     from pdf_extract_spark.operators.hashing import phash_sql
 
     tok_h = f"list_transform({toks}, x -> {phash_sql('x')} % {MOD})"
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, {tok_h}), "
+        f"(acc, x) -> (acc * 31 + x) % {MOD})"
+    )
+
+
+def fingerprint_sql(table: str = "documents", text_expr: str = "text") -> str:
     return f"""
 SELECT doc_id,
-       list_reduce(list_prepend(0::BIGINT, {tok_h}),
-                   (acc, x) -> (acc * 31 + x) % {MOD}) AS fingerprint
+       {fingerprint_expr_sql(text_expr)} AS fingerprint
 FROM {table}
 """
 

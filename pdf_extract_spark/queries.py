@@ -1462,6 +1462,56 @@ def curate_corpus_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _curate_pipeline(base, CURATE_MAX_BUCKET, eval_docs=ev)
 
 
+# Snapshot-diff fixture: the "new crawl" drops every 10th doc
+# (removed), rewrites every 7th-mod-3 doc's text (changed), and brings
+# in fresh ids at +100000 for every 9th doc (added); everything else is
+# byte-stable (unchanged). Pure doc_id arithmetic, twinned below.
+_CORPUS_DIFF_NEW_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 3 THEN text || ' zz changed'
+            ELSE text END AS text
+FROM documents WHERE doc_id % 10 <> 0
+UNION ALL
+SELECT doc_id + 100000 AS doc_id,
+       'brand new doc ' || doc_id::VARCHAR AS text
+FROM documents WHERE doc_id % 9 = 0
+"""
+
+
+def _corpus_diff_new(base: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    kept = base.filter(d % 10 != 0).select(
+        "doc_id",
+        F.when(d % 7 == 3, F.concat(F.col("text"), F.lit(" zz changed")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = base.filter(d % 9 == 0).select(
+        (d + 100000).alias("doc_id"),
+        F.concat(F.lit("brand new doc "), d.cast("string")).alias("text"),
+    )
+    return kept.unionByName(added)
+
+
+@query(
+    "corpus_diff",
+    curation.corpus_diff_sql(
+        "documents", f"({_CORPUS_DIFF_NEW_SQL})"
+    )
+    + " ORDER BY doc_id",
+)
+def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions (the incremental-crawl
+    ops tool): added/removed/changed/unchanged by content fingerprint,
+    presence tracked by flags (not fingerprint NULLness) and
+    fingerprints compared null-safely. The join carries only
+    (key, fingerprint, flag) per side — payloads never move."""
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return curation.corpus_diff(base, _corpus_diff_new(base)).orderBy(
+        "doc_id"
+    )
+
+
 @query("dedup_simhash", dedup.simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document."""
@@ -3273,6 +3323,8 @@ _DEMOTED_ORACLED = frozenset({
     "stratified_sample",        # sampling family: temperature_sample, upsample_mix in-window
     # ninth r5 wave — yields a slot to chunk_documents (never sampled):
     "json_validity",            # scalar-fn family: filename_ops, remove_numbering in-window
+    # tenth r5 wave — yields a slot to corpus_diff (never sampled):
+    "filename_ops",             # scalar-fn family: remove_numbering, content_filters in-window
 })
 
 

@@ -108,3 +108,58 @@ def test_cli_sample_rate_parsing():
         cli._parse_rates("en")
     with pytest.raises(argparse.ArgumentTypeError, match="not a number"):
         cli._parse_rates("en=lots")
+
+
+def test_corpus_diff_statuses_and_null_text(spark):
+    """added/removed/changed/unchanged classification; a present doc
+    with NULL text is NOT 'added' (presence flags, not fingerprint
+    NULLness), and two NULL-text versions are 'unchanged' (null-safe
+    fingerprint compare)."""
+    from pdf_extract_spark import curation
+
+    old = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma"), (2, "delta"), (3, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma CHANGED"), (3, None), (4, "fresh")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in curation.corpus_diff(old, new).collect()}
+    assert rows[0]["status"] == "unchanged"
+    assert rows[1]["status"] == "changed"
+    assert rows[2]["status"] == "removed"
+    assert rows[3]["status"] == "unchanged"  # NULL == NULL null-safely
+    assert rows[3]["old_fingerprint"] is None
+    assert rows[4]["status"] == "added"
+    assert rows[4]["old_fingerprint"] is None
+    assert rows[2]["new_fingerprint"] is None
+
+
+def test_corpus_diff_join_carries_only_fingerprints(spark):
+    """Scale pin: the full outer join's inputs project (key,
+    fingerprint, flag) — the text column must not appear above the
+    fingerprint projection in the join subtree."""
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark import curation
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("body "), F.col("id").cast("string")).alias("text"),
+    )
+    plan = (
+        curation.corpus_diff(df, df)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the Join node's output column list must not mention text — the
+    # fingerprint projection sits BELOW the join on both sides
+    join_line = next(
+        line for line in plan.splitlines() if "Join FullOuter" in line
+    )
+    assert "text" not in join_line and "doc_id" in join_line
+    phys = (
+        curation.corpus_diff(df, df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in phys and "CartesianProduct" not in phys

@@ -81,6 +81,7 @@ HEADLINE = [
     "upsample_mix",             # Dolma-style weighted upsampling (map-only epoch explode)
     "chunk_documents",          # fixed-token-window chunking with stride (map-only)
     "corpus_diff",              # snapshot diff between ingests (fingerprint full outer join)
+    "substring_overlap",        # winnowing passage-overlap pairs (fp self-join, ReusedExchange)
 ]
 
 
@@ -428,14 +429,16 @@ def write_bench_md(result: dict) -> None:
         "curation chain under one composed oracle; ngram_topk, the corpus",
         "boilerplate miner; temperature_sample, the corpus-derived",
         "multilingual mixing rule; and host_pagerank, the fixed-point",
-        "integer link-graph centrality pass), then 46 late in r5 (added:",
+        "integer link-graph centrality pass), then 47 late in r5 (added:",
         "quality_buckets, the CCNet LM-surprisal quartile bucketing —",
         "two corpus passes, train + score; url_blocklist, the UT1-style",
         "domain blocklist as a bounded suffix hash join; upsample_mix,",
         "Dolma-style weighted upsampling via map-only epoch explode;",
         "chunk_documents, fixed-token-window chunking with stride; and",
         "corpus_diff, the between-ingests snapshot diff as a",
-        "fingerprint-only full outer join).",
+        "fingerprint-only full outer join; and substring_overlap,",
+        "winnowing passage-overlap candidate pairs as an fp-keyed",
+        "id-only self-join).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

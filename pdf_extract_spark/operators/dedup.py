@@ -933,3 +933,163 @@ c AS (SELECT gram, count(*)::BIGINT AS n_docs FROM g
 SELECT gram, n_docs FROM c WHERE n_docs >= {min_docs}
 ORDER BY n_docs DESC, gram LIMIT {top}
 """
+
+
+# ----------------------------------------------------------- winnowing
+#
+# Substring-level dedup candidates (Schleimer, Wilkerson & Aiken 2003,
+# the MOSS fingerprinting algorithm): where MinHash asks "are these two
+# DOCUMENTS near-identical?", winnowing asks "do these two documents
+# SHARE A PASSAGE?" — the primitive behind exact-substring dedup of the
+# Lee et al. 2022 family, license-text detection, and quote tracing.
+
+
+def winnow_hashes(col, k: int = 4, w: int = 4):
+    """array<long> of distinct winnowing fingerprints of a text column:
+    the minimum k-gram hash of every w-wide sliding window over the
+    token k-gram hash sequence (the guarantee: any shared token run of
+    length >= k + w - 1 contributes at least one IDENTICAL fingerprint
+    to both documents). The positional variant records (pos, hash);
+    this SET variant keeps just the distinct minima — sufficient for
+    candidate generation, and exactly mirrored in SQL.
+
+    Unlike shingle_hashes the k-gram chain here is POSITIONAL (no
+    array_distinct before windowing — winnowing's window is over text
+    positions); documents shorter than k tokens fall back to one
+    whole-text hash, shorter than k+w-1 to the single global minimum."""
+    t = tokens(col)
+    th = F.transform(t, lambda x: phash(x) % MOD)
+    chains = [F.slice(th, j + 1, F.size(th) - (k - 1)) for j in range(k)]
+    combined = chains[0]
+    for nxt in chains[1:]:
+        combined = F.zip_with(combined, nxt, lambda a, b: (a * 31 + b) % MOD)
+    whole = F.array(
+        F.aggregate(th, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % MOD)
+    )
+    grams = F.when(F.size(th) >= k, combined).otherwise(whole)
+    g = F.size(grams)
+    mins = F.transform(
+        F.sequence(F.lit(0), g - w),
+        lambda i: F.array_min(F.slice(grams, i + 1, w)),
+    )
+    return F.array_distinct(
+        F.when(g >= w, mins).otherwise(F.array(F.array_min(grams)))
+    )
+
+
+def _winnow_cte(table: str, text_expr: str, k: int, w: int) -> str:
+    """CTE prefix computing winnowing fingerprints per doc (wf.fp list) —
+    formulas mirror winnow_hashes exactly (positional gram chain, window
+    minima, distinct)."""
+    th = f"list_transform({tokens_sql(text_expr)}, x -> {phash_sql('x')} % {MOD})"
+    combined = "th[i]"
+    for j in range(1, k):
+        combined = f"(({combined}) * 31 + th[i + {j}]) % {MOD}"
+    grams = (
+        f"CASE WHEN len(th) >= {k} THEN "
+        f"list_transform(range(1, len(th) - {k - 2}), i -> {combined}) "
+        f"ELSE [list_reduce(list_prepend(0::BIGINT, th), "
+        f"(acc, x) -> (acc * 31 + x) % {MOD})] END"
+    )
+    return f"""
+wth AS (SELECT doc_id, {th} AS th FROM {table}),
+wgr AS (SELECT doc_id, {grams} AS grams FROM wth),
+wf AS (SELECT doc_id,
+              list_distinct(CASE WHEN len(grams) >= {w} THEN
+                list_transform(range(1, len(grams) - {w - 2}),
+                               i -> list_min(grams[i:i + {w - 1}]))
+                ELSE [list_min(grams)] END) AS fp
+       FROM wgr)"""
+
+
+def winnow_fingerprints(
+    df: DataFrame, k: int = 4, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Relational winnowing fingerprints: one (doc_id, fp) row per
+    distinct fingerprint. Map-only (tokenize → gram chain → window
+    minima → explode) — ZERO shuffle; ~2/(w+1) of gram positions
+    survive as distinct minima, so output is a bounded fraction of the
+    token volume."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    return df.select(
+        "doc_id",
+        F.explode(winnow_hashes(F.col(text_col), k=k, w=w)).alias("fp"),
+    )
+
+
+def winnow_fingerprints_sql(
+    table: str = "documents", text_expr: str = "text", k: int = 4, w: int = 4
+) -> str:
+    return f"""
+WITH {_winnow_cte(table, text_expr, k, w)}
+SELECT doc_id, unnest(fp) AS fp FROM wf
+"""
+
+
+def substring_overlap(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-overlap candidate pairs: documents sharing at least
+    ``min_shared`` winnowing fingerprints (each shared fingerprint
+    witnesses a shared token run of ~k..k+w-1 tokens; a long shared
+    passage yields many). Returns (doc_a, doc_b, n_shared), doc_a <
+    doc_b.
+
+    Scale (100 TB): the MinHash band-join discipline applies verbatim —
+    the self-join carries ONLY (fp, doc_id); the explicit
+    repartition(fp) materializes the fingerprint table as one shuffle
+    stage so the join's second side is a ReusedExchange, never a
+    recompute of the corpus-sized gram chain; ``max_bucket`` drops
+    degenerate fingerprints (boilerplate passages shared by everyone)
+    via the same window count that rides the join's own partitioning."""
+    fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col)
+    fps = fps.repartition("fp")
+    if max_bucket is not None:
+        cw = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("_n", F.count("*").over(cw))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    a = fps.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = fps.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def substring_overlap_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int | None = None,
+) -> str:
+    cap = ""
+    if max_bucket is not None:
+        cap = f""",
+capped AS (SELECT doc_id, fp FROM (
+             SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n
+             FROM ex) WHERE n <= {max_bucket})"""
+        src = "capped"
+    else:
+        src = "ex"
+    return f"""
+WITH {_winnow_cte(table, text_expr, k, w)},
+ex AS (SELECT doc_id, unnest(fp) AS fp FROM wf){cap}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM {src} a JOIN {src} b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""

@@ -1512,6 +1512,39 @@ def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "winnow_fingerprints",
+    dedup.winnow_fingerprints_sql() + " ORDER BY doc_id, fp",
+)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): distinct window-minimum k-gram hashes per document —
+    any shared token run of >= k+w-1 tokens leaves an identical
+    fingerprint in both documents. Map-only, zero shuffle; ~2/(w+1) of
+    gram positions survive, bounding output volume."""
+    return dedup.winnow_fingerprints(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("doc_id", "fp")
+
+
+@query(
+    "substring_overlap",
+    dedup.substring_overlap_sql(min_shared=6, max_bucket=64)
+    + " ORDER BY doc_a, doc_b",
+)
+def substring_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-overlap candidate pairs via winnowing: documents sharing
+    >= 6 fingerprints (substring-level dedup, the Lee et al. 2022
+    family's candidate stage — MinHash answers document-level
+    similarity, this answers shared passages). The self-join carries
+    ONLY (fp, doc_id) behind an explicit repartition(fp) exchange; the
+    max_bucket window count drops boilerplate fingerprints before the
+    quadratic join."""
+    return dedup.substring_overlap(
+        _t(spark, sf_dir, "documents"), min_shared=6, max_bucket=64
+    ).orderBy("doc_a", "doc_b")
+
+
 @query("dedup_simhash", dedup.simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document."""
@@ -3325,6 +3358,10 @@ _DEMOTED_ORACLED = frozenset({
     "json_validity",            # scalar-fn family: filename_ops, remove_numbering in-window
     # tenth r5 wave — yields a slot to corpus_diff (never sampled):
     "filename_ops",             # scalar-fn family: remove_numbering, content_filters in-window
+    # eleventh r5 wave — yields slots to winnow_fingerprints and
+    # substring_overlap (never sampled); both demotions r4-green:
+    "dedup_simhash",            # dedup family: minhash/components/cross_corpus/line/keepbest in-window
+    "left_join_order_counts",   # join family: align exports, asof, semi/full-outer in-window
 })
 
 

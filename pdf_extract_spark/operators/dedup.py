@@ -956,7 +956,14 @@ def winnow_hashes(col, k: int = 4, w: int = 4):
     Unlike shingle_hashes the k-gram chain here is POSITIONAL (no
     array_distinct before windowing — winnowing's window is over text
     positions); documents shorter than k tokens fall back to one
-    whole-text hash, shorter than k+w-1 to the single global minimum."""
+    whole-text hash, shorter than k+w-1 to the single global minimum.
+
+    Both the k-gram chain AND the sliding window minimum are built by
+    zip_with-ing shifted slices — NEVER transform(sequence,
+    slice/element_at(i)): non-literal random access inside a lambda is
+    the interpreted path (the shingles lesson; measured here 229 s ->
+    sub-second for the sf0.1 fingerprint pass when the window min used
+    slice(grams, i+1, w) per position)."""
     t = tokens(col)
     th = F.transform(t, lambda x: phash(x) % MOD)
     chains = [F.slice(th, j + 1, F.size(th) - (k - 1)) for j in range(k)]
@@ -968,10 +975,10 @@ def winnow_hashes(col, k: int = 4, w: int = 4):
     )
     grams = F.when(F.size(th) >= k, combined).otherwise(whole)
     g = F.size(grams)
-    mins = F.transform(
-        F.sequence(F.lit(0), g - w),
-        lambda i: F.array_min(F.slice(grams, i + 1, w)),
-    )
+    wchains = [F.slice(grams, j + 1, g - (w - 1)) for j in range(w)]
+    mins = wchains[0]
+    for nxt in wchains[1:]:
+        mins = F.zip_with(mins, nxt, lambda a, b: F.least(a, b))
     return F.array_distinct(
         F.when(g >= w, mins).otherwise(F.array(F.array_min(grams)))
     )

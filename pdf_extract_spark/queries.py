@@ -1524,9 +1524,12 @@ def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram positions survive, bounding output volume. The input
     repartition spreads the single-file fixture scan the way a real
     deployment's many input splits would — the operator itself adds no
-    shuffle."""
+    shuffle. The partition count is EXPLICIT: without it AQE coalesces
+    the tiny-bytes/expensive-rows shuffle back to one task (the
+    repartitionByRange gotcha, CLAUDE.md)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return dedup.winnow_fingerprints(
-        _t(spark, sf_dir, "documents").repartition("doc_id")
+        _t(spark, sf_dir, "documents").repartition(n_part, "doc_id")
     ).orderBy("doc_id", "fp")
 
 
@@ -1544,9 +1547,12 @@ def substring_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_bucket window count drops boilerplate fingerprints before the
     quadratic join. The input repartition spreads the single-file
     fixture scan across cores (a real deployment's scan has many
-    splits); measured 32 s -> 3.9 s at sf0.1."""
+    splits); measured 32 s -> 3.9 s at sf0.1. The partition count is
+    EXPLICIT — AQE would coalesce the tiny-bytes/expensive-rows
+    shuffle back to one task otherwise."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return dedup.substring_overlap(
-        _t(spark, sf_dir, "documents").repartition("doc_id"),
+        _t(spark, sf_dir, "documents").repartition(n_part, "doc_id"),
         min_shared=6,
         max_bucket=64,
     ).orderBy("doc_a", "doc_b")

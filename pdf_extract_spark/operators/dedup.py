@@ -171,8 +171,13 @@ def _sh_cte(table: str, text_expr: str, k: int = 3) -> str:
 from pdf_extract_spark.operators.hashing import MOD  # noqa: E402
 
 
-def shingle_hashes(col, k: int = 3):
-    """array<long> of distinct k-gram shingle hashes of a text column."""
+def _positional_gram_hashes(col, k: int):
+    """POSITIONAL k-gram hash chain of a text column (one entry per gram
+    position, order preserved, no dedup): token md5-hashes folded by the
+    rolling 31x chain mod 2^31-1, with the whole-text hash as the
+    shorter-than-k fallback. ONE definition shared by shingle_hashes
+    (which array_distincts it) and winnow_hashes (which windows it) —
+    the tricky cross-engine formulas live here once."""
     t = tokens(col)
     th = F.transform(t, lambda x: phash(x) % MOD)
     chains = [F.slice(th, j + 1, F.size(th) - (k - 1)) for j in range(k)]
@@ -182,7 +187,33 @@ def shingle_hashes(col, k: int = 3):
     whole = F.array(
         F.aggregate(th, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % MOD)
     )
-    return F.array_distinct(F.when(F.size(th) >= k, combined).otherwise(whole))
+    return F.when(F.size(th) >= k, combined).otherwise(whole)
+
+
+def shingle_hashes(col, k: int = 3):
+    """array<long> of distinct k-gram shingle hashes of a text column."""
+    return F.array_distinct(_positional_gram_hashes(col, k))
+
+
+def _gram_chain_sql(k: int) -> tuple[str, str]:
+    """(token-hash list expr builder input, positional gram chain expr
+    over a list column named ``th``) — the SQL twin of
+    _positional_gram_hashes' chain, shared by _shh_cte and _winnow_cte.
+    Returns (grams_expr, whole_expr)."""
+    combined = "th[i]"
+    for j in range(1, k):
+        combined = f"(({combined}) * 31 + th[i + {j}]) % {MOD}"
+    grams = (
+        f"CASE WHEN len(th) >= {k} THEN "
+        f"list_transform(range(1, len(th) - {k - 2}), i -> {combined}) "
+        f"ELSE [list_reduce(list_prepend(0::BIGINT, th), "
+        f"(acc, x) -> (acc * 31 + x) % {MOD})] END"
+    )
+    whole = (
+        f"[list_reduce(list_prepend(0::BIGINT, th), "
+        f"(acc, x) -> (acc * 31 + x) % {MOD})]"
+    )
+    return grams, whole
 
 
 def _shh_cte(table: str, text_expr: str, k: int = 3, prefix: str = "") -> str:
@@ -191,15 +222,8 @@ def _shh_cte(table: str, text_expr: str, k: int = 3, prefix: str = "") -> str:
     shingle_hashes exactly. ``prefix`` disambiguates when two corpora
     need shingle CTEs in one query (minhash_lsh_pairs_between)."""
     th = f"list_transform({tokens_sql(text_expr)}, x -> {phash_sql('x')} % {MOD})"
-    combined = "th[i]"
-    for j in range(1, k):
-        combined = f"(({combined}) * 31 + th[i + {j}]) % {MOD}"
-    sh = (
-        f"list_distinct(CASE WHEN len(th) >= {k} THEN "
-        f"list_transform(range(1, len(th) - {k - 2}), i -> {combined}) "
-        f"ELSE [list_reduce(list_prepend(0::BIGINT, th), "
-        f"(acc, x) -> (acc * 31 + x) % {MOD})] END)"
-    )
+    grams, _ = _gram_chain_sql(k)
+    sh = f"list_distinct({grams})"
     return (
         f"{prefix}th0 AS (SELECT doc_id, {th} AS th FROM {table}),\n"
         f"{prefix}shh AS (SELECT doc_id, {sh} AS sh FROM {prefix}th0)"
@@ -963,17 +987,10 @@ def winnow_hashes(col, k: int = 4, w: int = 4):
     slice/element_at(i)): non-literal random access inside a lambda is
     the interpreted path (the shingles lesson; measured here 229 s ->
     sub-second for the sf0.1 fingerprint pass when the window min used
-    slice(grams, i+1, w) per position)."""
-    t = tokens(col)
-    th = F.transform(t, lambda x: phash(x) % MOD)
-    chains = [F.slice(th, j + 1, F.size(th) - (k - 1)) for j in range(k)]
-    combined = chains[0]
-    for nxt in chains[1:]:
-        combined = F.zip_with(combined, nxt, lambda a, b: (a * 31 + b) % MOD)
-    whole = F.array(
-        F.aggregate(th, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % MOD)
-    )
-    grams = F.when(F.size(th) >= k, combined).otherwise(whole)
+    slice(grams, i+1, w) per position). The gram chain itself is the
+    shared _positional_gram_hashes (one definition with
+    shingle_hashes)."""
+    grams = _positional_gram_hashes(col, k)
     g = F.size(grams)
     wchains = [F.slice(grams, j + 1, g - (w - 1)) for j in range(w)]
     mins = wchains[0]
@@ -986,18 +1003,15 @@ def winnow_hashes(col, k: int = 4, w: int = 4):
 
 def _winnow_cte(table: str, text_expr: str, k: int, w: int) -> str:
     """CTE prefix computing winnowing fingerprints per doc (wf.fp list) —
-    formulas mirror winnow_hashes exactly (positional gram chain, window
-    minima, distinct)."""
+    formulas mirror winnow_hashes exactly (shared _gram_chain_sql,
+    window minima, distinct). NULL text must stay NULL-faithful: the
+    Spark kernel propagates NULL through tokens -> aggregate and emits
+    one NULL fingerprint, while DuckDB's list_prepend(0, NULL) would
+    fabricate fingerprint 0 (aliasing NULL-text docs with EMPTY-text
+    docs) — the explicit th-IS-NULL arm pins [NULL] instead."""
     th = f"list_transform({tokens_sql(text_expr)}, x -> {phash_sql('x')} % {MOD})"
-    combined = "th[i]"
-    for j in range(1, k):
-        combined = f"(({combined}) * 31 + th[i + {j}]) % {MOD}"
-    grams = (
-        f"CASE WHEN len(th) >= {k} THEN "
-        f"list_transform(range(1, len(th) - {k - 2}), i -> {combined}) "
-        f"ELSE [list_reduce(list_prepend(0::BIGINT, th), "
-        f"(acc, x) -> (acc * 31 + x) % {MOD})] END"
-    )
+    grams, _ = _gram_chain_sql(k)
+    grams = f"CASE WHEN th IS NULL THEN [NULL::BIGINT] ELSE {grams} END"
     return f"""
 wth AS (SELECT doc_id, {th} AS th FROM {table}),
 wgr AS (SELECT doc_id, {grams} AS grams FROM wth),
@@ -1016,21 +1030,29 @@ def winnow_fingerprints(
     distinct fingerprint. Map-only (tokenize → gram chain → window
     minima → explode) — ZERO shuffle; ~2/(w+1) of gram positions
     survive as distinct minima, so output is a bounded fraction of the
-    token volume."""
+    token volume.
+
+    NULL text yields NO fingerprint rows (there is nothing to
+    fingerprint) — explicit in BOTH engines: the kernel filters the
+    NULL fp the gram chain propagates, the SQL twin WHERE-guards the
+    unnest (DuckDB's list_distinct happens to drop NULLs while Spark's
+    array_distinct keeps them — neither implicit behavior is relied
+    on)."""
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
     return df.select(
         "doc_id",
         F.explode(winnow_hashes(F.col(text_col), k=k, w=w)).alias("fp"),
-    )
+    ).filter(F.col("fp").isNotNull())
 
 
 def winnow_fingerprints_sql(
     table: str = "documents", text_expr: str = "text", k: int = 4, w: int = 4
 ) -> str:
     return f"""
-WITH {_winnow_cte(table, text_expr, k, w)}
-SELECT doc_id, unnest(fp) AS fp FROM wf
+WITH {_winnow_cte(table, text_expr, k, w)},
+wex AS (SELECT doc_id, unnest(fp) AS fp FROM wf)
+SELECT doc_id, fp FROM wex WHERE fp IS NOT NULL
 """
 
 
@@ -1056,8 +1078,14 @@ def substring_overlap(
     degenerate fingerprints (boilerplate passages shared by everyone)
     via the same window count that rides the join's own partitioning."""
     fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col)
-    fps = fps.repartition("fp")
-    if max_bucket is not None:
+    if max_bucket is None:
+        # uncapped: the explicit repartition materializes the fp table
+        # as one shuffle stage so the self-join's second side reuses it
+        fps = fps.repartition("fp")
+    else:
+        # capped: the window count's own hashpartitioning(fp) exchange
+        # IS the boundary — adding a repartition would be a dead node
+        # (the minhash band-join discipline, _cap_hot_bands)
         cw = Window.partitionBy("fp")
         fps = (
             fps.withColumn("_n", F.count("*").over(cw))

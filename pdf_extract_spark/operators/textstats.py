@@ -236,14 +236,18 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint_expr_sql(text_expr: str) -> str:
     """The fingerprint as a DuckDB EXPRESSION (twin of fingerprint_col;
-    fingerprint_sql below is the relational packaging)."""
+    fingerprint_sql below is the relational packaging). NULL text must
+    yield a NULL fingerprint like the Spark kernel's aggregate-over-NULL
+    does — DuckDB's list_prepend(0, NULL) is [0], which would silently
+    alias NULL-text docs with EMPTY-text docs (fingerprint 0)."""
     toks = tokens_sql(text_expr)
     from pdf_extract_spark.operators.hashing import phash_sql
 
     tok_h = f"list_transform({toks}, x -> {phash_sql('x')} % {MOD})"
     return (
+        f"(CASE WHEN {text_expr} IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend(0::BIGINT, {tok_h}), "
-        f"(acc, x) -> (acc * 31 + x) % {MOD})"
+        f"(acc, x) -> (acc * 31 + x) % {MOD}) END)"
     )
 
 

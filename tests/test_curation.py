@@ -152,14 +152,43 @@ def test_corpus_diff_join_carries_only_fingerprints(spark):
         curation.corpus_diff(df, df)
         ._jdf.queryExecution().optimizedPlan().toString()
     )
-    # the Join node's output column list must not mention text — the
-    # fingerprint projection sits BELOW the join on both sides
-    join_line = next(
-        line for line in plan.splitlines() if "Join FullOuter" in line
+    # A logical "Join FullOuter" line prints only type+condition, so
+    # asserting on it is vacuous. The real pin: the Projects COMPUTING
+    # the fingerprints must sit BELOW the join line (a naive variant
+    # that joins text payloads first computes them above it).
+    lines = plan.splitlines()
+    j = next(i for i, line in enumerate(lines) if "Join FullOuter" in line)
+    old_def = next(
+        i for i, line in enumerate(lines) if "AS old_fingerprint" in line
     )
-    assert "text" not in join_line and "doc_id" in join_line
+    new_def = next(
+        i for i, line in enumerate(lines) if "AS new_fingerprint" in line
+    )
+    assert old_def > j and new_def > j, plan
     phys = (
         curation.corpus_diff(df, df)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in phys and "CartesianProduct" not in phys
+
+
+def test_corpus_diff_null_text_twin_faithful(spark):
+    """The fingerprint SQL twin must be NULL-faithful: old=NULL text vs
+    new='' text is 'changed' in BOTH engines (NULL fp vs fp 0) — before
+    the guard DuckDB fabricated fp 0 for NULL text and called it
+    'unchanged'."""
+    import duckdb
+
+    from pdf_extract_spark import curation
+
+    old = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    new = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    srow = curation.corpus_diff(old, new).collect()[0]
+    assert srow["status"] == "changed"
+    assert srow["old_fingerprint"] is None and srow["new_fingerprint"] == 0
+    con = duckdb.connect()
+    # view names must not collide with corpus_diff_sql's internal o/n CTEs
+    con.execute("CREATE VIEW oldt AS SELECT 0::BIGINT AS doc_id, NULL::VARCHAR AS text")
+    con.execute("CREATE VIEW newt AS SELECT 0::BIGINT AS doc_id, '' AS text")
+    orow = con.sql(curation.corpus_diff_sql("oldt", "newt")).fetchone()
+    assert orow == (0, "changed", None, 0)

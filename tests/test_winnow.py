@@ -73,10 +73,19 @@ def test_substring_overlap_plan_reuses_fp_exchange(spark):
             F.lit("u"), F.col("id").cast("string"),
         ).alias("text"),
     )
-    q = dedup.substring_overlap(df, min_shared=1, max_bucket=128)
-    q.collect()
-    plan = q._jdf.queryExecution().executedPlan().toString()
+    # pin the scale shape: disable AQE's tiny-input broadcast rewrite
+    # (CLAUDE.md gotcha) so the assert validates the documented
+    # sort-merge + ReusedExchange plan, not an accidental broadcast
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = dedup.substring_overlap(df, min_shared=1, max_bucket=128)
+        q.collect()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "ReusedExchange" in plan
+    assert "BroadcastHashJoin" not in plan
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
 
 
@@ -95,3 +104,38 @@ def test_substring_overlap_max_bucket_drops_boilerplate(spark):
     assert [(r["doc_a"], r["doc_b"]) for r in capped] == [(3, 7)]
     uncapped = dedup.substring_overlap(df, min_shared=1).collect()
     assert len(uncapped) == 20 * 19 // 2  # boilerplate pairs everyone
+
+
+def test_winnow_null_text_twin_faithful(spark):
+    """NULL text must yield NO fingerprint rows in BOTH engines —
+    DuckDB's list_prepend(0, NULL) would otherwise fabricate
+    fingerprint 0, aliasing NULL-text docs with EMPTY-text docs (and
+    pairing them in substring_overlap where Spark's NULL never
+    equi-joins). Empty text keeps its whole-text hash 0."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "some real tokens here")],
+        "doc_id long, text string",
+    )
+    srows = sorted(
+        (r["doc_id"], r["fp"])
+        for r in dedup.winnow_fingerprints(df, k=4, w=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW t AS SELECT * FROM (VALUES (0::BIGINT, NULL::VARCHAR),"
+        " (1::BIGINT, ''), (2::BIGINT, 'some real tokens here')) v(doc_id, text)"
+    )
+    orows = sorted(
+        tuple(r)
+        for r in con.sql(
+            dedup.winnow_fingerprints_sql(table="t")
+        ).fetchall()
+    )
+    assert srows == orows
+    assert not any(d == 0 for d, _ in srows)  # NULL text -> no rows
+    assert (1, 0) in srows                    # empty text -> hash 0
+    # and no overlap pair between the NULL-text and empty-text docs
+    pairs = dedup.substring_overlap(df, min_shared=1).collect()
+    assert not any({r["doc_a"], r["doc_b"]} == {0, 1} for r in pairs)

@@ -82,6 +82,8 @@ HEADLINE = [
     "chunk_documents",          # fixed-token-window chunking with stride (map-only)
     "corpus_diff",              # snapshot diff between ingests (fingerprint full outer join)
     "substring_overlap",        # winnowing passage-overlap pairs (fp self-join, ReusedExchange)
+    "c4_clean",                 # C4 line/page cleaning rules (map-only, zero Exchange)
+    "tfidf_topk",               # integer-exact tf-idf keywords (term-keyed shuffle join)
 ]
 
 
@@ -438,7 +440,11 @@ def write_bench_md(result: dict) -> None:
         "corpus_diff, the between-ingests snapshot diff as a",
         "fingerprint-only full outer join; and substring_overlap,",
         "winnowing passage-overlap candidate pairs as an fp-keyed",
-        "id-only self-join).",
+        "id-only self-join), and finally 49 (added: c4_clean, the C4",
+        "line/page cleaning rules as one map-only zero-Exchange",
+        "projection, and tfidf_topk, integer-exact per-doc tf-idf",
+        "keywords whose document-frequency table joins back on term as",
+        "a shuffle join — a web-scale vocabulary is never broadcast).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

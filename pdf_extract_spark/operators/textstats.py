@@ -13,7 +13,7 @@ are read from parquet).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from pdf_extract_spark.operators.hashing import MOD, phash
 
@@ -917,4 +917,189 @@ def upsample_mix_sql(
 SELECT *, unnest(range(0, ({full_expr})
                         + (CASE WHEN {h} < ({thr_expr}) THEN 1 ELSE 0 END)))::BIGINT AS epoch
 FROM {table}
+"""
+# ------------------------------------------------------------ C4 cleaning
+#
+# The C4 cleaning heuristics (Raffel et al. 2020, "Exploring the Limits
+# of Transfer Learning...", section 2.2) — the public line/page rules the
+# reference's rule core echoes at span level (empty-fragment and
+# numbers-only drops, main.py prompt rules; SURVEY.md F3/F7/F8) lifted to
+# the corpus-curation layer: line-level keep tests plus page-level
+# poison tests.
+
+C4_TERMINALS = (".", "!", "?", '"', "”")
+C4_MIN_WORDS = 5
+C4_MIN_LINES = 3
+
+
+def _c4_line_keep(line: Column, min_words: int) -> Column:
+    """Keep predicate for ONE line (the lambda body of the array filter;
+    formula mirrored term-for-term by _c4_line_keep_sql): the space-
+    rtrimmed line ends in a terminal mark, carries >= min_words
+    whitespace-separated words, and does not mention 'javascript'
+    (case-insensitive) — C4 drops such lines rather than pages."""
+    r = F.rtrim(line)
+    ends = r.endswith(C4_TERMINALS[0])
+    for mark in C4_TERMINALS[1:]:
+        ends = ends | r.endswith(mark)
+    n_words = F.size(F.filter(F.split(line, WS + "+"), lambda x: x != ""))
+    return ends & (n_words >= min_words) & ~F.lower(line).contains("javascript")
+
+
+def _c4_line_keep_sql(min_words: int) -> str:
+    """DuckDB twin of _c4_line_keep over a lambda variable named ``l``.
+    rtrim is space-only in BOTH engines (Spark rtrim and DuckDB rtrim
+    strip 0x20 only), so the terminal test agrees on trailing-tab lines
+    by both REJECTING them."""
+    ends = " OR ".join(
+        f"ends_with(rtrim(l), '{m}')" for m in C4_TERMINALS
+    )
+    return (
+        f"(({ends}) AND "
+        f"len(list_filter(regexp_split_to_array(l, '{WS}+'), x -> x <> '')) "
+        f">= {min_words} AND NOT contains(lower(l), 'javascript'))"
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = C4_MIN_WORDS,
+    min_lines: int = C4_MIN_LINES,
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """C4's cleaning pass (Raffel et al. 2020 §2.2) as one map-only
+    projection. Line rules (drop the LINE): must end in terminal
+    punctuation (. ! ? " ”) after space-rtrim, must have >= min_words
+    words, must not mention 'javascript'. Page rules (drop the DOC):
+    any '{' (code), any 'lorem ipsum' (boilerplate), any blocklist
+    phrase (all case-insensitive except the brace), or fewer than
+    min_lines surviving lines.
+
+    Returns EVERY input row as (doc_id, n_lines, n_kept, keep,
+    cleaned_text) — cleaned_text is the kept lines rejoined with
+    newlines for keepers, NULL for dropped docs, so the audit (why did
+    coverage fall?) and the curated output come from one pass. NULL
+    text coalesces to '' (keep = false), matching dedup_lines.
+
+    Scale (100 TB): ZERO Exchange — split/filter/concat are all
+    whole-stage-codegen array expressions evaluated where the document
+    already lives; nothing shuffles, nothing broadcasts, no Python.
+    Reference parity: the reference applies its empty/numbers-only span
+    drops per document inside the extraction loop (SURVEY.md F3/F7) —
+    this is the same shape one level up, line-in-doc instead of
+    span-in-page."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(txt)
+    page_ok = (~txt.contains("{")) & (~low.contains("lorem ipsum"))
+    for phrase in blocklist:
+        page_ok = page_ok & (~low.contains(phrase.lower()))
+    lines = F.split(txt, "\n")
+    kept = F.filter(lines, lambda l: _c4_line_keep(l, min_words))
+    keep = page_ok & (F.size(kept) >= min_lines)
+    return df.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        keep.alias("keep"),
+        F.when(keep, F.concat_ws("\n", kept)).alias("cleaned_text"),
+    )
+
+
+def c4_clean_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    min_words: int = C4_MIN_WORDS,
+    min_lines: int = C4_MIN_LINES,
+    blocklist: tuple[str, ...] = (),
+) -> str:
+    """DuckDB mirror of c4_clean (string_split on chr(10) == Spark
+    split on '\\n'; both engines yield [''] for '')."""
+    page_ok = (
+        "NOT contains(txt, '{') AND NOT contains(lower(txt), 'lorem ipsum')"
+    )
+    for phrase in blocklist:
+        page_ok += f" AND NOT contains(lower(txt), {_sql_quote(phrase.lower())})"
+    keep = f"({page_ok} AND len(kept) >= {min_lines})"
+    return f"""
+WITH c4l AS (SELECT doc_id, coalesce({text_expr}, '') AS txt FROM {table}),
+c4s AS (SELECT doc_id, txt, string_split(txt, chr(10)) AS lines FROM c4l),
+c4k AS (SELECT doc_id, txt, lines,
+               list_filter(lines, l -> {_c4_line_keep_sql(min_words)}) AS kept
+        FROM c4s)
+SELECT doc_id,
+       len(lines)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept,
+       {keep} AS keep,
+       CASE WHEN {keep} THEN array_to_string(kept, chr(10)) END AS cleaned_text
+FROM c4k
+"""
+
+
+# ------------------------------------------------------- TF-IDF keywords
+
+def tfidf_topk(df: DataFrame, text_col: str = "text", top: int = 5) -> DataFrame:
+    """Per-document top-k keyword extraction by an integer-exact tf-idf:
+    idf is the floor-log2 bit length of N_docs/df (same exact-bits trick
+    as unigram_surprisal's _flog2 — a float ln() is 1-ulp
+    engine-dependent and would break hash-exactness), score =
+    tf * floor(log2(N // df)), ranked per doc by (score DESC, term ASC)
+    with row_number so the top-k boundary is a total order.
+
+    Returns (doc_id, term, tf, df, score, rnk), rnk <= top. Docs with
+    no tokens contribute no rows (both engines explode nothing).
+
+    Scale (100 TB): the document-frequency table is ONE token-keyed
+    count aggregate (map-side combinable; the shuffle carries only the
+    term string), joined back to per-doc tf on term as a SHUFFLE join —
+    a web-scale vocabulary is never broadcast, unlike the single-row
+    corpus total which folds in via one broadcast. The final window
+    partitions by doc_id (unbounded cardinality, no hot key)."""
+    ex = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
+    tf_tab = ex.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_tab = tf_tab.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    total = df.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf_tab.join(df_tab, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * _flog2(F.expr("n_docs DIV df")))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+def tfidf_topk_sql(
+    table: str = "documents", text_expr: str = "text", top: int = 5
+) -> str:
+    """DuckDB mirror of tfidf_topk (bin-length idf == _flog2)."""
+    toks = tokens_sql(text_expr)
+    return f"""
+WITH tfx AS (SELECT doc_id, unnest({toks}) AS term FROM {table}),
+tft AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tfx GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tft GROUP BY 1),
+ndt AS (SELECT count(*)::BIGINT AS n_docs FROM {table}),
+sct AS (SELECT tft.doc_id, tft.term, tft.tf, dft.df,
+               (tft.tf * (length(bin((SELECT n_docs FROM ndt) // dft.df))
+                          - 1))::BIGINT AS score
+        FROM tft JOIN dft USING (term)),
+rkt AS (SELECT doc_id, term, tf, df, score,
+               (row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC))::BIGINT
+                   AS rnk
+        FROM sct)
+SELECT doc_id, term, tf, df, score, rnk FROM rkt WHERE rnk <= {top}
 """

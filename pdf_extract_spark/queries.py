@@ -2970,6 +2970,109 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_lines(docs, min_count=3)
 
 
+# C4-page decoration: the synthetic corpus is single-line terminal-
+# punctuation-free text, so the C4 fixture rebuilds each document as an
+# eight-line page exercising every rule class: a kept long sentence, a
+# too-short line, a no-terminal line, a javascript line (every 3rd doc)
+# vs a kept '!'-terminal line, a no-terminal tail (every 5th doc) vs a
+# kept '?' question, a '{'-bearing code line (every 7th doc, kills the
+# PAGE) vs a kept '"'-terminal quote, a lorem-ipsum page-killer (every
+# 11th doc) vs a short tail, and the organic text (no terminal ->
+# dropped line). Every 13th doc's short line carries the planted
+# blocklist phrase. Typical doc keeps 4 lines; %3 keeps 3; %15 keeps 2
+# and falls under min_lines=3. SQL twin below.
+_C4_BLOCKLIST = ("planted spam marker",)
+
+
+def _c4_page():
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    return F.concat_ws(
+        "\n",
+        F.concat(F.lit("The first sentence of document "), ds,
+                 F.lit(" is long enough to keep.")),
+        F.when(d % 13 == 0,
+               F.lit("This short page mentions the planted spam marker phrase."))
+        .otherwise(F.lit("Short line.")),
+        F.concat(F.lit("this line never ends with terminal punctuation for doc "), ds),
+        F.when(d % 3 == 0,
+               F.lit("Please enable JavaScript to continue reading this article."))
+        .otherwise(F.concat(F.lit("Another valid sentence appears in document "),
+                            ds, F.lit(" right here!"))),
+        F.when(d % 5 == 0,
+               F.concat(F.lit("a trailing line with no terminal mark either for "), ds))
+        .otherwise(F.concat(F.lit("Was this the closing question for document "),
+                            ds, F.lit("?"))),
+        F.when(d % 7 == 0, F.lit("if (window.ready) { launch(); }"))
+        .otherwise(F.concat(F.lit("He said the quoted line in document "), ds,
+                            F.lit(' ends well."'))),
+        F.when(d % 11 == 0,
+               F.lit("Lorem Ipsum dolor sit amet placeholder text appears here."))
+        .otherwise(F.concat(F.lit("tail "), ds)),
+        F.coalesce(F.substring(F.col("text"), 1, 40), F.lit("")),
+    )
+
+
+_C4_PAGE_SQL = """
+SELECT doc_id,
+       'The first sentence of document ' || doc_id::VARCHAR || ' is long enough to keep.'
+       || chr(10) || (CASE WHEN doc_id % 13 = 0
+                           THEN 'This short page mentions the planted spam marker phrase.'
+                           ELSE 'Short line.' END)
+       || chr(10) || 'this line never ends with terminal punctuation for doc ' || doc_id::VARCHAR
+       || chr(10) || (CASE WHEN doc_id % 3 = 0
+                           THEN 'Please enable JavaScript to continue reading this article.'
+                           ELSE 'Another valid sentence appears in document ' || doc_id::VARCHAR || ' right here!' END)
+       || chr(10) || (CASE WHEN doc_id % 5 = 0
+                           THEN 'a trailing line with no terminal mark either for ' || doc_id::VARCHAR
+                           ELSE 'Was this the closing question for document ' || doc_id::VARCHAR || '?' END)
+       || chr(10) || (CASE WHEN doc_id % 7 = 0
+                           THEN 'if (window.ready) { launch(); }'
+                           ELSE 'He said the quoted line in document ' || doc_id::VARCHAR || ' ends well."' END)
+       || chr(10) || (CASE WHEN doc_id % 11 = 0
+                           THEN 'Lorem Ipsum dolor sit amet placeholder text appears here.'
+                           ELSE 'tail ' || doc_id::VARCHAR END)
+       || chr(10) || coalesce(substr(text, 1, 40), '')
+       AS text
+FROM documents
+"""
+
+
+@query(
+    "c4_clean",
+    textstats.c4_clean_sql(
+        table=f"({_C4_PAGE_SQL.strip()})", text_expr="text",
+        blocklist=_C4_BLOCKLIST,
+    ),
+)
+def c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning pass (Raffel et al. 2020 §2.2) over the eight-line
+    page decoration: line rules (terminal punctuation, >= 5 words, no
+    'javascript') and page rules (no '{', no 'lorem ipsum', no planted
+    blocklist phrase, >= 3 surviving lines). Returns every doc with its
+    audit columns + cleaned text — the same drop-don't-lose shape as
+    quality_filter. Map-only, zero Exchange: the reference applies its
+    span-level analogs (empty/numbers-only drops, SURVEY.md F3/F7)
+    inside the per-document loop; this is the same shape one level up."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _c4_page().alias("text")
+    )
+    return textstats.c4_clean(docs, blocklist=_C4_BLOCKLIST)
+
+
+@query("tfidf_topk", textstats.tfidf_topk_sql(table="documents", top=5))
+def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 keyword extraction by integer-exact tf-idf
+    (bit-length idf, same _flog2 trick as unigram_surprisal; ranked by
+    (score DESC, term ASC) row_number so the top-k cut is a total
+    order). The document-frequency table is one token-keyed
+    map-combinable aggregate joined back on term as a SHUFFLE join — a
+    web-scale vocabulary is never broadcast; only the single-row corpus
+    total is."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.tfidf_topk(docs, top=5)
+
+
 @query("html_extract")
 def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HTML path end-to-end (north rule: "HTML boilerplate strip ...
@@ -3375,6 +3478,10 @@ _DEMOTED_ORACLED = frozenset({
     # substring_overlap (never sampled); both demotions r4-green:
     "dedup_simhash",            # dedup family: minhash/components/cross_corpus/line/keepbest in-window
     "left_join_order_counts",   # join family: align exports, asof, semi/full-outer in-window
+    # twelfth r5 wave — yields slots to c4_clean and tfidf_topk (never
+    # sampled); both demotions r4-green:
+    "semi_join_customers",      # join family: asof_last_signup, align exports in-window
+    "mode_quantity",            # agg family: pricing_summary in-window
 })
 
 

@@ -811,6 +811,53 @@ SELECT doc_id, component, doc_id = component AS is_keeper FROM allc
 """
 
 
+def component_stats(labels: DataFrame) -> DataFrame:
+    """Cluster-size histogram of a components labeling — the audit a run
+    reads BEFORE committing a dedup threshold: for each cluster size,
+    how many clusters exist, how many docs they hold, and how many rows
+    keep-first dedup would remove (size - 1 per cluster). Input is any
+    (doc_id, component) labeling (dedup_components output, either
+    corpus).
+
+    Scale (100 TB): two count-only aggregates, both partial-combinable —
+    the first keyed on component (near-unique, unskewed by
+    construction: labels are min doc_ids), the second on the
+    low-cardinality size where map-side combine collapses each
+    partition to at most |distinct sizes| rows before the shuffle, so
+    the histogram of a 10^12-doc labeling moves only (component) then
+    (size, partial count)."""
+    sizes = labels.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+    return hist.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.col("n_clusters")).cast("long").alias("n_removed"),
+    )
+
+
+def component_stats_sql(pairs_cte: str, table: str = "documents") -> str:
+    """DuckDB mirror of minhash pairs -> dedup_components ->
+    component_stats (``pairs_cte`` must define a CTE named ``pairs``
+    with columns id_a, id_b; the closure CTEs come from
+    dedup_components_ctes so the labeling is the oracle-identical
+    one)."""
+    return f"""
+WITH RECURSIVE {dedup_components_ctes(pairs_cte, table)},
+csz AS (SELECT component, count(*)::BIGINT AS cluster_size
+        FROM allc GROUP BY 1)
+SELECT cluster_size,
+       count(*)::BIGINT AS n_clusters,
+       (cluster_size * count(*))::BIGINT AS n_docs,
+       ((cluster_size - 1) * count(*))::BIGINT AS n_removed
+FROM csz GROUP BY 1
+"""
+
+
 # -------------------------------------------------------- line-level dedup
 
 def dedup_lines(

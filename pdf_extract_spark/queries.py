@@ -3060,6 +3060,33 @@ def c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.c4_clean(docs, blocklist=_C4_BLOCKLIST)
 
 
+@query(
+    "component_stats",
+    dedup.component_stats_sql(
+        f"pairs AS ({dedup.minhash_lsh_pairs_sql(table=_NGRAM_DECOR_SQL)})",
+        "documents",
+    ),
+)
+def component_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold audit: MinHash pairs -> connected components ->
+    cluster-SIZE histogram (n_clusters / n_docs / n_removed per size)
+    over the planted-boilerplate decoration, so the spectrum shows one
+    giant ~N/7 family next to the natural near-dup pairs and the
+    singleton mass — the number a run reads before committing a
+    threshold or band cap. Two partial-combinable count aggregates over
+    (component) then (size); the universe left-join makes unpaired docs
+    singletons, exactly like the keeper pipeline."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 3, F.lit(_CURATE_BOILER)).otherwise(
+            F.col("text")
+        ),
+    )
+    pairs = dedup.minhash_lsh_pairs(docs)
+    labels = dedup.dedup_components(pairs, universe=docs)
+    return dedup.component_stats(labels)
+
+
 @query("tfidf_topk", textstats.tfidf_topk_sql(table="documents", top=5))
 def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 keyword extraction by integer-exact tf-idf
@@ -3482,6 +3509,9 @@ _DEMOTED_ORACLED = frozenset({
     # sampled); both demotions r4-green:
     "semi_join_customers",      # join family: asof_last_signup, align exports in-window
     "mode_quantity",            # agg family: pricing_summary in-window
+    # thirteenth r5 wave — yields a slot to component_stats (never
+    # sampled); demotion r4-green:
+    "pair_status_counts",       # metacompare family: pair_symbols, content_filters in-window
 })
 
 

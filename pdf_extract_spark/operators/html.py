@@ -201,6 +201,37 @@ def harvest_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
     return pages.select("doc_id", F.explode(urls).alias("url"))
 
 
+# anchor PAIRS: href + the link TEXT it wraps. [^<]* keeps the text group
+# plain-text only — an anchor wrapping nested tags (<a..><b>x</b></a>) is
+# SKIPPED by both engines identically (the DOM path extracts those); the
+# same recall trade harvest_links documents, paid for a pattern that
+# stays in the portable Java+RE2 subset (no lazy quantifiers needed).
+ANCHOR_PATTERN = r'(?i)<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+ANCHOR_PATTERN_SQ = r"(?i)<a[^>]*href='([^']*)'[^>]*>([^<]*)</a>"
+
+
+def harvest_anchors(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(doc_id, url, anchor) from plain-text ``<a href=...>text</a>``
+    pairs, both quote styles — the link-TEXT harvest behind anchor-term
+    aggregation (how the web describes a target). Group-1 and group-2
+    extractions of ONE pattern are index-aligned by construction, so
+    zip_with pairs them without a second scan. Pure JVM regex, zero
+    shuffle, whole-stage codegen."""
+    h = F.col(html_col)
+
+    def pairs(pat: str):
+        return F.zip_with(
+            F.regexp_extract_all(h, F.lit(pat), F.lit(1)),
+            F.regexp_extract_all(h, F.lit(pat), F.lit(2)),
+            lambda u, t: F.struct(u.alias("url"), t.alias("anchor")),
+        )
+
+    both = F.concat(pairs(ANCHOR_PATTERN), pairs(ANCHOR_PATTERN_SQ))
+    return pages.select("doc_id", F.explode(both).alias("z")).select(
+        "doc_id", F.col("z.url").alias("url"), F.col("z.anchor").alias("anchor")
+    )
+
+
 def url_domain(url_col):
     """Host part of an http(s) URL; '' for other schemes (mailto, #...)."""
     return F.regexp_extract(url_col, DOMAIN_PATTERN, 1)

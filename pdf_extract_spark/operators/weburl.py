@@ -450,3 +450,72 @@ def host_pagerank_sql(
         )
         prev = f"r{i}"
     return "WITH " + ",\n".join(parts) + f"\nSELECT host, rank FROM {prev}"
+
+
+# ------------------------------------------------------------ anchor terms
+
+def anchor_terms(anchors: DataFrame, top: int = 3) -> DataFrame:
+    """Per-target-host top anchor terms — the classic retrieval/quality
+    signal (how the REST of the web describes a host) aggregated from
+    ``html.harvest_anchors`` output (doc_id, url, anchor).
+
+    URLs canonicalize first so ``http://WWW.X.com`` and ``https://x.com``
+    vote for one host; non-http rows ('' host: mailto, relative paths)
+    are dropped — there is no target to describe. Terms are the shared
+    whitespace tokenization; ranks are a per-host row_number over
+    (count DESC, term ASC) so the top-k cut is a total order.
+
+    Returns (host, term, n, rnk), rnk <= top.
+
+    Scale (100 TB): canonicalize/tokenize are map-only; the (host, term)
+    count aggregate is map-side combinable and shuffles two short
+    strings; the window runs over the AGGREGATED relation, so a hot
+    host's partition holds its distinct anchor VOCABULARY, not its raw
+    anchor volume — the same project-before-window discipline as
+    domain_cap."""
+    from pdf_extract_spark.operators.textstats import tokens
+
+    host = url_host(canonicalize_url(F.col("url")))
+    ex = (
+        anchors.select(host.alias("host"), "anchor")
+        .filter(F.col("host") != "")
+        .select("host", F.explode(tokens(F.col("anchor"))).alias("term"))
+    )
+    agg = ex.groupBy("host", "term").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("host").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top)
+    )
+
+
+def anchor_terms_sql(table: str, html_expr: str = "html", top: int = 3) -> str:
+    """DuckDB mirror of harvest_anchors -> anchor_terms over an HTML
+    column (lockstep multi-unnest zips the two group extractions the
+    way zip_with does; patterns are shared with html.py so the engines
+    scan identical regexes)."""
+    from pdf_extract_spark.operators.html import ANCHOR_PATTERN, ANCHOR_PATTERN_SQ
+    from pdf_extract_spark.operators.textstats import tokens_sql
+
+    dq = ANCHOR_PATTERN.replace("'", "''")
+    sq = ANCHOR_PATTERN_SQ.replace("'", "''")
+    return f"""
+WITH ah AS (SELECT doc_id, {html_expr} AS h FROM {table}),
+pz AS (
+  SELECT unnest(regexp_extract_all(h, '{dq}', 1)) AS url,
+         unnest(regexp_extract_all(h, '{dq}', 2)) AS anchor FROM ah
+  UNION ALL
+  SELECT unnest(regexp_extract_all(h, '{sq}', 1)),
+         unnest(regexp_extract_all(h, '{sq}', 2)) FROM ah
+),
+hx AS (SELECT {url_host_sql(canonicalize_url_sql('url'))} AS host, anchor
+       FROM pz),
+tx AS (SELECT host, unnest({tokens_sql('anchor')}) AS term
+       FROM hx WHERE host <> ''),
+ag AS (SELECT host, term, count(*)::BIGINT AS n FROM tx GROUP BY 1, 2),
+rk AS (SELECT host, term, n,
+              (row_number() OVER (PARTITION BY host
+                                  ORDER BY n DESC, term ASC))::BIGINT AS rnk
+       FROM ag)
+SELECT host, term, n, rnk FROM rk WHERE rnk <= {top}
+"""

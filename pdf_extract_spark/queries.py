@@ -3087,6 +3087,78 @@ def component_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.component_stats(labels)
 
 
+# anchor-harvest decoration: each doc carries (1) a double-quoted anchor
+# to a messy-cased, tracking-parameterized host (one of five, doc_id % 5)
+# whose TEXT varies by doc_id % 4 — so per-host term counts differ and
+# the top-3 cut is exercised; (2) a single-quoted anchor to one fixed hub
+# host; (3) a mailto anchor (no http host -> dropped); (4) a nested-tag
+# anchor (<b>bold</b>) that BOTH engines skip by the plain-text-anchor
+# contract. SQL twin below.
+def _anchor_page():
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    phrase = (
+        F.when(d % 4 == 0, F.lit("read the full report"))
+        .when(d % 4 == 1, F.lit("latest news update"))
+        .when(d % 4 == 2, F.lit("download the data"))
+        .otherwise(F.lit("read more here"))
+    )
+    return F.concat(
+        F.lit('<p>intro <a class="x" href="HTTP://WWW.Site'),
+        (d % 5).cast("string"),
+        F.lit(".com/page?id="), ds, F.lit('&utm_source=z">'),
+        phrase,
+        F.lit("</a> mid <a rel='next' href='https://hub.example.org/"),
+        ds,
+        F.lit("'>next page</a>"),
+        F.lit(' <a href="mailto:team@site.test">contact us</a>'),
+        F.lit(' <a href="https://hub.example.org/x"><b>bold</b></a></p>'),
+    )
+
+
+_ANCHOR_PAGE_SQL = """
+SELECT doc_id,
+       '<p>intro <a class="x" href="HTTP://WWW.Site' || (doc_id % 5)::VARCHAR
+       || '.com/page?id=' || doc_id::VARCHAR || '&utm_source=z">'
+       || (CASE WHEN doc_id % 4 = 0 THEN 'read the full report'
+                WHEN doc_id % 4 = 1 THEN 'latest news update'
+                WHEN doc_id % 4 = 2 THEN 'download the data'
+                ELSE 'read more here' END)
+       || '</a> mid <a rel=''next'' href=''https://hub.example.org/'
+       || doc_id::VARCHAR || '''>next page</a>'
+       || ' <a href="mailto:team@site.test">contact us</a>'
+       || ' <a href="https://hub.example.org/x"><b>bold</b></a></p>'
+       AS html
+FROM documents
+"""
+
+
+from pdf_extract_spark.operators import weburl as _weburl  # noqa: E402
+
+
+@query(
+    "anchor_terms",
+    _weburl.anchor_terms_sql(
+        f"({_ANCHOR_PAGE_SQL.strip()})", html_expr="html", top=3
+    ),
+)
+def anchor_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-TEXT aggregation — how the web describes each target host
+    (the classic retrieval/quality signal): harvest paired
+    (href, link text) anchors (both quote styles; plain-text anchors
+    only, the nested-tag miss is contract on both engines), canonicalize
+    to fold scheme/host case + tracking params, then per-host top-3
+    anchor terms by (count DESC, term ASC) row_number. The (host, term)
+    aggregate is map-side combinable and the rank window sees each
+    host's distinct VOCABULARY, never its raw anchor volume."""
+    from pdf_extract_spark.operators import html as H, weburl
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _anchor_page().alias("html")
+    )
+    return weburl.anchor_terms(H.harvest_anchors(docs), top=3)
+
+
 @query("tfidf_topk", textstats.tfidf_topk_sql(table="documents", top=5))
 def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 keyword extraction by integer-exact tf-idf
@@ -3512,6 +3584,9 @@ _DEMOTED_ORACLED = frozenset({
     # thirteenth r5 wave — yields a slot to component_stats (never
     # sampled); demotion r4-green:
     "pair_status_counts",       # metacompare family: pair_symbols, content_filters in-window
+    # fourteenth r5 wave — yields a slot to anchor_terms (never
+    # sampled); demotion r4-green:
+    "media_features",           # multimodal family: dedup_media in-window
 })
 
 

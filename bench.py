@@ -521,6 +521,16 @@ def write_bench_md(result: dict) -> None:
         "  15.1 -> 13.0 s median, 5 interleaved warm reps at sf0.1 (the",
         "  in-session equivalent of writing the cleaned corpus to a lake",
         "  table between stages, which is what a real 100 TB run does).",
+        "- the scaling pair itself is subject to the same ambient band:",
+        "  an r5-final --scaling run launched immediately after a 17-min",
+        "  full-pytest run read 2->8 = 0.75 (its 8-core leg 22.9 s vs the",
+        "  stable 17.9-18.6 s across every other measurement of the",
+        "  unchanged flagship); the rerun two minutes later on the",
+        "  settled machine read 0.981 with all legs back at historical",
+        "  values. The pinned pair must run on a settled machine — the",
+        "  number recorded above is the settled rerun, and the",
+        "  contaminated reading is retained here rather than silently",
+        "  discarded.",
         "",
         "## Iceberg commit overhead — not measurable in this sandbox",
         "",

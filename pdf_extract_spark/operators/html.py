@@ -235,3 +235,37 @@ def harvest_anchors(pages: DataFrame, html_col: str = "html") -> DataFrame:
 def url_domain(url_col):
     """Host part of an http(s) URL; '' for other schemes (mailto, #...)."""
     return F.regexp_extract(url_col, DOMAIN_PATTERN, 1)
+
+
+# robots noindex: pages that ask not to be indexed. Two patterns cover
+# both attribute orders (name before content and the reverse) without
+# caring about quote style; (?i) covers ROBOTS/NOINDEX casing. Both stay
+# in the portable Java+RE2 subset (no lookarounds, no lazy quantifiers)
+# so the DuckDB oracle scans the identical regexes.
+NOINDEX_PATTERNS = (
+    r"(?i)<meta[^>]*robots[^>]*noindex",
+    r"(?i)<meta[^>]*noindex[^>]*robots",
+)
+
+
+def noindex_flags(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(doc_id, noindex) — does the page carry a robots-meta noindex
+    directive? A compliant corpus pipeline drops such pages before
+    curation (the publisher asked); the flag is returned for EVERY row
+    (drop-don't-lose, like quality_filter) so the exclusion is
+    auditable. Map-only: two rlike scans inside the projection, zero
+    shuffle, no Python."""
+    h = F.col(html_col)
+    flag = h.rlike(NOINDEX_PATTERNS[0]) | h.rlike(NOINDEX_PATTERNS[1])
+    return pages.select("doc_id", flag.alias("noindex"))
+
+
+def noindex_flags_sql(table: str, html_expr: str = "html") -> str:
+    """DuckDB mirror of noindex_flags (same two patterns, OR-ed)."""
+    p0, p1 = (p.replace("'", "''") for p in NOINDEX_PATTERNS)
+    return f"""
+SELECT doc_id,
+       (regexp_matches({html_expr}, '{p0}')
+        OR regexp_matches({html_expr}, '{p1}')) AS noindex
+FROM {table}
+"""

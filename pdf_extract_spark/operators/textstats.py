@@ -1103,3 +1103,65 @@ rkt AS (SELECT doc_id, term, tf, df, score,
         FROM sct)
 SELECT doc_id, term, tf, df, score, rnk FROM rkt WHERE rnk <= {top}
 """
+
+
+# --------------------------------------------------------- corpus card
+
+def corpus_card(df: DataFrame, strata_col: str = "lang",
+                text_col: str = "text") -> DataFrame:
+    """The per-stratum summary a dataset ships with (a data card's
+    composition table): docs, whitespace tokens, characters, the
+    stratum's integer milli-share of corpus tokens, and mean tokens per
+    doc in milli-token units. All-integer arithmetic (trunc division,
+    == DuckDB ``//`` on non-negatives) so the card is bit-identical
+    across engines, partitionings and reruns.
+
+    Returns (stratum, n_docs, n_tokens, n_chars, token_share_milli,
+    mean_tokens_milli). NULL strata group as their own row, NULL text
+    counts 0 tokens/chars.
+
+    Scale (100 TB): ONE partial-combinable aggregate keyed on the
+    low-cardinality stratum (map-side combine collapses each partition
+    to |strata| rows before the shuffle) plus a single-row corpus total
+    folded in via broadcast — document text never shuffles."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(t))).cast("long").alias("n_tokens"),
+        F.sum(F.length(t)).cast("long").alias("n_chars"),
+    )
+    total = per.agg(F.sum("n_tokens").cast("long").alias("tot_tokens"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.when(
+            F.col("tot_tokens") > 0,
+            F.expr("n_tokens * 1000 DIV tot_tokens"),
+        ).cast("long").alias("token_share_milli"),
+        F.expr("n_tokens * 1000 DIV n_docs").cast("long")
+        .alias("mean_tokens_milli"),
+    )
+
+
+def corpus_card_sql(table: str = "documents", strata_expr: str = "lang",
+                    text_expr: str = "text") -> str:
+    """DuckDB mirror of corpus_card."""
+    toks = tokens_sql(f"coalesce({text_expr}, '')")
+    return f"""
+WITH per AS (
+  SELECT {strata_expr} AS stratum,
+         count(*)::BIGINT AS n_docs,
+         sum(len({toks}))::BIGINT AS n_tokens,
+         sum(length(coalesce({text_expr}, '')))::BIGINT AS n_chars
+  FROM {table} GROUP BY 1
+),
+tot AS (SELECT sum(n_tokens)::BIGINT AS tot_tokens FROM per)
+SELECT stratum, n_docs, n_tokens, n_chars,
+       (CASE WHEN tot_tokens > 0
+             THEN n_tokens * 1000 // tot_tokens END)::BIGINT
+           AS token_share_milli,
+       (n_tokens * 1000 // n_docs)::BIGINT AS mean_tokens_milli
+FROM per CROSS JOIN tot
+"""

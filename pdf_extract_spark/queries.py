@@ -3159,6 +3159,81 @@ def anchor_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weburl.anchor_terms(H.harvest_anchors(docs), top=3)
 
 
+# robots-meta decoration: d%4 picks the head variant — 0: canonical
+# noindex; 1: REVERSED attribute order, single quotes, caps; 2: an
+# explicit index,follow (false); 3: no robots meta (false). Every 5th
+# doc also carries a DECOY description meta containing the word
+# 'noindex' — [^>]* cannot cross a tag boundary, so it must NOT flag.
+def _robots_page():
+    d = F.col("doc_id")
+    head = (
+        F.when(d % 4 == 0, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(d % 4 == 1, F.lit("<META CONTENT='NOINDEX' NAME='robots'>"))
+        .when(d % 4 == 2, F.lit('<meta name="robots" content="index, follow">'))
+        .otherwise(F.lit("<title>plain</title>"))
+    )
+    decoy = F.when(
+        d % 5 == 0,
+        F.lit('<meta name="description" content="noindex discussions">'),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("<html><head>"), head, decoy,
+        F.lit("</head><body><p>"),
+        F.coalesce(F.substring(F.col("text"), 1, 40), F.lit("")),
+        F.lit("</p></body></html>"),
+    )
+
+
+_ROBOTS_PAGE_SQL = """
+SELECT doc_id,
+       '<html><head>'
+       || (CASE WHEN doc_id % 4 = 0 THEN '<meta name="robots" content="noindex, nofollow">'
+                WHEN doc_id % 4 = 1 THEN '<META CONTENT=''NOINDEX'' NAME=''robots''>'
+                WHEN doc_id % 4 = 2 THEN '<meta name="robots" content="index, follow">'
+                ELSE '<title>plain</title>' END)
+       || (CASE WHEN doc_id % 5 = 0
+                THEN '<meta name="description" content="noindex discussions">'
+                ELSE '' END)
+       || '</head><body><p>' || coalesce(substr(text, 1, 40), '')
+       || '</p></body></html>'
+       AS html
+FROM documents
+"""
+
+
+from pdf_extract_spark.operators import html as _html  # noqa: E402
+
+
+@query(
+    "noindex_flags",
+    _html.noindex_flags_sql(f"({_ROBOTS_PAGE_SQL.strip()})", html_expr="html"),
+)
+def noindex_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-meta noindex gate — a compliant pipeline excludes pages
+    whose publisher asked not to be indexed, BEFORE curation. Both
+    attribute orders, both quote styles, any casing flag; a description
+    meta merely containing the word 'noindex' must NOT (tag-bounded
+    [^>]* patterns). Flag returned for every row (drop-don't-lose) so
+    the exclusion is auditable. Map-only, zero Exchange."""
+    from pdf_extract_spark.operators import html as H
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _robots_page().alias("html")
+    )
+    return H.noindex_flags(docs)
+
+
+@query("corpus_card", textstats.corpus_card_sql(table="documents"))
+def corpus_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-card composition table a dataset ships with: per-language
+    docs / tokens / chars plus integer milli-share of corpus tokens and
+    milli-mean tokens per doc — all trunc-division integers, so the card
+    is bit-identical across engines and reruns. ONE map-combinable
+    aggregate on the low-cardinality stratum + a single-row broadcast
+    total; document text never shuffles."""
+    return textstats.corpus_card(_t(spark, sf_dir, "documents"))
+
+
 @query("tfidf_topk", textstats.tfidf_topk_sql(table="documents", top=5))
 def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 keyword extraction by integer-exact tf-idf
@@ -3587,6 +3662,10 @@ _DEMOTED_ORACLED = frozenset({
     # fourteenth r5 wave — yields a slot to anchor_terms (never
     # sampled); demotion r4-green:
     "media_features",           # multimodal family: dedup_media in-window
+    # fifteenth r5 wave — yields slots to noindex_flags and corpus_card
+    # (never sampled); both demotions r4-green:
+    "link_domains",             # URL family: url_dedup_hosts, domain_cap, web_curate, anchor_terms in-window
+    "cosine_topk",              # similarity family: ann_lsh_topk, ann_ivf_fixed_topk in-window
 })
 
 

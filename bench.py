@@ -84,6 +84,7 @@ HEADLINE = [
     "substring_overlap",        # winnowing passage-overlap pairs (fp self-join, ReusedExchange)
     "c4_clean",                 # C4 line/page cleaning rules (map-only, zero Exchange)
     "tfidf_topk",               # integer-exact tf-idf keywords (term-keyed shuffle join)
+    "gopher_repetition",        # full Gopher repetition battery (map-only sorted-run folds)
 ]
 
 
@@ -440,11 +441,15 @@ def write_bench_md(result: dict) -> None:
         "corpus_diff, the between-ingests snapshot diff as a",
         "fingerprint-only full outer join; and substring_overlap,",
         "winnowing passage-overlap candidate pairs as an fp-keyed",
-        "id-only self-join), and finally 49 (added: c4_clean, the C4",
+        "id-only self-join), then 49 (added: c4_clean, the C4",
         "line/page cleaning rules as one map-only zero-Exchange",
         "projection, and tfidf_topk, integer-exact per-doc tf-idf",
         "keywords whose document-frequency table joins back on term as",
-        "a shuffle join — a web-scale vocabulary is never broadcast).",
+        "a shuffle join — a web-scale vocabulary is never broadcast),",
+        "and finally 50 (added: gopher_repetition, the full Gopher",
+        "repetition battery as per-document sorted-run folds — zero",
+        "Exchange; the naive gram explode+groupBy would shuffle ~9x the",
+        "tokenised corpus).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

@@ -1165,3 +1165,276 @@ SELECT stratum, n_docs, n_tokens, n_chars,
        (n_tokens * 1000 // n_docs)::BIGINT AS mean_tokens_milli
 FROM per CROSS JOIN tot
 """
+
+
+# ---------------------------------------------- Gopher repetition signals
+#
+# The FULL Gopher repetition battery (Rae et al. 2021, §A1.1.2 — public
+# paper): duplicate-line fractions plus per-n n-gram repetition for
+# n=2..10. repetition_stats() above is the two-signal summary; this is
+# the complete filter table a production curation pass thresholds on
+# (Gopher drops docs with e.g. dup_line_frac > 0.30 or top2 > 0.20).
+# All fractions are integer milli units (trunc division, == DuckDB //
+# on non-negatives) so every stat is bit-identical across engines.
+#
+# Scale (100 TB): the naive plan — explode all n-grams and groupBy
+# (doc_id, n, gram) — shuffles ~9x the tokenised corpus. Every signal
+# here is within-document, so instead each row sorts its own gram array
+# and folds adjacent runs with aggregate(): run length = occurrence
+# count, giving max/dup char coverage in one O(g log g) map-only pass —
+# ZERO Exchange, embarrassingly parallel (plan-asserted in
+# tests/test_gopher.py). Sequential HOF folds are the fast path; only
+# per-index random access (element_at inside transform) is the
+# interpreted 12x trap (see dedup.winnow_fingerprints).
+
+GOPHER_TOP_NS = (2, 3, 4)
+GOPHER_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def word_grams(toks: Column, n: int) -> Column:
+    """Positional word n-grams as space-joined strings, built as a
+    chained zip_with over n shifted slices (never element_at random
+    access inside transform — same discipline as
+    dedup._positional_gram_hashes)."""
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    g = F.slice(toks, 1, m)
+    for i in range(1, n):
+        g = F.zip_with(
+            g, F.slice(toks, i + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return g
+
+
+def word_grams_sql(toks: str, n: int) -> str:
+    """DuckDB mirror (1-based list indexing is fine oracle-side)."""
+    body = " || ' ' || ".join(
+        f"{toks}[i + {k}]" if k else f"{toks}[i]" for k in range(n)
+    )
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> {body})"
+    )
+
+
+def _run_fold(arr: Column) -> Column:
+    """Fold a string array into struct(top, dup): sort it, then scan
+    adjacent equal runs — run length == occurrence count of that value.
+    top = max over values of count*length (chars covered by the value
+    covering the MOST characters — the deterministic variant of
+    Gopher's "most frequent n-gram", needs no tie-break); dup = total
+    chars covered by values occurring more than once, counting every
+    occurrence. Empty array -> (0, 0); NULL array -> NULL struct.
+    Values are never NULL/'' here (tokens() filters empties), so a
+    NULL prev marks only the initial accumulator."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc, x):
+        chars = acc["run"] * F.length(acc["prev"])
+        return F.when(
+            acc["prev"].eqNullSafe(x),
+            F.struct(
+                x.alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["top"].alias("top"),
+                acc["dup"].alias("dup"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                F.greatest(acc["top"], F.coalesce(chars, F.lit(0))).alias("top"),
+                (
+                    acc["dup"]
+                    + F.coalesce(F.when(acc["run"] > 1, chars), F.lit(0))
+                ).alias("dup"),
+            )
+        )
+
+    def fin(acc):
+        chars = acc["run"] * F.length(acc["prev"])
+        return F.struct(
+            F.greatest(acc["top"], F.coalesce(chars, F.lit(0))).alias("top"),
+            (
+                acc["dup"]
+                + F.coalesce(F.when(acc["run"] > 1, chars), F.lit(0))
+            ).alias("dup"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step, fin)
+
+
+def _line_fold(arr: Column) -> Column:
+    """Fold a string array of lines into struct(dup, dupc): occurrences
+    beyond the first of any repeated line, and the characters of those
+    beyond-first occurrences. Same sorted-run scan as _run_fold."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("dupc"),
+    )
+
+    def _close(acc):
+        extra = acc["run"] - 1
+        return (
+            acc["dup"] + F.coalesce(F.when(extra > 0, extra), F.lit(0)),
+            acc["dupc"]
+            + F.coalesce(
+                F.when(extra > 0, extra * F.length(acc["prev"])), F.lit(0)
+            ),
+        )
+
+    def step(acc, x):
+        dup, dupc = _close(acc)
+        return F.when(
+            acc["prev"].eqNullSafe(x),
+            F.struct(
+                x.alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["dup"].alias("dup"),
+                acc["dupc"].alias("dupc"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                dup.alias("dup"),
+                dupc.alias("dupc"),
+            )
+        )
+
+    def fin(acc):
+        dup, dupc = _close(acc)
+        return F.struct(dup.alias("dup"), dupc.alias("dupc"))
+
+    return F.aggregate(F.array_sort(arr), init, step, fin)
+
+
+def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher repetition signals (Rae et al. 2021 §A1.1.2):
+    n_lines / dup_line_milli / dup_line_char_milli over non-empty lines,
+    top{2,3,4}_char_milli (chars covered by the n-gram covering the most
+    characters / total chars) and dup{5..10}_char_milli (chars covered
+    by n-grams occurring more than once, counting every occurrence — so
+    a value may exceed 1000; callers threshold, not sum). NULL text ->
+    all stats NULL; zero-denominator stats NULL. The reference's analog
+    is its per-document span cleanup loop (SURVEY.md F3/F7/C3) — same
+    per-document locality, one level up."""
+    ns = sorted(set(GOPHER_TOP_NS) | set(GOPHER_DUP_NS))
+    t = df.select(
+        "doc_id",
+        F.col(text_col).alias("text"),
+        tokens(F.col(text_col)).alias("toks"),
+        F.length(text_col).alias("n_chars"),
+    )
+    lines = F.filter(F.split("text", "\n"), lambda x: x != "")
+    g = t.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.size(lines).cast("long").alias("lines_n"),
+        _line_fold(lines).alias("lf"),
+        *[
+            _run_fold(word_grams(F.col("toks"), n)).alias(f"g{n}")
+            for n in ns
+        ],
+    )
+    nn = F.col("text").isNotNull()
+    out = [
+        "doc_id",
+        F.when(nn, F.col("lines_n")).cast("long").alias("n_lines"),
+        F.when(nn & (F.col("lines_n") > 0),
+               F.expr("lf.dup * 1000 DIV lines_n"))
+        .cast("long").alias("dup_line_milli"),
+        F.when(nn & (F.col("n_chars") > 0),
+               F.expr("lf.dupc * 1000 DIV n_chars"))
+        .cast("long").alias("dup_line_char_milli"),
+    ]
+    for n in GOPHER_TOP_NS:
+        out.append(
+            F.when(nn & (F.col("n_chars") > 0),
+                   F.expr(f"g{n}.top * 1000 DIV n_chars"))
+            .cast("long").alias(f"top{n}_char_milli"))
+    for n in GOPHER_DUP_NS:
+        out.append(
+            F.when(nn & (F.col("n_chars") > 0),
+                   F.expr(f"g{n}.dup * 1000 DIV n_chars"))
+            .cast("long").alias(f"dup{n}_char_milli"))
+    return g.select(*out)
+
+
+def gopher_repetition_sql(table: str = "documents",
+                          text_expr: str = "text") -> str:
+    """DuckDB mirror of gopher_repetition. The oracle takes the simple
+    set-based route (explode all n-grams, group, count) — value-
+    identical to the kernel's sorted-run fold because run length over a
+    sorted array IS the occurrence count."""
+    toks = tokens_sql("text")
+    ns = sorted(set(GOPHER_TOP_NS) | set(GOPHER_DUP_NS))
+    gram_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {n} AS n, "
+        f"unnest({word_grams_sql('toks', n)}) AS gram FROM t"
+        for n in ns
+    )
+    tops = ",\n".join(
+        f"       max(CASE WHEN n = {n} THEN top_chars END) AS top{n}_chars"
+        for n in GOPHER_TOP_NS)
+    dups = ",\n".join(
+        f"       max(CASE WHEN n = {n} THEN dup_chars END) AS dup{n}_chars"
+        for n in GOPHER_DUP_NS)
+    sel_tops = ",\n".join(
+        f"       (CASE WHEN text IS NOT NULL AND n_chars > 0 THEN "
+        f"coalesce(top{n}_chars, 0) * 1000 // n_chars END)::BIGINT"
+        f" AS top{n}_char_milli"
+        for n in GOPHER_TOP_NS)
+    sel_dups = ",\n".join(
+        f"       (CASE WHEN text IS NOT NULL AND n_chars > 0 THEN "
+        f"coalesce(dup{n}_chars, 0) * 1000 // n_chars END)::BIGINT"
+        f" AS dup{n}_char_milli"
+        for n in GOPHER_DUP_NS)
+    return f"""
+WITH t AS (SELECT doc_id, {text_expr} AS text, {toks} AS toks,
+                  length({text_expr}) AS n_chars
+           FROM {table}),
+g AS (
+{gram_union}
+),
+gc AS (SELECT doc_id, n, gram, count(*)::BIGINT AS c FROM g GROUP BY 1, 2, 3),
+gs AS (SELECT doc_id, n,
+              max(c * length(gram)) AS top_chars,
+              coalesce(sum(CASE WHEN c > 1 THEN c * length(gram) END), 0)
+                  AS dup_chars
+       FROM gc GROUP BY 1, 2),
+gw AS (SELECT doc_id,
+{tops},
+{dups}
+       FROM gs GROUP BY 1),
+lx AS (SELECT doc_id,
+              unnest(list_filter(string_split(text, chr(10)), x -> x <> ''))
+                  AS line
+       FROM t),
+lc AS (SELECT doc_id, line, count(*)::BIGINT AS c FROM lx GROUP BY 1, 2),
+ls AS (SELECT doc_id, sum(c)::BIGINT AS lines_n,
+              coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS dup_lines,
+              coalesce(sum(CASE WHEN c > 1 THEN (c - 1) * length(line) END), 0)
+                  AS dup_line_chars
+       FROM lc GROUP BY 1)
+SELECT t.doc_id,
+       (CASE WHEN text IS NOT NULL
+             THEN coalesce(lines_n, 0) END)::BIGINT AS n_lines,
+       (CASE WHEN text IS NOT NULL AND coalesce(lines_n, 0) > 0 THEN
+          coalesce(dup_lines, 0) * 1000 // lines_n END)::BIGINT
+           AS dup_line_milli,
+       (CASE WHEN text IS NOT NULL AND n_chars > 0 THEN
+          coalesce(dup_line_chars, 0) * 1000 // n_chars END)::BIGINT
+           AS dup_line_char_milli,
+{sel_tops},
+{sel_dups}
+FROM t LEFT JOIN ls USING (doc_id) LEFT JOIN gw USING (doc_id)
+"""

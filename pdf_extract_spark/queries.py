@@ -3060,6 +3060,77 @@ def c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.c4_clean(docs, blocklist=_C4_BLOCKLIST)
 
 
+# Gopher-repetition decoration: the organic corpus is single-line and
+# globally unique, so every repetition signal would read zero. The
+# fixture rebuilds each document as a six-line page with controlled
+# repetition, varied by doc_id arithmetic: a nav line every doc (dup'd
+# in-doc for %3), a 'buy now' phrase loop of 2-5 repetitions (%4 —
+# repeated 2..10-grams WITHIN one line), a sentence repeated across two
+# lines for even docs (repeated 5..9-grams ACROSS lines), and the first
+# 60 chars of the organic text. SQL twin below must stay line-for-line.
+_GOPHER_NAV = "site navigation home about contact and search"
+_GOPHER_FOX = "the quick brown fox jumps over the lazy dog"
+_GOPHER_BUY = "buy now " * 5
+
+
+def _gopher_page():
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    return F.concat_ws(
+        "\n",
+        F.lit(_GOPHER_NAV),
+        F.when(d % 3 == 0, F.lit(_GOPHER_NAV)).otherwise(
+            F.concat(F.lit("unique intro line for document "), ds)),
+        F.expr(f"rtrim(substr('{_GOPHER_BUY}', 1, 8 * ((doc_id % 4) + 2)))"),
+        F.lit(_GOPHER_FOX),
+        F.when(d % 2 == 0, F.lit(_GOPHER_FOX)).otherwise(
+            F.concat(F.lit("tail words for document "), ds)),
+        F.coalesce(F.substring(F.col("text"), 1, 60), F.lit("")),
+    )
+
+
+_GOPHER_PAGE_SQL = f"""
+SELECT doc_id,
+       '{_GOPHER_NAV}'
+       || chr(10) || (CASE WHEN doc_id % 3 = 0
+                           THEN '{_GOPHER_NAV}'
+                           ELSE 'unique intro line for document ' || doc_id::VARCHAR END)
+       || chr(10) || rtrim(substr('{_GOPHER_BUY}', 1, (8 * ((doc_id % 4) + 2))::INT))
+       || chr(10) || '{_GOPHER_FOX}'
+       || chr(10) || (CASE WHEN doc_id % 2 = 0
+                           THEN '{_GOPHER_FOX}'
+                           ELSE 'tail words for document ' || doc_id::VARCHAR END)
+       || chr(10) || coalesce(substr(text, 1, 60), '')
+       AS text
+FROM documents
+"""
+
+
+@query(
+    "gopher_repetition",
+    textstats.gopher_repetition_sql(
+        table=f"({_GOPHER_PAGE_SQL.strip()})", text_expr="text",
+    ),
+)
+def gopher_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher repetition battery (Rae et al. 2021 §A1.1.2) over
+    the repetition-decorated page: duplicate-line count/char fractions
+    plus top{2,3,4} and dup{5..10} n-gram char coverage, all integer
+    milli units. Map-only zero-Exchange kernel (per-document sorted-run
+    folds — no corpus-wide gram shuffle; plan-asserted in
+    tests/test_gopher.py); the sibling summary repetition_stats stays
+    the cheap two-signal screen. The input repartition spreads the
+    single-file fixture scan across cores with an EXPLICIT count (AQE
+    coalesces tiny-bytes/expensive-rows shuffles back to one task)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(n_part, "doc_id")
+        .select("doc_id", _gopher_page().alias("text"))
+    )
+    return textstats.gopher_repetition(docs)
+
+
 @query(
     "component_stats",
     dedup.component_stats_sql(
@@ -3666,6 +3737,10 @@ _DEMOTED_ORACLED = frozenset({
     # (never sampled); both demotions r4-green:
     "link_domains",             # URL family: url_dedup_hosts, domain_cap, web_curate, anchor_terms in-window
     "cosine_topk",              # similarity family: ann_lsh_topk, ann_ivf_fixed_topk in-window
+    # sixteenth r5 wave — yields a slot to gopher_repetition (never
+    # sampled; the full battery of which this is the two-signal
+    # summary); demotion r4-green:
+    "repetition_stats",         # textstats family: quality_filter, unigram_surprisal, quality_buckets in-window
 })
 
 

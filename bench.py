@@ -85,6 +85,7 @@ HEADLINE = [
     "c4_clean",                 # C4 line/page cleaning rules (map-only, zero Exchange)
     "tfidf_topk",               # integer-exact tf-idf keywords (term-keyed shuffle join)
     "gopher_repetition",        # full Gopher repetition battery (map-only sorted-run folds)
+    "decontaminate_fuzzy",      # MinHash-Jaccard benchmark decontamination (graded sibling)
 ]
 
 
@@ -446,10 +447,12 @@ def write_bench_md(result: dict) -> None:
         "projection, and tfidf_topk, integer-exact per-doc tf-idf",
         "keywords whose document-frequency table joins back on term as",
         "a shuffle join — a web-scale vocabulary is never broadcast),",
-        "and finally 50 (added: gopher_repetition, the full Gopher",
+        "and finally 51 (added: gopher_repetition, the full Gopher",
         "repetition battery as per-document sorted-run folds — zero",
-        "Exchange; the naive gram explode+groupBy would shuffle ~9x the",
-        "tokenised corpus).",
+        "Exchange, where the naive gram explode+groupBy would shuffle",
+        "~9x the tokenised corpus; and decontaminate_fuzzy,",
+        "MinHash-Jaccard benchmark decontamination — the eval side's",
+        "tiny band table broadcasts, the corpus is never self-joined).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

@@ -637,6 +637,72 @@ GROUP BY 1
 """
 
 
+def decontaminate_fuzzy(
+    docs: DataFrame, eval_docs: DataFrame, text_col: str = "text",
+    threshold: float = 0.5, max_bucket: int | None = None,
+) -> DataFrame:
+    """NEAR-DUP benchmark decontamination: flag corpus documents whose
+    shingle-set Jaccard against ANY eval/benchmark document reaches
+    ``threshold`` — the precision-graded sibling of ``decontaminate``.
+
+    The exact any-k-gram-collision rule is maximally sensitive but
+    over-flags: one shared idiom or boilerplate run marks an otherwise
+    unrelated document contaminated. Set-level Jaccard grades the
+    overlap instead, firing only on documents that substantially
+    reproduce benchmark text (lightly edited / template-padded copies)
+    while incidental-phrase collisions survive — the knob real curation
+    runs tune when exact decontamination costs too much corpus.
+
+    Scale shape (100 TB corpus, FIXED-size benchmark): the eval side is
+    the LEFT of ``minhash_lsh_pairs_between``, so its band table is tiny
+    (eval_rows x N_BANDS) and the cross band join broadcasts it; the
+    corpus is never self-joined and only its (band_key, doc_id)
+    projection rides the candidate join. ``max_bucket`` caps hot
+    corpus-side band buckets exactly as on the dedup path. The verdict
+    join back to ``docs`` is against the (bounded-by-matches) per-doc
+    aggregate, broadcast by AQE.
+
+    Returns (doc_id, n_eval_matches, max_jaccard, is_contaminated), one
+    row per corpus document."""
+    pairs = minhash_lsh_pairs_between(
+        eval_docs, docs, text_col=text_col, threshold=threshold,
+        max_bucket=max_bucket,
+    )
+    agg = pairs.groupBy(F.col("id_r").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_eval_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_eval_matches", F.lit(0).cast("long")).alias("n_eval_matches"),
+        F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+        (F.coalesce("n_eval_matches", F.lit(0)) > 0).alias("is_contaminated"),
+    )
+
+
+def decontaminate_fuzzy_sql(
+    corpus_table: str = "documents", eval_table: str = "documents",
+    text_expr: str = "text", threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of decontaminate_fuzzy; either table may be a
+    subquery (the registered fixture derives its eval benchmark as a
+    mutated slice of ``documents``)."""
+    between = minhash_lsh_pairs_between_sql(
+        eval_table, corpus_table, text_expr=text_expr, threshold=threshold
+    )
+    return f"""
+WITH pairs AS ({between}),
+agg AS (SELECT id_r AS doc_id, count(*)::BIGINT AS n_eval_matches,
+               max(jaccard) AS max_jaccard
+        FROM pairs GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.n_eval_matches, 0)::BIGINT AS n_eval_matches,
+       coalesce(a.max_jaccard, 0.0) AS max_jaccard,
+       (coalesce(a.n_eval_matches, 0) > 0) AS is_contaminated
+FROM {corpus_table} d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 # ----------------------------------------------------------------- SimHash
 
 SIMHASH_BITS = 32

@@ -1077,6 +1077,32 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(corpus, ev)
 
 
+_FUZZY_EVAL_SQL = (
+    "(SELECT doc_id, text || ' zq' AS text FROM documents WHERE doc_id % 50 = 0)"
+)
+
+
+@query(
+    "decontaminate_fuzzy",
+    dedup.decontaminate_fuzzy_sql(
+        corpus_table="documents", eval_table=_FUZZY_EVAL_SQL
+    ),
+)
+def decontaminate_fuzzy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash-Jaccard) benchmark decontamination: the eval
+    benchmark is a LIGHT MUTATION (one appended token) of every 50th
+    document, so its texts no longer exist verbatim in the corpus yet
+    remain near-duplicates of their source docs — the paraphrase case
+    the graded Jaccard rule exists for, where the exact k-gram rule of
+    `decontaminate` depends on surviving verbatim runs. Per corpus doc:
+    match count vs the benchmark, max Jaccard, threshold verdict."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" zq")).alias("text")
+    )
+    return dedup.decontaminate_fuzzy(d, ev)
+
+
 @query(
     "pii_scrub",
     textstats.pii_scrub_sql(
@@ -3741,6 +3767,10 @@ _DEMOTED_ORACLED = frozenset({
     # sampled; the full battery of which this is the two-signal
     # summary); demotion r4-green:
     "repetition_stats",         # textstats family: quality_filter, unigram_surprisal, quality_buckets in-window
+    # seventeenth r5 wave — yields a slot to decontaminate_fuzzy (never
+    # sampled; exercises the same minhash_lsh_pairs_between path
+    # in-window); demotion r4-green:
+    "dedup_cross_corpus",       # between-corpus banded-LSH family: decontaminate_fuzzy in-window
 })
 
 

@@ -75,3 +75,36 @@ def test_pii_scrub_idempotent(spark):
     ).first()
     assert (again["n_emails"], again["n_ids"], again["n_phones"]) == (0, 0, 0)
     assert again["scrubbed"] == first.first()["scrubbed"]
+
+
+def test_decontaminate_fuzzy_grades_overlap(spark):
+    """Fuzzy decontamination is the PRECISION-graded sibling of the
+    exact any-collision rule: an incidental shared idiom fires the exact
+    rule but stays under the Jaccard threshold, while a lightly edited
+    near-copy of benchmark text fires both."""
+    ev = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+               "lamda mu nu xi omicron pi rho sigma tau upsilon")],
+        SCHEMA,
+    )
+    corpus = spark.createDataFrame(
+        [
+            # near-copy: one appended token
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lamda mu nu xi omicron pi rho sigma tau upsilon phi"),
+            # incidental idiom: shares one 5-token run, otherwise disjoint
+            (2, "alpha beta gamma delta epsilon one two three four five "
+                "six seven eight nine ten eleven twelve"),
+            (3, "totally unrelated text about something else entirely"),
+        ],
+        SCHEMA,
+    )
+    exact = {r["doc_id"]: r["is_contaminated"]
+             for r in dedup.decontaminate(corpus, ev).collect()}
+    fuzzy = {r["doc_id"]: r
+             for r in dedup.decontaminate_fuzzy(corpus, ev).collect()}
+    assert exact[1] and exact[2] and not exact[3]
+    assert fuzzy[1]["is_contaminated"] and fuzzy[1]["max_jaccard"] >= 0.5
+    assert not fuzzy[2]["is_contaminated"]
+    assert not fuzzy[3]["is_contaminated"]
+    assert fuzzy[3]["n_eval_matches"] == 0 and fuzzy[3]["max_jaccard"] == 0.0

@@ -86,6 +86,7 @@ HEADLINE = [
     "tfidf_topk",               # integer-exact tf-idf keywords (term-keyed shuffle join)
     "gopher_repetition",        # full Gopher repetition battery (map-only sorted-run folds)
     "decontaminate_fuzzy",      # MinHash-Jaccard benchmark decontamination (graded sibling)
+    "canonical_dedup",          # dedup by declared rel=canonical target (keeper min-agg)
 ]
 
 
@@ -447,12 +448,15 @@ def write_bench_md(result: dict) -> None:
         "projection, and tfidf_topk, integer-exact per-doc tf-idf",
         "keywords whose document-frequency table joins back on term as",
         "a shuffle join — a web-scale vocabulary is never broadcast),",
-        "and finally 51 (added: gopher_repetition, the full Gopher",
+        "and finally 52 (added: gopher_repetition, the full Gopher",
         "repetition battery as per-document sorted-run folds — zero",
         "Exchange, where the naive gram explode+groupBy would shuffle",
-        "~9x the tokenised corpus; and decontaminate_fuzzy,",
-        "MinHash-Jaccard benchmark decontamination — the eval side's",
-        "tiny band table broadcasts, the corpus is never self-joined).",
+        "~9x the tokenised corpus; decontaminate_fuzzy, MinHash-Jaccard",
+        "benchmark decontamination — the eval side's tiny band table",
+        "broadcasts, the corpus is never self-joined; and",
+        "canonical_dedup, keep-first dedup by the page's declared",
+        "rel=canonical target — min-aggregate keeper table, page",
+        "payloads never shuffle).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

@@ -269,3 +269,43 @@ SELECT doc_id,
         OR regexp_matches({html_expr}, '{p1}')) AS noindex
 FROM {table}
 """
+
+
+# rel=canonical: the page's DECLARED canonical target — how syndicated/
+# mirrored copies point at their source. Four patterns cover both
+# attribute orders x both quote styles; mixed-quote tags (rel="…"
+# href='…') are skipped IDENTICALLY by Java and RE2 — the same bounded
+# recall trade harvest_anchors documents, paid to stay in the portable
+# regex subset (tag-bounded [^>]*, no lazy quantifiers, no lookaround).
+CANONICAL_PATTERNS = (
+    r'(?i)<link[^>]*rel="canonical"[^>]*href="([^"]*)"',
+    r'(?i)<link[^>]*href="([^"]*)"[^>]*rel="canonical"',
+    r"(?i)<link[^>]*rel='canonical'[^>]*href='([^']*)'",
+    r"(?i)<link[^>]*href='([^']*)'[^>]*rel='canonical'",
+)
+
+
+def canonical_targets(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(doc_id, canonical_url): the page's declared canonical href, NULL
+    when the page declares none. Each pattern contributes its FIRST
+    match and the patterns coalesce in fixed order, so a page with
+    multiple canonical links resolves deterministically. Map-only JVM
+    regex — zero shuffle, no Python."""
+    h = F.col(html_col)
+    first = F.coalesce(
+        *[
+            F.nullif(F.regexp_extract(h, p, 1), F.lit(""))
+            for p in CANONICAL_PATTERNS
+        ],
+    )
+    return pages.select("doc_id", first.alias("canonical_url"))
+
+
+def canonical_targets_sql(table: str, html_expr: str = "html") -> str:
+    """DuckDB mirror of canonical_targets (same patterns, same coalesce
+    order; both engines' regexp_extract yields '' on no-match)."""
+    exts = ", ".join(
+        f"nullif(regexp_extract({html_expr}, '{p.replace(chr(39), chr(39) * 2)}', 1), '')"
+        for p in CANONICAL_PATTERNS
+    )
+    return f"SELECT doc_id, coalesce({exts}) AS canonical_url FROM {table}"

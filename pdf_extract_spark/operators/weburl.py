@@ -519,3 +519,61 @@ rk AS (SELECT host, term, n,
        FROM ag)
 SELECT host, term, n, rnk FROM rk WHERE rnk <= {top}
 """
+
+
+def canonical_dedup(
+    pages: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse pages that DECLARE the same canonical target
+    (``<link rel="canonical">``): syndicated and mirrored copies of one
+    article all point at the source URL, so grouping by the
+    canonicalized target catches duplicates that URL-of-the-page dedup
+    (dedup_url) structurally cannot — the copies live at DIFFERENT
+    URLs. Returns (id, canonical_url, keep) for EVERY input row
+    (drop-don't-lose, auditable like quality_filter): keep=True for the
+    lowest id per canonical key and for every page with no parseable
+    http(s) target (nothing declared -> nothing to collide on — the
+    dedup_url passthrough contract).
+
+    Scale (100 TB): extraction + canonicalization are map-only; the
+    keeper table is ONE min-aggregate on the short canonical key
+    (partial-combinable, no window); the rejoin shuffles only
+    (ckey, keep_id) + the id/url projection — page payloads never
+    shuffle."""
+    from pdf_extract_spark.operators.html import canonical_targets
+
+    t = canonical_targets(pages, html_col)
+    keyed = t.select(
+        id_col,
+        "canonical_url",
+        canonicalize_url(F.col("canonical_url")).alias("_ckey"),
+    )
+    keepers = (
+        keyed.filter(F.col("_ckey").isNotNull())
+        .groupBy("_ckey")
+        .agg(F.min(id_col).alias("_keep_id"))
+    )
+    return keyed.join(keepers, "_ckey", "left").select(
+        id_col,
+        "canonical_url",
+        (F.col("_ckey").isNull() | (F.col(id_col) == F.col("_keep_id")))
+        .alias("keep"),
+    )
+
+
+def canonical_dedup_sql(table: str, html_expr: str = "html") -> str:
+    """DuckDB twin of canonical_dedup over an HTML column."""
+    from pdf_extract_spark.operators.html import canonical_targets_sql
+
+    ct = canonical_targets_sql(table, html_expr)
+    return f"""
+WITH ct AS ({ct}),
+ky AS (SELECT doc_id, canonical_url,
+              {canonicalize_url_sql('canonical_url')} AS ckey
+       FROM ct),
+kp AS (SELECT ckey, min(doc_id) AS keep_id
+       FROM ky WHERE ckey IS NOT NULL GROUP BY 1)
+SELECT ky.doc_id, ky.canonical_url,
+       (ky.ckey IS NULL OR ky.doc_id = kp.keep_id) AS keep
+FROM ky LEFT JOIN kp ON ky.ckey = kp.ckey
+"""

@@ -3320,6 +3320,80 @@ def noindex_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return H.noindex_flags(docs)
 
 
+from pdf_extract_spark.operators import weburl as _weburl  # noqa: E402
+
+
+# canonical-link decoration: three page classes by doc_id arithmetic.
+# %3==0: double-quoted rel-then-href whose target needs real
+# canonicalization work (uppercase scheme+host, www., a utm_ tracking
+# param) and collides in families of (doc_id DIV 3) % 25; %3==1:
+# single-quoted REVERSED attribute order colliding in 7 families;
+# %3==2: no canonical link (passthrough). Every 5th doc also carries a
+# stylesheet <link> decoy that must not match. SQL twin below.
+def _canonical_page():
+    d = F.col("doc_id")
+    a = F.expr("(doc_id DIV 3) % 25").cast("string")
+    b = F.expr("doc_id % 7").cast("string")
+    head = (
+        F.when(d % 3 == 0, F.concat(
+            F.lit('<link rel="canonical" href="HTTPS://WWW.Example.com/article/'),
+            a, F.lit('?utm_source=feed">')))
+        .when(d % 3 == 1, F.concat(
+            F.lit("<link href='https://mirror.example.org/p/"),
+            b, F.lit("' rel='canonical'>")))
+        .otherwise(F.lit("<title>no canonical</title>"))
+    )
+    decoy = F.when(
+        d % 5 == 0,
+        F.lit('<link rel="stylesheet" href="https://cdn.example.com/style.css">'),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("<html><head>"), head, decoy,
+        F.lit("</head><body><p>"),
+        F.coalesce(F.substring(F.col("text"), 1, 40), F.lit("")),
+        F.lit("</p></body></html>"),
+    )
+
+
+_CANONICAL_PAGE_SQL = """
+SELECT doc_id,
+       '<html><head>'
+       || (CASE WHEN doc_id % 3 = 0
+                THEN '<link rel="canonical" href="HTTPS://WWW.Example.com/article/'
+                     || ((doc_id // 3) % 25)::VARCHAR || '?utm_source=feed">'
+                WHEN doc_id % 3 = 1
+                THEN '<link href=''https://mirror.example.org/p/'
+                     || (doc_id % 7)::VARCHAR || ''' rel=''canonical''>'
+                ELSE '<title>no canonical</title>' END)
+       || (CASE WHEN doc_id % 5 = 0
+                THEN '<link rel="stylesheet" href="https://cdn.example.com/style.css">'
+                ELSE '' END)
+       || '</head><body><p>' || coalesce(substr(text, 1, 40), '')
+       || '</p></body></html>'
+       AS html
+FROM documents
+"""
+
+
+@query(
+    "canonical_dedup",
+    _weburl.canonical_dedup_sql(f"({_CANONICAL_PAGE_SQL.strip()})", html_expr="html"),
+)
+def canonical_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup by DECLARED canonical target: syndicated copies of one
+    article live at different URLs but point one <link rel=canonical>
+    at the source, so grouping by the canonicalized target catches what
+    URL-of-the-page dedup structurally cannot. Both attribute orders,
+    both quote styles; a stylesheet <link> decoy must not match; the
+    extracted target exercises the full canonicalize chain (case, www.,
+    tracking-param strip). keep flag returned per row
+    (drop-don't-lose); pages declaring nothing pass through."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _canonical_page().alias("html")
+    )
+    return _weburl.canonical_dedup(docs)
+
+
 @query("corpus_card", textstats.corpus_card_sql(table="documents"))
 def corpus_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data-card composition table a dataset ships with: per-language
@@ -3771,6 +3845,10 @@ _DEMOTED_ORACLED = frozenset({
     # sampled; exercises the same minhash_lsh_pairs_between path
     # in-window); demotion r4-green:
     "dedup_cross_corpus",       # between-corpus banded-LSH family: decontaminate_fuzzy in-window
+    # eighteenth r5 wave — yields a slot to canonical_dedup (never
+    # sampled; runs the same canonicalize chain plus the rel=canonical
+    # extraction); demotion r4-green:
+    "url_dedup_hosts",          # URL-dedup family: canonical_dedup, domain_cap_kept, web_curate in-window
 })
 
 

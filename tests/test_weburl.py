@@ -308,3 +308,46 @@ def test_url_blocklist_plan_is_hash_join_no_python(spark):
     )
     assert "CartesianProduct" not in plan and "EvalPython" not in plan
     assert "LeftAnti" in plan
+
+
+def test_canonical_dedup_groups_declared_targets(spark):
+    """Pages declaring the same canonical target collapse to the lowest
+    doc_id even though their own URLs differ; attribute order and quote
+    style both extract; a stylesheet <link> decoy and a canonical-less
+    page pass through; the target runs the full canonicalize chain
+    (case, www., tracking params)."""
+    rows = [
+        (1, '<head><link rel="canonical" href="HTTPS://WWW.News.com/a?utm_source=x"></head>'),
+        (2, "<head><link href='https://news.com/a' rel='canonical'></head>"),
+        (3, '<head><link rel="canonical" href="https://news.com/b"></head>'),
+        (4, '<head><link rel="stylesheet" href="https://cdn.com/s.css"></head>'),
+        (5, "<head><title>nothing declared</title></head>"),
+        (6, '<head><link rel="canonical" href="mailto:x@y.z"></head>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r.doc_id: r for r in weburl.canonical_dedup(df).collect()}
+    # 1 and 2 share the canonical key https://news.com/a -> keep lowest
+    assert out[1].keep and not out[2].keep
+    assert out[3].keep                       # singleton family
+    assert out[4].keep and out[4].canonical_url is None   # decoy no-match
+    assert out[5].keep and out[5].canonical_url is None
+    # declared but non-http target: no key, passthrough (dedup_url contract)
+    assert out[6].keep and out[6].canonical_url == "mailto:x@y.z"
+
+
+def test_canonical_dedup_plan_no_payload_shuffle(spark):
+    """The keeper aggregate and rejoin must not carry the page payload:
+    no Python eval, no cartesian product, and the html column is pruned
+    out below the first Exchange."""
+    df = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit('<link rel="canonical" href="https://h.example/p'),
+            (F.col("id") % 5).cast("string"), F.lit('">'),
+        ).alias("html"),
+    )
+    plan = (
+        weburl.canonical_dedup(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan

@@ -1438,3 +1438,92 @@ SELECT t.doc_id,
 {sel_dups}
 FROM t LEFT JOIN ls USING (doc_id) LEFT JOIN gw USING (doc_id)
 """
+
+
+# ----------------------------------------------- vocabulary coverage
+
+def vocab_coverage(
+    df: DataFrame, vocab_size: int = 500, text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: derive the top-``vocab_size``
+    term vocabulary by document frequency (the deterministic stand-in
+    for a real tokenizer's vocab file), then score EVERY document's
+    out-of-vocabulary rate against it. High OOV marks mojibake,
+    wrong-language and non-linguistic documents that slip past
+    length/stopword gates; a training pipeline also runs exactly this
+    audit before committing to a tokenizer. Returns (doc_id, n_tokens,
+    n_oov, oov_milli) — integer milli (trunc division) so the stats are
+    bit-identical across engines. NULL text -> all NULL; empty -> zero
+    tokens, oov_milli NULL.
+
+    Scale (100 TB): the document-frequency table is one map-combinable
+    aggregate on the term key; the global top-V compiles to
+    TakeOrderedAndProject (per-partition bounded heap, never a
+    single-partition sort); the bounded vocab broadcasts to the
+    occurrence join, so the corpus-sized side never shuffles by term —
+    its only Exchange is the per-doc re-aggregation."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        "doc_id", F.col(text_col).isNotNull().alias("_nn"), toks.alias("toks")
+    )
+    dfreq = (
+        base.select(F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    vocab = (
+        dfreq.orderBy(F.desc("df"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("_v"))
+    )
+    occ = base.select("doc_id", F.explode("toks").alias("term"))
+    per = (
+        occ.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_oov"),
+        )
+    )
+    nn = F.col("_nn")
+    return base.select("doc_id", "_nn").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.when(nn, F.coalesce("n_tokens", F.lit(0))).cast("long").alias("n_tokens"),
+        F.when(nn, F.coalesce("n_oov", F.lit(0))).cast("long").alias("n_oov"),
+        F.when(
+            nn & (F.coalesce("n_tokens", F.lit(0)) > 0),
+            F.expr("coalesce(n_oov, 0) * 1000 DIV n_tokens"),
+        ).cast("long").alias("oov_milli"),
+    )
+
+
+def vocab_coverage_sql(
+    table: str = "documents", text_expr: str = "text", vocab_size: int = 500
+) -> str:
+    """DuckDB mirror of vocab_coverage. The (df DESC, term ASC) total
+    order makes the top-V boundary engine-independent (binary UTF-8
+    string comparison in both engines — the ngram_topk discipline)."""
+    toks = tokens_sql(text_expr)
+    return f"""
+WITH t AS (SELECT doc_id, {text_expr} AS text, {toks} AS toks FROM {table}),
+dfq AS (SELECT term, count(*)::BIGINT AS df
+        FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t)
+        GROUP BY 1),
+voc AS (SELECT term FROM dfq ORDER BY df DESC, term LIMIT {vocab_size}),
+occ AS (SELECT doc_id, unnest(toks) AS term FROM t),
+per AS (SELECT occ.doc_id, count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN voc.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+        FROM occ LEFT JOIN voc ON occ.term = voc.term GROUP BY 1)
+SELECT t.doc_id,
+       (CASE WHEN text IS NOT NULL THEN coalesce(n_tokens, 0) END)::BIGINT
+           AS n_tokens,
+       (CASE WHEN text IS NOT NULL THEN coalesce(n_oov, 0) END)::BIGINT
+           AS n_oov,
+       (CASE WHEN text IS NOT NULL AND coalesce(n_tokens, 0) > 0
+             THEN coalesce(n_oov, 0) * 1000 // n_tokens END)::BIGINT
+           AS oov_milli
+FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+"""

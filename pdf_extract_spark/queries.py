@@ -3405,6 +3405,26 @@ def corpus_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.corpus_card(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "vocab_coverage",
+    textstats.vocab_coverage_sql(table="documents", vocab_size=16),
+)
+def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit over the organic corpus: the
+    top-V-by-document-frequency term vocabulary (deterministic total
+    order df DESC, term ASC) scores every document's OOV rate in
+    integer milli. V=16 — HALF the synthetic corpus's ~31-term
+    vocabulary — so the boundary cuts through real frequency ties and
+    every document carries a non-trivial OOV mix (V=500 would cover the
+    whole corpus and audit nothing). The bounded vocab BROADCASTS to
+    the occurrence join (the corpus never shuffles by term); the global
+    top-V compiles to TakeOrderedAndProject, never a single-partition
+    sort."""
+    return textstats.vocab_coverage(
+        _t(spark, sf_dir, "documents"), vocab_size=16
+    )
+
+
 @query("tfidf_topk", textstats.tfidf_topk_sql(table="documents", top=5))
 def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 keyword extraction by integer-exact tf-idf
@@ -3849,6 +3869,9 @@ _DEMOTED_ORACLED = frozenset({
     # sampled; runs the same canonicalize chain plus the rel=canonical
     # extraction); demotion r4-green:
     "url_dedup_hosts",          # URL-dedup family: canonical_dedup, domain_cap_kept, web_curate in-window
+    # nineteenth r5 wave — yields a slot to vocab_coverage (never
+    # sampled); demotion r4-green:
+    "align_export_en",          # align-export family: align_export_full_outer (J4 export) in-window
 })
 
 

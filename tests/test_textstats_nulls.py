@@ -187,3 +187,44 @@ def test_chunk_documents_plan_is_map_only(spark):
     )
     n_ex = plan.count("+- Exchange") + plan.count("   Exchange")
     assert n_ex == 0 and "EvalPython" not in plan
+
+
+def test_vocab_coverage_oov_and_edges(spark):
+    """vocab_coverage: OOV counts against the derived top-V vocabulary;
+    NULL text -> all NULL, empty text -> zero tokens with NULL rate."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "common words appear here"),
+            (2, "common words appear here too"),
+            (3, "zzz qqq xxx"),          # rare: out of a small vocab
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           textstats.vocab_coverage(df, vocab_size=4).collect()}
+    # vocab (df desc, term asc, V=4): appear/common/here/words (df=2 each
+    # beats every df=1 term; ties inside df=2 broken by term asc)
+    assert out[1].n_oov == 0 and out[1].oov_milli == 0
+    assert out[2].n_oov == 1                       # 'too' is OOV
+    assert out[2].oov_milli == 1000 // 5
+    assert out[3].n_oov == 3 and out[3].oov_milli == 1000
+    assert all(v is None for k, v in out[4].asDict().items() if k != "doc_id")
+    assert out[5].n_tokens == 0 and out[5].oov_milli is None
+
+
+def test_vocab_coverage_plan_broadcasts_vocab(spark):
+    """The bounded vocab must reach the occurrence join as a broadcast
+    (the corpus side never shuffles by term) and the top-V must compile
+    to TakeOrderedAndProject, not a global sort."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        textstats.vocab_coverage(docs, vocab_size=50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan

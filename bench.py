@@ -88,6 +88,7 @@ HEADLINE = [
     "decontaminate_fuzzy",      # MinHash-Jaccard benchmark decontamination (graded sibling)
     "canonical_dedup",          # dedup by declared rel=canonical target (keeper min-agg)
     "vocab_coverage",           # tokenizer-vocab OOV audit (broadcast top-V vocabulary)
+    "minhash_accuracy",         # sketch-vs-exact Jaccard audit over LSH candidates
 ]
 
 
@@ -457,9 +458,12 @@ def write_bench_md(result: dict) -> None:
         "broadcasts, the corpus is never self-joined; and",
         "canonical_dedup, keep-first dedup by the page's declared",
         "rel=canonical target — min-aggregate keeper table, page",
-        "payloads never shuffle; and vocab_coverage, the tokenizer-",
+        "payloads never shuffle; vocab_coverage, the tokenizer-",
         "vocabulary OOV audit — bounded top-V vocab broadcast to the",
-        "occurrence join, TakeOrderedAndProject for the global top-V).",
+        "occurrence join, TakeOrderedAndProject for the global top-V;",
+        "and minhash_accuracy, the signature-estimate-vs-exact-Jaccard",
+        "audit over LSH candidate pairs — the measurement that",
+        "justifies the 16-component sketch's keep/drop boundary).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

@@ -1241,3 +1241,109 @@ FROM {src} a JOIN {src} b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 """
+
+
+def minhash_accuracy(
+    df: DataFrame, text_col: str = "text", max_bucket: int | None = None,
+) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash signature: for every
+    banded-LSH candidate pair, the signature ESTIMATE of Jaccard
+    (matching components / N_HASHES) next to the EXACT shingle-set
+    Jaccard, both in integer milli, plus the absolute error — the
+    evidence a 100 TB dedup run needs before trusting a 16-component
+    sketch to draw its keep/drop boundary (E[estimate] = true Jaccard;
+    this measures the realized spread on THIS corpus). Returns
+    (id_a, id_b, est_milli, exact_milli, err_milli), id_a < id_b.
+
+    Scale: identical shuffle discipline to minhash_lsh_pairs — the band
+    self-join carries only (band_key, doc_id) behind one explicit
+    exchange; the deduplicated candidates join back to ONE combined
+    (doc_id, sh, signature) relation per side, and both verify joins
+    shuffle it by doc_id with identical subplans (exchange reuse pays
+    the corpus pass once)."""
+    hashed = df.select("doc_id", shingle_hashes(F.col(text_col)).alias("sh"))
+    rel = hashed.select(
+        "doc_id", "sh",
+        *[_mh_i(F.col("sh"), i).alias(f"mh_{i}") for i in range(N_HASHES)],
+    )
+    bands = _cap_hot_bands(_bands(hashed), max_bucket)
+    if max_bucket is None:
+        # exchange boundary before the self-join (see minhash_lsh_pairs)
+        bands = bands.repartition("band_key")
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ra = rel.alias("ra")
+    rb = rel.alias("rb")
+    matches = sum(
+        F.when(F.col(f"ra.mh_{i}") == F.col(f"rb.mh_{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    inter = F.size(F.array_intersect("ra.sh", "rb.sh"))
+    union = F.size(F.array_union("ra.sh", "rb.sh"))
+    return (
+        cand.join(ra, F.col("id_a") == F.col("ra.doc_id"))
+        .join(rb, F.col("id_b") == F.col("rb.doc_id"))
+        .select(
+            "id_a", "id_b",
+            matches.alias("_m"), inter.alias("_i"), union.alias("_u"),
+        )
+        .select(
+            "id_a", "id_b",
+            F.expr(f"_m * 1000 DIV {N_HASHES}").cast("long").alias("est_milli"),
+            F.when(F.col("_u") > 0, F.expr("_i * 1000 DIV _u"))
+            .cast("long").alias("exact_milli"),
+            F.when(
+                F.col("_u") > 0,
+                F.abs(F.expr(f"_m * 1000 DIV {N_HASHES}") - F.expr("_i * 1000 DIV _u")),
+            ).cast("long").alias("err_milli"),
+        )
+    )
+
+
+def minhash_accuracy_sql(
+    table: str = "documents", text_expr: str = "text",
+    max_bucket: int | None = None,
+) -> str:
+    """DuckDB twin of minhash_accuracy (same shingle/signature/band CTEs
+    as the dedup oracles; integer milli arithmetic both sides)."""
+    cap_cte, cand_src = "", "bands"
+    if max_bucket is not None:
+        cap_cte = (
+            f"hot AS (SELECT band_key FROM bands "
+            f"GROUP BY band_key HAVING count(*) > {max_bucket}),\n"
+            "bands_ok AS (SELECT * FROM bands "
+            "WHERE band_key NOT IN (SELECT band_key FROM hot)),\n"
+        )
+        cand_src = "bands_ok"
+    m = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES)
+    )
+    return f"""
+WITH {_shh_cte(table, text_expr)},
+sig AS (SELECT doc_id, sh, {_mh_cols_sql()} FROM shh),
+bands AS ({_band_rows_sql("sig")}),
+{cap_cte}cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM {cand_src} a JOIN {cand_src} b
+         ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+raw AS (
+  SELECT id_a, id_b,
+         ({m}) AS m,
+         len(list_intersect(sa.sh, sb.sh)) AS i,
+         len(list_distinct(list_concat(sa.sh, sb.sh))) AS u
+  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+            JOIN sig sb ON sb.doc_id = cand.id_b)
+SELECT id_a, id_b,
+       (m * 1000 // {N_HASHES})::BIGINT AS est_milli,
+       (CASE WHEN u > 0 THEN i * 1000 // u END)::BIGINT AS exact_milli,
+       (CASE WHEN u > 0
+             THEN abs(m * 1000 // {N_HASHES} - i * 1000 // u) END)::BIGINT
+           AS err_milli
+FROM raw
+"""

@@ -3158,6 +3158,24 @@ def gopher_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minhash_accuracy",
+    dedup.minhash_accuracy_sql(table="documents") + " ORDER BY id_a, id_b",
+)
+def minhash_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit over the ORGANIC corpus: for every
+    banded-LSH candidate pair, the 16-component signature estimate of
+    Jaccard vs the exact shingle-set Jaccard, in integer milli, plus
+    absolute error — the measurement that justifies trusting the sketch
+    to draw the dedup keep/drop boundary at scale. Same shuffle
+    discipline as dedup_minhash_lsh (id-only band join behind one
+    explicit exchange; candidates rejoin ONE combined signature+shingle
+    relation per side with exchange reuse)."""
+    return dedup.minhash_accuracy(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "component_stats",
     dedup.component_stats_sql(
         f"pairs AS ({dedup.minhash_lsh_pairs_sql(table=_NGRAM_DECOR_SQL)})",
@@ -3872,6 +3890,10 @@ _DEMOTED_ORACLED = frozenset({
     # nineteenth r5 wave — yields a slot to vocab_coverage (never
     # sampled); demotion r4-green:
     "align_export_en",          # align-export family: align_export_full_outer (J4 export) in-window
+    # twentieth r5 wave — yields a slot to minhash_accuracy (never
+    # sampled; same band machinery, plus the signature-vs-exact audit);
+    # demotion r3-green:
+    "pair_symbols",             # metacompare family: content_filters, remove_numbering in-window
 })
 
 

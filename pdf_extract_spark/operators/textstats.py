@@ -1527,3 +1527,86 @@ SELECT t.doc_id,
            AS oov_milli
 FROM t LEFT JOIN per ON t.doc_id = per.doc_id
 """
+
+
+# ----------------------------------------------- script composition
+
+# Unicode script classes for the per-document composition profile.
+# \x{..} range escapes parse identically in Java regex (Spark) and RE2
+# (DuckDB) — but NOT inside str.format templates (brace collision), so
+# patterns are assembled by concatenation (the metacompare._PY_WS rule).
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", "A-Za-z"),
+    ("digit", "0-9"),
+    ("hangul", r"\x{AC00}-\x{D7A3}"),
+    ("cjk", r"\x{4E00}-\x{9FFF}"),
+    ("cyrillic", r"\x{0400}-\x{04FF}"),
+)
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode-script composition: integer milli fraction
+    of characters in each script class (latin letters, ASCII digits,
+    hangul syllables, CJK unified ideographs, cyrillic) plus the
+    remainder (``other_milli`` — whitespace, punctuation, everything
+    else). The routing signal a multilingual pipeline uses ahead of
+    per-language curation (the reference's Korean/English split,
+    SURVEY.md C17, decides per PAIR; this profiles per document), and a
+    cheap mojibake detector (high ``other_milli``). NULL text -> all
+    NULL; empty -> zero counts with NULL fractions.
+
+    Counting is subtraction — length(text) minus length after deleting
+    the class — so each class costs one regexp_replace; BMP-only ranges
+    keep both engines' length() (code points) in agreement. Map-only:
+    zero Exchange, no Python, column-pruned scan."""
+    t = F.col(text_col)
+    n = F.length(t)
+    names = [name for name, _ in SCRIPT_CLASSES]
+    counted = df.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        *[
+            (n - F.length(F.regexp_replace(t, "[" + cls + "]", "")))
+            .cast("long").alias(f"_c_{name}")
+            for name, cls in SCRIPT_CLASSES
+        ],
+    )
+    covered = " + ".join(f"_c_{name}" for name in names)
+    nz = F.col("n_chars") > 0
+    return counted.select(
+        "doc_id",
+        "n_chars",
+        *[
+            F.when(nz, F.expr(f"_c_{name} * 1000 DIV n_chars"))
+            .cast("long").alias(f"{name}_milli")
+            for name in names
+        ],
+        F.when(nz, F.expr(f"(n_chars - ({covered})) * 1000 DIV n_chars"))
+        .cast("long").alias("other_milli"),
+    )
+
+
+def script_profile_sql(table: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB mirror of script_profile (same class patterns, global
+    regexp_replace, trunc division)."""
+    n = f"length({text_expr})"
+    cnt_exprs = []
+    for name, cls in SCRIPT_CLASSES:
+        cnt_exprs.append(
+            (name,
+             f"({n} - length(regexp_replace({text_expr}, '[{cls}]', '', 'g')))")
+        )
+    covered = " + ".join(c for _, c in cnt_exprs)
+    sels = ",\n".join(
+        f"       (CASE WHEN {n} > 0 THEN {c} * 1000 // {n} END)::BIGINT"
+        f" AS {name}_milli"
+        for name, c in cnt_exprs
+    )
+    return f"""
+SELECT doc_id,
+       {n}::BIGINT AS n_chars,
+{sels},
+       (CASE WHEN {n} > 0
+             THEN ({n} - ({covered})) * 1000 // {n} END)::BIGINT AS other_milli
+FROM {table}
+"""

@@ -3157,6 +3157,57 @@ def gopher_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.gopher_repetition(docs)
 
 
+# script-profile decoration: the organic corpus is pure ASCII lowercase,
+# so the script fractions would read latin-only. Each doc_id % 5 class
+# appends a different-script tail (hangul / CJK / cyrillic / digits /
+# none) — UTF-8 literals, identical bytes in both engines. SQL twin below.
+_SCRIPT_TAILS = (
+    " 한국어 문장 포함",
+    " 中文内容在此",
+    " русский текст",
+    " version 42 of 2024",
+    "",
+)
+
+
+def _script_page():
+    d = F.col("doc_id")
+    tail = F.when(d % 5 == 0, F.lit(_SCRIPT_TAILS[0]))
+    for i in range(1, 4):
+        tail = tail.when(d % 5 == i, F.lit(_SCRIPT_TAILS[i]))
+    tail = tail.otherwise(F.lit(_SCRIPT_TAILS[4]))
+    return F.concat(F.coalesce(F.col("text"), F.lit("")), tail)
+
+
+_SCRIPT_PAGE_SQL = f"""
+SELECT doc_id,
+       coalesce(text, '') || (CASE doc_id % 5
+           WHEN 0 THEN '{_SCRIPT_TAILS[0]}'
+           WHEN 1 THEN '{_SCRIPT_TAILS[1]}'
+           WHEN 2 THEN '{_SCRIPT_TAILS[2]}'
+           WHEN 3 THEN '{_SCRIPT_TAILS[3]}'
+           ELSE '' END) AS text
+FROM documents
+"""
+
+
+@query(
+    "script_profile",
+    textstats.script_profile_sql(table=f"({_SCRIPT_PAGE_SQL.strip()})"),
+)
+def script_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode-script composition (latin / digit / hangul /
+    CJK / cyrillic / other milli fractions) over the script-decorated
+    corpus — the routing signal a multilingual pipeline applies before
+    per-language curation, and a cheap mojibake detector. Map-only,
+    zero Exchange; \\x{{..}} range classes parse identically in Java
+    regex and RE2."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _script_page().alias("text")
+    )
+    return textstats.script_profile(docs)
+
+
 @query(
     "minhash_accuracy",
     dedup.minhash_accuracy_sql(table="documents") + " ORDER BY id_a, id_b",
@@ -3894,6 +3945,9 @@ _DEMOTED_ORACLED = frozenset({
     # sampled; same band machinery, plus the signature-vs-exact audit);
     # demotion r3-green:
     "pair_symbols",             # metacompare family: content_filters, remove_numbering in-window
+    # twenty-first r5 wave — yields a slot to script_profile (never
+    # sampled); demotion r4-green:
+    "sectionize_events",        # window family: asof_last_signup, topk siblings mirror-checked
 })
 
 

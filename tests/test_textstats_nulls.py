@@ -228,3 +228,35 @@ def test_vocab_coverage_plan_broadcasts_vocab(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_script_profile_hand_computed(spark):
+    """Mixed-script document: counts by class, trunc-milli fractions,
+    NULL/empty edges."""
+    df = spark.createDataFrame(
+        [
+            (1, "ab 12 한글 中文 яз"),   # 2 latin, 2 digit, 2 hangul, 2 cjk, 2 cyr, 4 spaces = 14
+            (2, None),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           textstats.script_profile(df).collect()}
+    r = out[1]
+    assert r.n_chars == 14
+    for col in ("latin_milli", "digit_milli", "hangul_milli",
+                "cjk_milli", "cyrillic_milli"):
+        assert getattr(r, col) == 2 * 1000 // 14
+    assert r.other_milli == 4 * 1000 // 14
+    assert all(v is None for k, v in out[2].asDict().items() if k != "doc_id")
+    assert out[3].n_chars == 0 and out[3].latin_milli is None
+
+
+def test_script_profile_plan_map_only(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        textstats.script_profile(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan

@@ -451,7 +451,7 @@ def write_bench_md(result: dict) -> None:
         "projection, and tfidf_topk, integer-exact per-doc tf-idf",
         "keywords whose document-frequency table joins back on term as",
         "a shuffle join — a web-scale vocabulary is never broadcast),",
-        "and finally 52 (added: gopher_repetition, the full Gopher",
+        "and finally 55 (added: gopher_repetition, the full Gopher",
         "repetition battery as per-document sorted-run folds — zero",
         "Exchange, where the naive gram explode+groupBy would shuffle",
         "~9x the tokenised corpus; decontaminate_fuzzy, MinHash-Jaccard",

@@ -1440,6 +1440,64 @@ FROM t LEFT JOIN ls USING (doc_id) LEFT JOIN gw USING (doc_id)
 """
 
 
+# The published Gopher repetition thresholds (Rae et al. 2021, Table A1),
+# in the battery's integer milli units (fraction > t becomes milli > t*1000;
+# the battery's trunc-division quantization makes the boundary exact and
+# engine-identical). The paper's duplicate-paragraph rows collapse onto the
+# line rows here: the battery treats newline-separated units as lines.
+GOPHER_THRESHOLDS: tuple[tuple[str, int], ...] = (
+    ("dup_line_milli", 300),
+    ("dup_line_char_milli", 200),
+    ("top2_char_milli", 200),
+    ("top3_char_milli", 180),
+    ("top4_char_milli", 160),
+    ("dup5_char_milli", 150),
+    ("dup6_char_milli", 140),
+    ("dup7_char_milli", 130),
+    ("dup8_char_milli", 125),
+    ("dup9_char_milli", 120),
+    ("dup10_char_milli", 100),
+)
+
+
+def gopher_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher repetition FILTER (Rae et al. 2021 Table A1): run the
+    battery, then apply the paper's published thresholds — a document
+    violating any signal is dropped. Returns every input row
+    (drop-don't-lose, like quality_filter) with the battery columns plus
+    ``n_violations`` and ``keep``; NULL-text documents carry NULL
+    signals, zero violations and keep=true (nothing measurable to drop
+    on — the empty-doc gate is quality_filter's job). One extra map-only
+    projection over gopher_repetition: still ZERO Exchange. Reference
+    analog: the per-document cleanup verdicts of SURVEY.md F3/F7."""
+    rep = gopher_repetition(df, text_col)
+    viol = None
+    for colname, cap in GOPHER_THRESHOLDS:
+        v = F.when(F.col(colname) > cap, 1).otherwise(0)
+        viol = v if viol is None else viol + v
+    return rep.select(
+        "*",
+        viol.cast("long").alias("n_violations"),
+        (viol == 0).alias("keep"),
+    )
+
+
+def gopher_gate_sql(table: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB mirror of gopher_gate over the battery's oracle SQL
+    (NULL signal > cap is false in both engines, so NULL-text docs
+    count zero violations on both sides)."""
+    rep = gopher_repetition_sql(table, text_expr)
+    viol = " + ".join(
+        f"(CASE WHEN {col} > {cap} THEN 1 ELSE 0 END)"
+        for col, cap in GOPHER_THRESHOLDS
+    )
+    return f"""
+WITH battery AS ({rep})
+SELECT *, ({viol})::BIGINT AS n_violations, (({viol}) = 0) AS keep
+FROM battery
+"""
+
+
 # ----------------------------------------------- vocabulary coverage
 
 def vocab_coverage(

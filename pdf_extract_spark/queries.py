@@ -3157,6 +3157,28 @@ def gopher_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.gopher_repetition(docs)
 
 
+@query(
+    "gopher_gate",
+    textstats.gopher_gate_sql(
+        table=f"({_GOPHER_PAGE_SQL.strip()})", text_expr="text",
+    ),
+)
+def gopher_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher repetition thresholds (Rae et al. 2021
+    Table A1) applied to the battery over the repetition-decorated page:
+    per doc the signals, violation count and keep verdict
+    (drop-don't-lose). Map-only zero-Exchange like the battery; the
+    explicit-count input repartition spreads the single-file fixture
+    scan (same rationale as gopher_repetition_q)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(n_part, "doc_id")
+        .select("doc_id", _gopher_page().alias("text"))
+    )
+    return textstats.gopher_gate(docs)
+
+
 # script-profile decoration: the organic corpus is pure ASCII lowercase,
 # so the script fractions would read latin-only. Each doc_id % 5 class
 # appends a different-script tail (hangul / CJK / cyrillic / digits /
@@ -3948,6 +3970,10 @@ _DEMOTED_ORACLED = frozenset({
     # twenty-first r5 wave — yields a slot to script_profile (never
     # sampled); demotion r4-green:
     "sectionize_events",        # window family: asof_last_signup, topk siblings mirror-checked
+    # twenty-second r5 wave — yields a slot to gopher_gate (never
+    # sampled; the published-threshold verdict over the in-window
+    # battery); demotion r4-green:
+    "quality_filter",           # quality-gate family: gopher_gate, quality_buckets, unigram_surprisal in-window
 })
 
 

@@ -75,3 +75,41 @@ def test_gopher_plan_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_gopher_gate_thresholds(spark):
+    # A clean doc must be LONG: on a one-sentence doc the top bigram
+    # necessarily covers >20% of chars (the paper's thresholds assume
+    # page-length text). 120 distinct two-letter words -> top2 ~ 14 milli.
+    import itertools, string
+    clean = " ".join(
+        a + b
+        for a, b in itertools.islice(
+            itertools.product(string.ascii_lowercase, repeat=2), 120
+        )
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "x y x y x y x y x y x y"),     # phrase loop: many violations
+            (2, clean),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textstats.gopher_gate(df).collect()}
+    assert not rows[1].keep and rows[1].n_violations > 0
+    assert rows[2].keep and rows[2].n_violations == 0
+    # NULL text: NULL signals threshold to zero violations -> keep
+    assert rows[3].keep and rows[3].n_violations == 0
+
+
+def test_gopher_gate_plan_map_only(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        textstats.gopher_gate(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

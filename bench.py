@@ -91,6 +91,7 @@ HEADLINE = [
     "minhash_accuracy",         # sketch-vs-exact Jaccard audit over LSH candidates
     "script_profile",           # Unicode-script composition profile (map-only)
     "gopher_gate",              # published Gopher thresholds over the battery (map-only)
+    "semantic_dedup",           # SemDeDup: cell-bounded embedding near-dup (scale path)
 ]
 
 
@@ -467,10 +468,12 @@ def write_bench_md(result: dict) -> None:
         "audit over LSH candidate pairs — the measurement that",
         "justifies the 16-component sketch's keep/drop boundary; and",
         "script_profile, the per-document Unicode-script composition",
-        "profile — map-only, zero Exchange), then 56 (added:",
+        "profile — map-only, zero Exchange), then 57 (added:",
         "gopher_gate, the published Gopher Table-A1 thresholds applied",
         "over the battery — one extra map-only projection, still zero",
-        "Exchange).",
+        "Exchange; and semantic_dedup, SemDeDup embedding-space",
+        "dedup whose pairwise cosine runs only WITHIN quantizer cells —",
+        "the scale path that replaces embedding_near_dup's crossJoin).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

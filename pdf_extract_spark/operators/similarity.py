@@ -753,3 +753,113 @@ ranked AS (
   FROM sims)
 SELECT * FROM ranked WHERE rank <= {k}
 """
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) deduplication
+# --------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.95
+
+
+def semantic_dedup(
+    df: DataFrame, threshold: float = SEMDEDUP_THRESHOLD,
+    n_cells: int = IVF_CELLS,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then call two
+    documents semantic duplicates when their cosine similarity WITHIN a
+    cluster reaches ``threshold``; keep the lowest-id member of each
+    duplicate relation (a doc is dropped iff a lower-id same-cell doc is
+    ``threshold``-similar — the keep-first discipline of dedup_keepfirst,
+    and the greedy rule of the paper with id standing in for its
+    centroid-distance ranking). Returns EVERY input row
+    (drop-don't-lose): (vec_id, cell, dup_of, dup_sim, keep) where
+    dup_of is the lowest-id witness and dup_sim the (rounded) cosine to
+    it.
+
+    Scale shape — this is the SCALE path for embedding near-dup (the
+    crossJoin in embedding_near_dup is the documented exactness
+    baseline, not this): pairwise comparison happens only WITHIN cells,
+    so cost is sum of cluster sizes squared, never corpus². The
+    quantizer is the deterministic ivf_seed_centroids set (bounded
+    k x dim literals in the plan — map-only assignment, value-exact vs
+    DuckDB like ann_ivf_fixed_topk); ``n_cells`` is the scale knob (the
+    paper sets it proportional to corpus size, keeping cells bounded).
+    The assigned relation is repartition(cell)-ed once so the self-join's
+    second side rides a ReusedExchange instead of recomputing the
+    assignment (the minhash band-join discipline); the verdict aggregate
+    is partial-combinable min/min_by. The audit spine (the outer left
+    join's (vec_id, cell) side) recomputes the assignment on PRUNED
+    columns rather than reusing the pair exchange — it must keep
+    null-cell rows that the join sides' pushed null filters drop, so
+    the plan carries exactly two input scans (pinned in
+    tests/test_similarity_ann.py). Reference analog: the keep-first
+    dedup of SURVEY.md A7, lifted to embedding space."""
+    centroids = ivf_seed_centroids(df, n_cells, id_col, vec_col)
+    dists = F.array(*[_sq_dist(F.col(vec_col), _lit_vec(c)) for c in centroids])
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    assigned = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"),
+        cell.alias("cell"),
+    ).repartition("cell")
+    a = assigned.select(
+        F.col("vec_id").alias("i"), F.col("vec").alias("a_vec"), "cell")
+    b = assigned.select(
+        F.col("vec_id").alias("j"), F.col("vec").alias("b_vec"), "cell")
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            "j", "i",
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    verdicts = pairs.groupBy("j").agg(
+        F.min("i").alias("dup_of"),
+        F.min_by("sim", "i").alias("dup_sim"),
+    ).withColumnRenamed("j", "vec_id")
+    return (
+        assigned.select("vec_id", "cell")
+        .join(verdicts, "vec_id", "left")
+        .select(
+            "vec_id", "cell", "dup_of", "dup_sim",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_sql(
+    table: str = "embeddings", threshold: float = SEMDEDUP_THRESHOLD,
+    n_cells: int = IVF_CELLS,
+) -> str:
+    """DuckDB mirror of semantic_dedup. Exactness: same fixed-seed
+    quantizer and left-to-right float64 folds as ann_ivf_fixed_topk_sql
+    (distances and cosines bit-identical), same rounded-sim threshold,
+    and arg_min(sim, i) == min_by(sim, i) because (i, j) pairs are
+    unique per j."""
+    sq_assign = _SQDIST_SQL.format(a="e.embedding", b="c.cvec")
+    cos = cosine_sql("a.vec", "b.vec")
+    return f"""
+WITH cent AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell, embedding AS cvec
+  FROM {table}
+  WHERE vec_id IN (SELECT vec_id FROM {table} ORDER BY vec_id LIMIT {n_cells})),
+d AS (
+  SELECT e.vec_id, e.embedding, c.cell, {sq_assign} AS dist
+  FROM {table} e CROSS JOIN cent c),
+assign AS (
+  SELECT vec_id, embedding AS vec, cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+        FROM d) WHERE rn = 1),
+hits AS (
+  SELECT b.vec_id AS j, a.vec_id AS i, round({cos}, 6) AS sim
+  FROM assign a JOIN assign b USING (cell)
+  WHERE a.vec_id < b.vec_id AND round({cos}, 6) >= {threshold}::DOUBLE),
+verdicts AS (
+  SELECT j AS vec_id, min(i) AS dup_of, arg_min(sim, i) AS dup_sim
+  FROM hits GROUP BY j)
+SELECT a.vec_id, a.cell, v.dup_of, v.dup_sim, (v.dup_of IS NULL) AS keep
+FROM assign a LEFT JOIN verdicts v USING (vec_id)
+"""

@@ -3179,6 +3179,72 @@ def gopher_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.gopher_gate(docs)
 
 
+# semantic-dedup decoration: the organic embeddings have max pairwise
+# cosine ~0.51 at sf0.01 (embedding_near_dup at 0.95 is empty), so two
+# near-duplicate FAMILIES are planted by doc-id arithmetic: %7==3 docs
+# share a smooth ramp vector, %11==5 docs a sign-alternating one (the
+# CASE order resolves ids in both — famA wins, mirrored in SQL). Each
+# member perturbs ONE element by (vec_id % 3)/100: within-family cosine
+# >= 0.99997, cross-family |cos| <= 0.013, family-vs-organic <= 0.42
+# (measured) — so threshold 0.95 separates exactly. Organic embeddings
+# cast float32 -> float64 identically in both engines.
+def _semdedup_vec():
+    seq = F.sequence(F.lit(1), F.size("embedding"))
+    d = (F.col("vec_id") % 3).cast("double") / 100
+    fam_a = F.transform(
+        seq,
+        lambda i: F.when(i == 1, F.lit(0.5) + d).otherwise(
+            ((i % 5) + 1).cast("double") / 10
+        ),
+    )
+    fam_b = F.transform(
+        seq,
+        lambda i: F.when(i == 1, F.lit(-0.5) - d).otherwise(
+            ((i % 5) + 1).cast("double") / 10
+            * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        ),
+    )
+    organic = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        F.when(F.col("vec_id") % 7 == 3, fam_a)
+        .when(F.col("vec_id") % 11 == 5, fam_b)
+        .otherwise(organic)
+    )
+
+
+_SEMDEDUP_VEC_SQL = """
+SELECT vec_id,
+       CASE WHEN vec_id % 7 = 3 THEN
+              list_transform(range(1, len(embedding) + 1),
+                i -> CASE WHEN i = 1 THEN 0.5 + (vec_id % 3)::DOUBLE / 100
+                          ELSE ((i % 5) + 1)::DOUBLE / 10 END)
+            WHEN vec_id % 11 = 5 THEN
+              list_transform(range(1, len(embedding) + 1),
+                i -> CASE WHEN i = 1 THEN -0.5 - (vec_id % 3)::DOUBLE / 100
+                          ELSE ((i % 5) + 1)::DOUBLE / 10
+                               * (CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END) END)
+            ELSE list_transform(embedding, x -> x::DOUBLE) END AS embedding
+FROM embeddings
+"""
+
+
+@query(
+    "semantic_dedup",
+    similarity.semantic_dedup_sql(table=f"({_SEMDEDUP_VEC_SQL.strip()})"),
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the planted-family embeddings: fixed-seed cell
+    assignment, within-cell cosine pairs at threshold 0.95, keep-first
+    verdict per doc (drop-don't-lose). The cell-bounded pair join is the
+    SCALE path for embedding near-dup — pairwise cost is sum of cluster
+    sizes squared, never corpus² — and the self-join's second side rides
+    a ReusedExchange (plan-pinned in tests/test_similarity_ann.py)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _semdedup_vec().alias("embedding")
+    )
+    return similarity.semantic_dedup(emb)
+
+
 # script-profile decoration: the organic corpus is pure ASCII lowercase,
 # so the script fractions would read latin-only. Each doc_id % 5 class
 # appends a different-script tail (hangul / CJK / cyrillic / digits /
@@ -3974,6 +4040,10 @@ _DEMOTED_ORACLED = frozenset({
     # sampled; the published-threshold verdict over the in-window
     # battery); demotion r4-green:
     "quality_filter",           # quality-gate family: gopher_gate, quality_buckets, unigram_surprisal in-window
+    # twenty-third r5 wave — yields a slot to semantic_dedup (never
+    # sampled; the cell-bounded embedding near-dup scale path); demotion
+    # r4-green:
+    "decontaminate",            # decontamination family: decontaminate_fuzzy (between-corpus LSH) in-window
 })
 
 

@@ -305,3 +305,76 @@ def test_trained_ivf_wins_on_clustered_corpus(spark):
     assert recalls["ivf"] >= 0.9, recalls
     assert recalls["ivf_fixed"] <= 0.8, recalls
     assert recalls["ivf"] - recalls["ivf_fixed"] >= 0.2, recalls
+
+
+def _planted_families(spark, n=40):
+    """Two planted near-dup families + organic singletons (the query
+    decoration's shape, in-memory)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base_a = [0.5] + [(i % 5 + 1) / 10 for i in range(2, 65)]
+    base_b = [-0.5] + [
+        ((i % 5 + 1) / 10) * (1 if i % 2 == 0 else -1) for i in range(2, 65)
+    ]
+    rows = []
+    for vid in range(n):
+        if vid % 7 == 3:
+            v = list(base_a)
+            v[0] += (vid % 3) / 100
+        elif vid % 11 == 5:
+            v = list(base_b)
+            v[0] -= (vid % 3) / 100
+        else:
+            v = rng.normal(0, 0.15, 64).tolist()
+        rows.append((vid, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_planted_families(spark):
+    """Every non-min family member is dropped with the family min as
+    witness; organic rows and the family minima keep."""
+    out = {r.vec_id: r for r in S.semantic_dedup(_planted_families(spark)).collect()}
+    fam_a = [v for v in range(40) if v % 7 == 3]
+    fam_b = [v for v in range(40) if v % 11 == 5 and v % 7 != 3]
+    for fam in (fam_a, fam_b):
+        keeper = min(fam)
+        assert out[keeper].keep and out[keeper].dup_of is None
+        for m in fam:
+            if m == keeper:
+                continue
+            assert not out[m].keep and out[m].dup_of == keeper
+            assert out[m].dup_sim >= 0.95
+    organic = [v for v in range(40) if v % 7 != 3 and v % 11 != 5]
+    assert all(out[v].keep for v in organic)
+
+
+def test_semantic_dedup_plan_cell_join_reused_no_cartesian(spark):
+    """The pair join must be a cell equi-join (never a cartesian
+    product), and its second side must ride a ReusedExchange over the
+    one repartition(cell) shuffle instead of recomputing the centroid
+    assignment. The input must CONTAIN near-dups: on a pair-free input
+    AQE's empty-relation propagation deletes the whole join subtree
+    (correct, but nothing left to reuse)."""
+    import re
+
+    out = S.semantic_dedup(_planted_families(spark, n=120))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out.collect()  # AQE materializes exchange reuse at runtime
+        full = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    i, j = full.find("== Final Plan =="), full.find("== Initial Plan ==")
+    final = full[i:j] if 0 <= i < j else full
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final
+    # the pair join's second side rides the one repartition(cell)
+    # exchange instead of recomputing the assignment
+    assert "ReusedExchange" in final, final
+    # exactly two input scans: the full-width pair relation (reused by
+    # both join sides) and the column-pruned audit spine (which must
+    # keep null-cell rows, so it cannot share the null-filtered pair
+    # subtree) — the second side of the pair join never rescans
+    assert final.count("Scan ExistingRDD") == 2, final

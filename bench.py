@@ -92,6 +92,7 @@ HEADLINE = [
     "script_profile",           # Unicode-script composition profile (map-only)
     "gopher_gate",              # published Gopher thresholds over the battery (map-only)
     "semantic_dedup",           # SemDeDup: cell-bounded embedding near-dup (scale path)
+    "bm25_topk",                # Okapi BM25 retrieval (integer-exact, heap top-k)
 ]
 
 
@@ -471,9 +472,13 @@ def write_bench_md(result: dict) -> None:
         "profile — map-only, zero Exchange), then 57 (added:",
         "gopher_gate, the published Gopher Table-A1 thresholds applied",
         "over the battery — one extra map-only projection, still zero",
-        "Exchange; and semantic_dedup, SemDeDup embedding-space",
+        "Exchange; semantic_dedup, SemDeDup embedding-space",
         "dedup whose pairwise cosine runs only WITHIN quantizer cells —",
-        "the scale path that replaces embedding_near_dup's crossJoin).",
+        "the scale path that replaces embedding_near_dup's crossJoin;",
+        "and bm25_topk, Okapi BM25 retrieval with integer-exact",
+        "bit-length idf and all-milli length normalization — map-side",
+        "term filtering before any shuffle, bounded broadcasts, heap",
+        "top-k).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

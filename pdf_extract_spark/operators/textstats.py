@@ -1105,6 +1105,124 @@ SELECT doc_id, term, tf, df, score, rnk FROM rkt WHERE rnk <= {top}
 """
 
 
+# BM25 constants in integer milli units: k1 = 1.2, b = 0.75 (the
+# Robertson/Okapi defaults). All-integer arithmetic (trunc division)
+# keeps scores bit-identical across engines, partitionings and reruns —
+# same rationale as tfidf_topk/unigram_surprisal.
+BM25_K1_MILLI = 1200
+BM25_B_MILLI = 750
+
+
+def _bm25_term_score(tf: str, dl: str, n_docs: str, total_dl: str,
+                     div: str) -> str:
+    """The BM25 term-frequency fraction in milli, as a formula template
+    shared by the Spark kernel (div='DIV') and the DuckDB twin
+    (div='//') so the two can never diverge. Multiplied by the integer
+    idf bits outside."""
+    avg = f"({total_dl} * 1000 {div} {n_docs})"
+    rel = f"({dl} * 1000000 {div} {avg})"
+    norm = f"({1000 - BM25_B_MILLI} + ({BM25_B_MILLI} * {rel}) {div} 1000)"
+    denom = f"({tf} * 1000 + ({BM25_K1_MILLI} * {norm}) {div} 1000)"
+    return f"({tf} * {1000 + BM25_K1_MILLI} * 1000 {div} {denom})"
+
+
+def bm25_topk(
+    df: DataFrame, query_terms: list[str], k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 retrieval: rank the corpus against a fixed query term
+    set and return the global top-``k`` documents. Integer-exact: idf is
+    the _flog2 bit length of N_docs/df (a float ln() is 1-ulp
+    engine-dependent), the tf/length-normalization fraction is all-milli
+    trunc division (k1=1.2, b=0.75), so scores are bit-identical across
+    engines and shuffle orders. Returns (doc_id, score_milli, n_terms,
+    rank), rank <= k, total-ordered by (score DESC, doc_id ASC).
+
+    Scale (100 TB): the corpus explodes tokens MAP-SIDE and filters to
+    the bounded query term set before anything shuffles — only matching
+    (doc_id, term) rows move; per-doc length rides the explode (min(dl)
+    per group), so the corpus-wide length table is never joined; the
+    document-frequency and corpus-stat relations are bounded (|terms|
+    rows and one row) and broadcast; the global top-k is
+    TakeOrderedAndProject (per-partition heaps), with the rank window
+    running AFTER the limit over <= k rows. Reference analog: the
+    similarity-ranked candidate pick of SURVEY.md W9, corpus-scale."""
+    terms = sorted(set(query_terms))
+    base = df.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("total_dl"),
+    )
+    ex = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        F.explode("toks").alias("term"),
+    ).filter(F.col("term").isin(terms))
+    tf_tab = ex.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.min("dl").alias("dl"),
+    )
+    df_tab = tf_tab.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"))
+    frac = _bm25_term_score("tf", "dl", "n_docs", "total_dl", "DIV")
+    scored = (
+        tf_tab.join(F.broadcast(df_tab), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (_flog2(F.expr("n_docs DIV df")) * F.expr(frac))
+            .cast("long").alias("term_score"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_score").cast("long").alias("score_milli"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    top = agg.orderBy(F.desc("score_milli"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score_milli"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "score_milli", "n_terms", "rank")
+    )
+
+
+def bm25_topk_sql(
+    query_terms: list[str], k: int = 10,
+    table: str = "documents", text_expr: str = "text",
+) -> str:
+    """DuckDB mirror of bm25_topk (shared _bm25_term_score formula,
+    bin-length idf == _flog2, `//` == DIV on nonnegatives)."""
+    terms = sorted(set(query_terms))
+    toks = tokens_sql(text_expr)
+    in_list = ", ".join(_sql_quote(t) for t in terms)
+    frac = _bm25_term_score(
+        "tft.tf", "tft.dl",
+        "(SELECT n_docs FROM st)", "(SELECT total_dl FROM st)", "//",
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS toks FROM {table}),
+st AS (SELECT count(*)::BIGINT AS n_docs,
+              sum(len(toks))::BIGINT AS total_dl FROM base),
+ex AS (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term
+       FROM base),
+tft AS (SELECT doc_id, term, count(*)::BIGINT AS tf, min(dl) AS dl
+        FROM ex WHERE term IN ({in_list}) GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tft GROUP BY 1),
+sc AS (SELECT tft.doc_id,
+              ((length(bin((SELECT n_docs FROM st) // dft.df)) - 1)
+               * {frac})::BIGINT AS term_score
+       FROM tft JOIN dft USING (term)),
+ag AS (SELECT doc_id, sum(term_score)::BIGINT AS score_milli,
+              count(*)::BIGINT AS n_terms
+       FROM sc GROUP BY 1),
+rk AS (SELECT doc_id, score_milli, n_terms,
+              (row_number() OVER (ORDER BY score_milli DESC, doc_id ASC)
+               )::BIGINT AS rank
+       FROM ag)
+SELECT doc_id, score_milli, n_terms, rank FROM rk WHERE rank <= {k}
+"""
+
+
 # --------------------------------------------------------- corpus card
 
 def corpus_card(df: DataFrame, strata_col: str = "lang",

@@ -3179,6 +3179,60 @@ def gopher_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.gopher_gate(docs)
 
 
+# bm25 decoration: the organic vocabulary is near-uniform (every word's
+# df ~ 0.8 * n_docs, so the integer idf is 0 for all of it — n DIV df
+# = 1). Rare query terms are planted by doc-id arithmetic: %13==4 docs
+# append 'retrieval' repeated (doc_id%3+1) times (df ~ n/13 -> 3 idf
+# bits, tf varies), %17==6 docs append 'ranking relevance' (df ~ n/17
+# -> 4 bits). The query mixes them with the common 'hash' (idf 0 — the
+# common-term path scores zero and never surfaces). SQL twin below.
+_BM25_TERMS = ("hash", "ranking", "relevance", "retrieval")
+
+
+def _bm25_page():
+    return F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 4,
+            F.expr("repeat(' retrieval', CAST(doc_id % 3 + 1 AS INT))"),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 6, F.lit(" ranking relevance"))
+        .otherwise(F.lit("")),
+    )
+
+
+_BM25_PAGE_SQL = """
+SELECT doc_id,
+       coalesce(text, '')
+       || (CASE WHEN doc_id % 13 = 4
+                THEN repeat(' retrieval', (doc_id % 3 + 1)::INT)
+                ELSE '' END)
+       || (CASE WHEN doc_id % 17 = 6 THEN ' ranking relevance'
+                ELSE '' END)
+       AS text
+FROM documents
+"""
+
+
+@query(
+    "bm25_topk",
+    textstats.bm25_topk_sql(
+        list(_BM25_TERMS), k=10, table=f"({_BM25_PAGE_SQL.strip()})",
+    ),
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval for a fixed query over the
+    rare-term-decorated corpus: integer-milli scores (bit-length idf,
+    all-trunc-division length normalization), global rank totally
+    ordered by (score DESC, doc_id). Map-side term filter before any
+    shuffle; bounded df/corpus-stat broadcasts; TakeOrderedAndProject
+    top-k (plan-pinned in tests/test_c4_tfidf.py)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _bm25_page().alias("text")
+    )
+    return textstats.bm25_topk(docs, list(_BM25_TERMS), k=10)
+
+
 # semantic-dedup decoration: the organic embeddings have max pairwise
 # cosine ~0.51 at sf0.01 (embedding_near_dup at 0.95 is empty), so two
 # near-duplicate FAMILIES are planted by doc-id arithmetic: %7==3 docs
@@ -4044,6 +4098,10 @@ _DEMOTED_ORACLED = frozenset({
     # sampled; the cell-bounded embedding near-dup scale path); demotion
     # r4-green:
     "decontaminate",            # decontamination family: decontaminate_fuzzy (between-corpus LSH) in-window
+    # twenty-fourth r5 wave — yields a slot to bm25_topk (never
+    # sampled); demotion r2/r3/r4-green and its packing semantics run
+    # in-window inside both composed curate pipelines' oracles:
+    "pack_documents",           # packing family: curate_corpus + curate_corpus_full compose it in-window
 })
 
 

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from pdf_extract_spark.operators import textstats
 
+SF = "/root/testdata/sf0.001"
+
 
 def _rows(df):
     return {r["doc_id"]: r.asDict() for r in df.collect()}
@@ -104,3 +106,52 @@ def test_tfidf_plan_is_jvm_only(spark):
     )
     plan = textstats.tfidf_topk(docs)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan      # pure Catalyst, no Python stage
+
+
+def test_bm25_semantics(spark):
+    # 4 docs, query = {rare, common}. 'common' is everywhere -> idf
+    # bits = flog2(4//4) = 0 -> contributes 0. 'rare' in 2 of 4 ->
+    # flog2(2) = 1 bit. Higher tf wins at equal length; at equal tf a
+    # LONGER doc scores lower (length normalization).
+    docs = spark.createDataFrame(
+        [
+            ("a", "common rare rare pad"),              # tf=2, dl=4
+            ("b", "common rare pad pad"),               # tf=1, dl=4
+            ("c", "common pad pad pad"),                # no rare
+            ("d", "common pad pad pad"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in
+           textstats.bm25_topk(docs, ["rare", "common"], k=10).collect()}
+    assert out["a"].score_milli > out["b"].score_milli
+    assert out["a"].rank == 1 and out["b"].rank == 2
+    # docs c/d match only the idf-0 'common': present (drop-nothing
+    # within the matched set) but score exactly 0, ranked by doc_id
+    assert out["c"].score_milli == 0 and out["d"].score_milli == 0
+    assert out["c"].rank == 3 and out["d"].rank == 4
+
+    longer = spark.createDataFrame(
+        [
+            ("a", "rare pad"),                          # tf=1, dl=2
+            ("b", "rare pad pad pad pad pad pad pad"),  # tf=1, dl=8
+            ("c", "pad"), ("d", "pad"),
+        ],
+        "doc_id string, text string",
+    )
+    out2 = {r.doc_id: r for r in
+            textstats.bm25_topk(longer, ["rare"], k=10).collect()}
+    assert out2["a"].score_milli > out2["b"].score_milli
+    assert "c" not in out2 and "d" not in out2   # no query term: no row
+
+
+def test_bm25_plan_topk_heap_and_bounded_broadcasts(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = textstats.bm25_topk(docs, ["hash", "join"], k=10)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # global top-k is a per-partition heap, never a full sort
+    assert "TakeOrderedAndProject" in plan, plan
+    # pure Catalyst end to end
+    assert "EvalPython" not in plan, plan
+    # the df and corpus-stat relations are the broadcast sides
+    assert plan.count("BroadcastExchange") >= 2, plan

@@ -469,7 +469,7 @@ def write_bench_md(result: dict) -> None:
         "audit over LSH candidate pairs — the measurement that",
         "justifies the 16-component sketch's keep/drop boundary; and",
         "script_profile, the per-document Unicode-script composition",
-        "profile — map-only, zero Exchange), then 57 (added:",
+        "profile — map-only, zero Exchange), then 58 (added:",
         "gopher_gate, the published Gopher Table-A1 thresholds applied",
         "over the battery — one extra map-only projection, still zero",
         "Exchange; semantic_dedup, SemDeDup embedding-space",

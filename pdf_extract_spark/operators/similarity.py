@@ -838,7 +838,16 @@ def semantic_dedup_sql(
     quantizer and left-to-right float64 folds as ann_ivf_fixed_topk_sql
     (distances and cosines bit-identical), same rounded-sim threshold,
     and arg_min(sim, i) == min_by(sim, i) because (i, j) pairs are
-    unique per j."""
+    unique per j. NULL/empty-embedding parity: the Spark kernel gives
+    such rows cell NULL (all-NULL distance array) and keeps them out of
+    the pair join; the nn CTE mirrors that (DuckDB would otherwise rank
+    all-NULL dists NULLS-LAST into cell 0, and list_reduce over an
+    empty gram list would fold the prepended 0.0 into a real zero
+    distance), with the audit spine left-joining assignment back so the
+    rows surface with cell NULL / keep=true on both engines. (A NULL
+    embedding among the n_cells lowest-id SEED rows fails loud on the
+    Spark side in ivf_seed_centroids before any twin comparison
+    runs.)"""
     sq_assign = _SQDIST_SQL.format(a="e.embedding", b="c.cvec")
     cos = cosine_sql("a.vec", "b.vec")
     return f"""
@@ -846,9 +855,12 @@ WITH cent AS (
   SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell, embedding AS cvec
   FROM {table}
   WHERE vec_id IN (SELECT vec_id FROM {table} ORDER BY vec_id LIMIT {n_cells})),
+nn AS (
+  SELECT vec_id, embedding FROM {table}
+  WHERE embedding IS NOT NULL AND len(embedding) > 0),
 d AS (
   SELECT e.vec_id, e.embedding, c.cell, {sq_assign} AS dist
-  FROM {table} e CROSS JOIN cent c),
+  FROM nn e CROSS JOIN cent c),
 assign AS (
   SELECT vec_id, embedding AS vec, cell
   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
@@ -860,6 +872,8 @@ hits AS (
 verdicts AS (
   SELECT j AS vec_id, min(i) AS dup_of, arg_min(sim, i) AS dup_sim
   FROM hits GROUP BY j)
-SELECT a.vec_id, a.cell, v.dup_of, v.dup_sim, (v.dup_of IS NULL) AS keep
-FROM assign a LEFT JOIN verdicts v USING (vec_id)
+SELECT t.vec_id, a.cell, v.dup_of, v.dup_sim, (v.dup_of IS NULL) AS keep
+FROM {table} t
+LEFT JOIN assign a USING (vec_id)
+LEFT JOIN verdicts v USING (vec_id)
 """

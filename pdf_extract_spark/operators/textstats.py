@@ -1113,6 +1113,15 @@ BM25_K1_MILLI = 1200
 BM25_B_MILLI = 750
 
 
+def _bm25_terms(query_terms: list[str]) -> list[str]:
+    """Shared query-term normalization for both BM25 twins: case-fold
+    (tokens() lowercases the corpus) and fail loud on empty."""
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    return terms
+
+
 def _bm25_term_score(tf: str, dl: str, n_docs: str, total_dl: str,
                      div: str) -> str:
     """The BM25 term-frequency fraction in milli, as a formula template
@@ -1146,8 +1155,14 @@ def bm25_topk(
     rows and one row) and broadcast; the global top-k is
     TakeOrderedAndProject (per-partition heaps), with the rank window
     running AFTER the limit over <= k rows. Reference analog: the
-    similarity-ranked candidate pick of SURVEY.md W9, corpus-scale."""
-    terms = sorted(set(query_terms))
+    similarity-ranked candidate pick of SURVEY.md W9, corpus-scale.
+
+    Query terms are case-folded (the tokens() tokenizer lowercases the
+    corpus, so a verbatim mixed-case term would silently match
+    nothing); an empty term set raises (its SQL twin cannot render
+    ``IN ()``, so both twins fail loud rather than one silently
+    returning empty)."""
+    terms = _bm25_terms(query_terms)
     base = df.select("doc_id", tokens(F.col(text_col)).alias("toks"))
     stats = base.agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -1191,8 +1206,9 @@ def bm25_topk_sql(
     table: str = "documents", text_expr: str = "text",
 ) -> str:
     """DuckDB mirror of bm25_topk (shared _bm25_term_score formula,
-    bin-length idf == _flog2, `//` == DIV on nonnegatives)."""
-    terms = sorted(set(query_terms))
+    bin-length idf == _flog2, `//` == DIV on nonnegatives; same
+    case-fold + non-empty validation as the kernel)."""
+    terms = _bm25_terms(query_terms)
     toks = tokens_sql(text_expr)
     in_list = ", ".join(_sql_quote(t) for t in terms)
     frac = _bm25_term_score(
@@ -1572,8 +1588,8 @@ GOPHER_THRESHOLDS: tuple[tuple[str, int], ...] = (
     ("dup5_char_milli", 150),
     ("dup6_char_milli", 140),
     ("dup7_char_milli", 130),
-    ("dup8_char_milli", 125),
-    ("dup9_char_milli", 120),
+    ("dup8_char_milli", 120),
+    ("dup9_char_milli", 110),
     ("dup10_char_milli", 100),
 )
 

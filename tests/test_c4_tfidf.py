@@ -155,3 +155,22 @@ def test_bm25_plan_topk_heap_and_bounded_broadcasts(spark):
     assert "EvalPython" not in plan, plan
     # the df and corpus-stat relations are the broadcast sides
     assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_bm25_casefolds_terms_and_rejects_empty(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [("a", "retrieval pad pad"), ("b", "pad pad pad"),
+         ("c", "pad"), ("d", "pad")],
+        "doc_id string, text string",
+    )
+    # tokens() lowercases the corpus: a mixed-case query term must still
+    # match (both twins case-fold via the shared _bm25_terms)
+    out = {r.doc_id: r for r in
+           textstats.bm25_topk(docs, ["Retrieval"], k=5).collect()}
+    assert "a" in out and out["a"].score_milli > 0
+    with pytest.raises(ValueError):
+        textstats.bm25_topk(docs, [], k=5)
+    with pytest.raises(ValueError):
+        textstats.bm25_topk_sql([])

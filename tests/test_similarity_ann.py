@@ -378,3 +378,40 @@ def test_semantic_dedup_plan_cell_join_reused_no_cartesian(spark):
     # keep null-cell rows, so it cannot share the null-filtered pair
     # subtree) — the second side of the pair join never rescans
     assert final.count("Scan ExistingRDD") == 2, final
+
+
+def test_semantic_dedup_null_and_empty_embeddings_twin_parity(spark):
+    """NULL/empty embeddings get cell NULL and keep=true on BOTH
+    engines (DuckDB's NULLS-LAST rank and list_reduce-over-empty would
+    otherwise fabricate cell 0 — the nn CTE guard)."""
+    import duckdb
+    import pandas as pd
+    from pandas.testing import assert_frame_equal
+
+    base_a = [0.5] + [(i % 5 + 1) / 10 for i in range(2, 65)]
+    base_b = [-0.5] + [
+        ((i % 5 + 1) / 10) * (1 if i % 2 == 0 else -1) for i in range(2, 65)
+    ]
+    rows = [
+        (0, base_a),                                     # seed centroid 0
+        (1, base_b),                                     # seed centroid 1
+        (2, [x + (0.01 if n == 0 else 0) for n, x in enumerate(base_a)]),
+        (3, None),
+        (4, []),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in S.semantic_dedup(df, n_cells=2).collect()}
+    assert got[3].cell is None and got[3].keep and got[3].dup_of is None
+    assert got[4].cell is None and got[4].keep and got[4].dup_of is None
+    assert not got[2].keep and got[2].dup_of == 0
+    assert got[0].keep and got[1].keep
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE emb (vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO emb VALUES (?, ?)", rows)
+    odf = con.execute(S.semantic_dedup_sql(table="emb", n_cells=2)).df()
+    sdf = S.semantic_dedup(df, n_cells=2).toPandas()
+    cols = sorted(sdf.columns)
+    sdf = sdf[cols].sort_values("vec_id").reset_index(drop=True)
+    odf = odf[cols].sort_values("vec_id").reset_index(drop=True)
+    assert_frame_equal(sdf, odf, check_dtype=True)

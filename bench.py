@@ -93,6 +93,7 @@ HEADLINE = [
     "gopher_gate",              # published Gopher thresholds over the battery (map-only)
     "semantic_dedup",           # SemDeDup: cell-bounded embedding near-dup (scale path)
     "bm25_topk",                # Okapi BM25 retrieval (integer-exact, heap top-k)
+    "split_assign",             # hash-based train/val/test assignment (map-only)
 ]
 
 
@@ -469,16 +470,18 @@ def write_bench_md(result: dict) -> None:
         "audit over LSH candidate pairs — the measurement that",
         "justifies the 16-component sketch's keep/drop boundary; and",
         "script_profile, the per-document Unicode-script composition",
-        "profile — map-only, zero Exchange), then 58 (added:",
+        "profile — map-only, zero Exchange), then 59 (added:",
         "gopher_gate, the published Gopher Table-A1 thresholds applied",
         "over the battery — one extra map-only projection, still zero",
         "Exchange; semantic_dedup, SemDeDup embedding-space",
         "dedup whose pairwise cosine runs only WITHIN quantizer cells —",
         "the scale path that replaces embedding_near_dup's crossJoin;",
-        "and bm25_topk, Okapi BM25 retrieval with integer-exact",
+        "bm25_topk, Okapi BM25 retrieval with integer-exact",
         "bit-length idf and all-milli length normalization — map-side",
         "term filtering before any shuffle, bounded broadcasts, heap",
-        "top-k).",
+        "top-k; and split_assign, hash-based train/val/test dataset",
+        "splits — basis-point buckets of the portable hash, stable",
+        "under corpus growth, map-only zero Exchange).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

@@ -345,6 +345,78 @@ def stratified_sample_sql(
     return f"SELECT * FROM {table} WHERE {h} < {thr}"
 
 
+SPLIT_MOD = 10_000  # dataset-split buckets in basis points
+
+
+def split_assign(
+    df: DataFrame,
+    fractions: tuple[tuple[str, int], ...] = (
+        ("train", 9800), ("val", 100), ("test", 100),
+    ),
+    key_col: str = "doc_id", salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: bucket =
+    portable-hash(salt:key) mod 10000 basis points, split = the first
+    name whose cumulative bound exceeds the bucket. Hash-based, never
+    random: a document keeps its split across runs, engines,
+    partitionings AND corpus growth — newly ingested data can never
+    move an existing held-out doc into train (the leakage mode of
+    random splits). Fractions are integer basis points and must sum to
+    exactly SPLIT_MOD (fail-loud; a silent remainder would leak into
+    the last split). Map-only projection, zero Exchange.
+
+    Returns every input row plus (split_bucket, split). Reference
+    analog: the status-partitioned row routing of SURVEY.md F9."""
+    total = sum(bp for _, bp in fractions)
+    if total != SPLIT_MOD:
+        raise ValueError(
+            f"fractions must sum to {SPLIT_MOD} basis points, got {total}")
+    bucket = F.pmod(
+        phash(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
+        F.lit(SPLIT_MOD),
+    )
+    expr = None
+    hi = 0
+    for name, bp in fractions[:-1]:
+        hi += bp
+        expr = (F.when(bucket < hi, name) if expr is None
+                else expr.when(bucket < hi, name))
+    last = fractions[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.select(
+        "*", bucket.cast("long").alias("split_bucket"),
+        expr.alias("split"),
+    )
+
+
+def split_assign_sql(
+    fractions: tuple[tuple[str, int], ...] = (
+        ("train", 9800), ("val", 100), ("test", 100),
+    ),
+    table: str = "documents", key_col: str = "doc_id", salt: str = "split",
+) -> str:
+    """DuckDB mirror of split_assign (same phash, same cumulative
+    CASE; phash is positive so % == pmod)."""
+    from pdf_extract_spark.operators.hashing import phash_sql
+
+    total = sum(bp for _, bp in fractions)
+    if total != SPLIT_MOD:
+        raise ValueError(
+            f"fractions must sum to {SPLIT_MOD} basis points, got {total}")
+    key_expr = _sql_quote(salt + ":") + " || " + key_col + "::VARCHAR"
+    b = f"({phash_sql(key_expr)} % {SPLIT_MOD})"
+    whens, hi = [], 0
+    for name, bp in fractions[:-1]:
+        hi += bp
+        whens.append(f"WHEN {b} < {hi} THEN {_sql_quote(name)}")
+    case = " ".join(whens)
+    last = _sql_quote(fractions[-1][0])
+    return (
+        f"SELECT *, ({b})::BIGINT AS split_bucket, "
+        f"CASE {case} ELSE {last} END AS split FROM {table}"
+    )
+
+
 def temperature_sample(
     df: DataFrame, alpha: float = 0.5, stratum_col: str = "lang",
     key_col: str = "doc_id", salt: str = "temp",

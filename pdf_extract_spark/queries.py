@@ -3179,6 +3179,16 @@ def gopher_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.gopher_gate(docs)
 
 
+@query("split_assign", textstats.split_assign_sql(table="documents"))
+def split_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment over documents:
+    portable-hash basis-point bucket + cumulative CASE. Map-only zero
+    Exchange; hash-based so held-out membership is stable under corpus
+    growth (a random split re-rolls on every re-ingest and leaks
+    yesterday's test docs into tomorrow's train)."""
+    return textstats.split_assign(_t(spark, sf_dir, "documents"))
+
+
 # bm25 decoration: the organic vocabulary is near-uniform (every word's
 # df ~ 0.8 * n_docs, so the integer idf is 0 for all of it — n DIV df
 # = 1). Rare query terms are planted by doc-id arithmetic: %13==4 docs
@@ -4102,6 +4112,9 @@ _DEMOTED_ORACLED = frozenset({
     # sampled); demotion r2/r3/r4-green and its packing semantics run
     # in-window inside both composed curate pipelines' oracles:
     "pack_documents",           # packing family: curate_corpus + curate_corpus_full compose it in-window
+    # twenty-fifth r5 wave — yields a slot to split_assign (never
+    # sampled); demotion r1..r4-green:
+    "asof_last_signup",         # join family: align_export_full_outer + semi/anti siblings mirror-checked
 })
 
 

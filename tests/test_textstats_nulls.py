@@ -260,3 +260,43 @@ def test_script_profile_plan_map_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_split_assign_deterministic_and_growth_stable(spark):
+    from pdf_extract_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)], "doc_id long, text string")
+    out = textstats.split_assign(df).collect()
+    assert len(out) == 300
+    assert all(r.split in ("train", "val", "test") for r in out)
+    assert all(0 <= r.split_bucket < 10000 for r in out)
+    # rerun = identical assignment (hash, not random)
+    again = {r.doc_id: r.split for r in textstats.split_assign(df).collect()}
+    assert all(again[r.doc_id] == r.split for r in out)
+    # growth stability: a 600-doc superset assigns the original 300
+    # docs identically — held-out membership never leaks on re-ingest
+    big = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(600)], "doc_id long, text string")
+    grown = {r.doc_id: r.split for r in textstats.split_assign(big).collect()}
+    assert all(grown[r.doc_id] == r.split for r in out)
+
+
+def test_split_assign_validates_fractions(spark):
+    import pytest
+    from pdf_extract_spark.operators import textstats
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textstats.split_assign(df, fractions=(("train", 9000), ("val", 100)))
+    with pytest.raises(ValueError):
+        textstats.split_assign_sql(fractions=(("train", 9000), ("val", 200)))
+
+
+def test_split_assign_plan_map_only(spark):
+    from pdf_extract_spark.operators import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (textstats.split_assign(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "EvalPython" not in plan

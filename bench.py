@@ -94,6 +94,7 @@ HEADLINE = [
     "semantic_dedup",           # SemDeDup: cell-bounded embedding near-dup (scale path)
     "bm25_topk",                # Okapi BM25 retrieval (integer-exact, heap top-k)
     "split_assign",             # hash-based train/val/test assignment (map-only)
+    "exact_substrings",         # Lee-et-al. exact-substring spans (gram join + islands)
 ]
 
 
@@ -481,7 +482,11 @@ def write_bench_md(result: dict) -> None:
         "term filtering before any shuffle, bounded broadcasts, heap",
         "top-k; and split_assign, hash-based train/val/test dataset",
         "splits — basis-point buckets of the portable hash, stable",
-        "under corpus growth, map-only zero Exchange).",
+        "under corpus growth, map-only zero Exchange), then 60 (added:",
+        "exact_substrings, the Lee et al. 2021 exact-substring dedup as",
+        "a positional-gram self-join plus diagonal gaps-and-islands",
+        "merge — near-unique grams are filtered by the n>=2 window",
+        "count whose exchange doubles as the join boundary).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

@@ -1347,3 +1347,130 @@ SELECT id_a, id_b,
            AS err_milli
 FROM raw
 """
+
+
+# ------------------------------------- exact shared-substring spans
+
+def exact_substring_spans(
+    df: DataFrame,
+    min_len: int = 8,
+    max_bucket: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal shared token runs of length >= ``min_len`` across
+    DISTINCT documents — the exact-substring dedup of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed relationally instead of via their suffix array:
+    positional ``min_len``-gram rolling hashes, an equi-join on the
+    gram hash carrying only (gh, doc_id, pos), then a gaps-and-islands
+    merge along each pair DIAGONAL (pos_a - pos_b): adjacent matching
+    grams on one diagonal are one contiguous shared run, so
+    ``grp = pos_a - row_number()`` is constant exactly within a run and
+    the group aggregate recovers the maximal span. Returns
+    (doc_a, doc_b, pos_a, pos_b, match_len) with doc_a < doc_b: the
+    run's token offset in each document and its token length.
+
+    Matches are rolling-HASH matches (the standard Rabin-Karp
+    relaxation; ~2^-31 collision odds per gram pair against the 31x
+    chain mod 2^31-1) — identical formulas in the DuckDB twin keep the
+    oracle value-exact either way.
+
+    Scale (100 TB): the join input is pre-filtered to grams occurring
+    >= 2 times via a window count whose hashpartitioning(gh) exchange
+    doubles as the self-join boundary (the capped substring_overlap /
+    _cap_hot_bands discipline — the second join side is a
+    ReusedExchange, never a recompute of the corpus-sized gram chain),
+    so near-unique grams — the overwhelming majority — never reach the
+    join. ``max_bucket`` additionally drops degenerate boilerplate
+    grams shared by everyone before they go quadratic. The islands
+    window partitions by (doc_a, doc_b, diag) — per-pair-diagonal
+    granularity, never a hot funnel."""
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    L = min_len
+    grams = _positional_gram_hashes(F.col(text_col), L)
+    n_tok = F.size(tokens(F.col(text_col)))
+    pg = df.select(
+        "doc_id",
+        F.when(n_tok >= L, grams)
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("g"),
+    )
+    ex = pg.select("doc_id", F.posexplode("g").alias("pos", "gh"))
+    cw = Window.partitionBy("gh")
+    ex = ex.withColumn("_n", F.count("*").over(cw)).filter(F.col("_n") >= 2)
+    if max_bucket is not None:
+        ex = ex.filter(F.col("_n") <= max_bucket)
+    ex = ex.drop("_n")
+    a = ex.select(
+        F.col("gh"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+    )
+    b = ex.select(
+        F.col("gh"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+    )
+    m = (
+        a.join(b, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    iw = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = m.withColumn("grp", F.col("pos_a") - F.row_number().over(iw))
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").cast("long").alias("pos_a"),
+            F.min("pos_b").cast("long").alias("pos_b"),
+            (F.count("*") + F.lit(L - 1)).cast("long").alias("match_len"),
+        )
+        .select("doc_a", "doc_b", "pos_a", "pos_b", "match_len")
+    )
+
+
+def exact_substring_spans_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    min_len: int = 8,
+    max_bucket: int | None = None,
+) -> str:
+    """DuckDB twin of exact_substring_spans (shared _gram_chain_sql;
+    positions via lockstep multi-unnest of the gram list and
+    range(0, len) — 0-based like posexplode). NULL text yields NO gram
+    rows in BOTH engines: the kernel's when() falls through to the
+    empty array, the twin's explicit th-IS-NOT-NULL arm avoids
+    DuckDB's list_prepend(0, NULL) = [0] whole-hash fabrication."""
+    L = min_len
+    th = f"list_transform({tokens_sql(text_expr)}, x -> {phash_sql('x')} % {MOD})"
+    grams, _ = _gram_chain_sql(L)
+    cap = f" AND n <= {max_bucket}" if max_bucket is not None else ""
+    return f"""
+WITH eth AS (SELECT doc_id, {th} AS th FROM {table}),
+epg AS (SELECT doc_id,
+               CASE WHEN th IS NOT NULL AND len(th) >= {L}
+                    THEN {grams} ELSE [] END AS g
+        FROM eth),
+eex0 AS (SELECT doc_id, unnest(g) AS gh, unnest(range(0, len(g))) AS pos
+         FROM epg),
+eex AS (SELECT doc_id, gh, pos FROM (
+          SELECT *, count(*) OVER (PARTITION BY gh) AS n FROM eex0)
+        WHERE n >= 2{cap}),
+em AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+       FROM eex a JOIN eex b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+eisl AS (SELECT *, pos_a - row_number()
+                     OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)
+                   AS grp
+         FROM em)
+SELECT doc_a, doc_b, min(pos_a)::BIGINT AS pos_a, min(pos_b)::BIGINT AS pos_b,
+       (count(*) + {L - 1})::BIGINT AS match_len
+FROM eisl GROUP BY doc_a, doc_b, diag, grp
+"""

@@ -1584,6 +1584,74 @@ def substring_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+# exact-substring decoration: the organic corpus has no repeated 8-token
+# runs (small vocab, random composition), so shared passages are planted
+# by doc-id arithmetic. %31==2 docs get a 12-token passage PREPENDED
+# behind 0-2 doc-unique filler tokens ('f<id>' — never matches across
+# docs), so run starts and pair diagonals vary; %41==5 docs get a
+# disjoint 9-token passage APPENDED at a per-doc offset (text lengths
+# differ). The two vocabularies share no 8-gram, so families never
+# cross-match. CASE order means a doc in both families carries only the
+# first decoration — deterministic on both engines.
+_ESS_P12 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+_ESS_P9 = "nu xi omicron pi rho sigma tau upsilon phi"
+
+
+def _ess_page():
+    d = F.col("doc_id")
+    filler = F.expr(
+        "repeat(concat('f', CAST(doc_id AS STRING), ' '), "
+        "CAST(doc_id % 3 AS INT))"
+    )
+    return (
+        F.when(
+            d % 31 == F.lit(2),
+            F.concat(filler, F.lit(_ESS_P12 + " "), F.col("text")),
+        )
+        .when(d % 41 == F.lit(5), F.concat(F.col("text"), F.lit(" " + _ESS_P9)))
+        .otherwise(F.col("text"))
+    )
+
+
+_ESS_PAGE_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 31 = 2
+            THEN repeat('f' || doc_id::VARCHAR || ' ', (doc_id % 3)::INT)
+                 || '{_ESS_P12} ' || text
+            WHEN doc_id % 41 = 5 THEN text || ' {_ESS_P9}'
+            ELSE text END AS text
+FROM documents
+"""
+
+
+@query(
+    "exact_substrings",
+    dedup.exact_substring_spans_sql(table=f"({_ESS_PAGE_SQL.strip()})", min_len=8)
+    + " ORDER BY doc_a, doc_b, pos_a",
+)
+def exact_substrings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring spans (Lee et al. 2021 exact-substring
+    dedup) over the passage-decorated corpus: maximal shared token runs
+    >= 8 tokens as (doc_a, doc_b, pos_a, pos_b, match_len) — the
+    substring-granular sibling of substring_overlap's winnowing
+    CANDIDATES (this reports the actual spans, not sampled-fingerprint
+    counts). The gram self-join rides the n>=2 window count's own
+    hashpartitioning(gh) exchange (ReusedExchange, never a gram-chain
+    recompute); near-unique grams — the overwhelming majority — are
+    filtered before the join. The input repartition spreads the
+    single-file fixture scan across cores with an EXPLICIT count (AQE
+    coalesces tiny-bytes/expensive-rows shuffles back to one task)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(n_part, "doc_id")
+        .select("doc_id", _ess_page().alias("text"))
+    )
+    return dedup.exact_substring_spans(docs, min_len=8).orderBy(
+        "doc_a", "doc_b", "pos_a"
+    )
+
+
 @query("dedup_simhash", dedup.simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document."""
@@ -4115,6 +4183,10 @@ _DEMOTED_ORACLED = frozenset({
     # twenty-fifth r5 wave — yields a slot to split_assign (never
     # sampled); demotion r1..r4-green:
     "asof_last_signup",         # join family: align_export_full_outer + semi/anti siblings mirror-checked
+    # twenty-sixth r5 wave — yields a slot to exact_substrings (never
+    # sampled; the substring-granular Lee-et-al. span recovery);
+    # demotion r4-green:
+    "content_filters",          # metacompare family: remove_numbering stays in-window
 })
 
 

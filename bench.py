@@ -95,6 +95,7 @@ HEADLINE = [
     "bm25_topk",                # Okapi BM25 retrieval (integer-exact, heap top-k)
     "split_assign",             # hash-based train/val/test assignment (map-only)
     "exact_substrings",         # Lee-et-al. exact-substring spans (gram join + islands)
+    "dsir_weights",             # DSIR importance weights (bounded bits-table broadcast)
 ]
 
 
@@ -486,7 +487,11 @@ def write_bench_md(result: dict) -> None:
         "exact_substrings, the Lee et al. 2021 exact-substring dedup as",
         "a positional-gram self-join plus diagonal gaps-and-islands",
         "merge — near-unique grams are filtered by the n>=2 window",
-        "count whose exchange doubles as the join boundary).",
+        "count whose exchange doubles as the join boundary), then 61",
+        "(added: dsir_weights, DSIR importance-resampling weights —",
+        "hashed-bigram bucket counts are bounded at n_buckets rows by",
+        "construction, so the log-ratio bits table broadcasts to the",
+        "score pass and corpus text never shuffles by bucket).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

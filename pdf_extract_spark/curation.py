@@ -223,3 +223,142 @@ SELECT {key_col},
        old_fingerprint, new_fingerprint
 FROM o FULL OUTER JOIN n USING ({key_col})
 """
+
+
+# --------------------------------------------- DSIR importance weights
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus
+    document by how much more likely its hashed word-bigram features
+    are under the TARGET distribution (a sample of the domain you want
+    more of) than under the raw corpus itself — the published recipe
+    for selecting pretraining data that resembles a quality target.
+
+    Integer-exact re-expression: per-bucket
+    ``bits = flog2(c_target + 1) - flog2(c_raw + 1)`` (exact bit-length
+    logs over add-one-smoothed bucket counts). This is the paper's
+    ``log p_t(b) - log p_r(b)`` up to the two corpus-size normalizers,
+    which are GLOBAL constants: per-gram-averaged they shift every
+    document identically, so ranking — the thing resampling consumes —
+    is unchanged. Returns (doc_id, n_grams, total_bits,
+    milli_bits_per_gram); docs with no grams (NULL text) keep
+    n_grams = total_bits = 0 with a NULL average. The milli average is
+    computed sign-split (``-((-t) * 1000 DIV n)`` for negative totals)
+    so both engines truncate toward zero identically — Spark's DIV and
+    DuckDB's ``//`` only agree on non-negative operands.
+
+    Scale (100 TB): the hashed feature space is the point of the paper
+    — both count tables aggregate to <= n_buckets rows regardless of
+    corpus size (map-side combine; the shuffle carries only
+    (bucket, partial count)), so the bits table is bounded by
+    construction and BROADCASTS to the score pass: corpus text never
+    shuffles by bucket, and the per-doc sum is partial-combinable. Two
+    tokenize passes (count + score) — the standard train/score
+    tradeoff, unigram_surprisal's discipline."""
+    from pdf_extract_spark.operators.dedup import _positional_gram_hashes
+    from pdf_extract_spark.operators.textstats import _flog2
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+
+    def _buckets(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                _positional_gram_hashes(F.col(text_col), 2)
+            ).alias("gh"),
+        ).select("doc_id", (F.col("gh") % n_buckets).alias("b"))
+
+    raw = _buckets(corpus).groupBy("b").agg(
+        F.count("*").cast("long").alias("cr")
+    )
+    tgt = _buckets(target).groupBy("b").agg(
+        F.count("*").cast("long").alias("ct")
+    )
+    # every scored bucket exists in raw (same corpus), so raw LEFT tgt
+    # covers the score pass; absent target buckets smooth to c+1 = 1
+    bits = raw.join(tgt, "b", "left").select(
+        "b",
+        (
+            _flog2(F.coalesce(F.col("ct"), F.lit(0).cast("long")) + F.lit(1))
+            - _flog2(F.col("cr") + F.lit(1))
+        ).cast("long").alias("bits"),
+    )
+    scored = (
+        _buckets(corpus)
+        .join(F.broadcast(bits), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("bits").cast("long").alias("total_bits"),
+        )
+    )
+    return (
+        corpus.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("total_bits", F.lit(0).cast("long")).alias("total_bits"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.when(
+                    F.col("total_bits") >= 0,
+                    F.expr("total_bits * 1000 DIV n_grams"),
+                ).otherwise(-F.expr("(-total_bits) * 1000 DIV n_grams")),
+            ).cast("long").alias("milli_bits_per_gram"),
+        )
+    )
+
+
+def dsir_weights_sql(
+    corpus_table: str,
+    target_table: str,
+    text_expr: str = "text",
+    n_buckets: int = 4096,
+) -> str:
+    """DuckDB twin of dsir_weights (shared _gram_chain_sql bigrams;
+    flog2 = length(bin(n)) - 1; the same sign-split milli division).
+    NULL text yields NO gram rows in BOTH engines — the explicit
+    th-IS-NULL arm avoids DuckDB's list_prepend(0, NULL) = [0]
+    whole-hash fabrication."""
+    from pdf_extract_spark.operators.dedup import MOD, _gram_chain_sql
+    from pdf_extract_spark.operators.hashing import phash_sql
+    from pdf_extract_spark.operators.textstats import tokens_sql
+
+    th = f"list_transform({tokens_sql(text_expr)}, x -> {phash_sql('x')} % {MOD})"
+    grams, _ = _gram_chain_sql(2)
+    g = f"CASE WHEN th IS NULL THEN NULL ELSE {grams} END"
+    B = n_buckets
+    return f"""
+WITH dth_c AS (SELECT doc_id, {th} AS th FROM {corpus_table}),
+dg_c AS (SELECT doc_id, {g} AS g FROM dth_c),
+dex_c AS (SELECT doc_id, unnest(g) % {B} AS b FROM dg_c),
+dth_t AS (SELECT doc_id, {th} AS th FROM {target_table}),
+dg_t AS (SELECT doc_id, {g} AS g FROM dth_t),
+dex_t AS (SELECT doc_id, unnest(g) % {B} AS b FROM dg_t),
+craw AS (SELECT b, count(*)::BIGINT AS cr FROM dex_c GROUP BY b),
+ctgt AS (SELECT b, count(*)::BIGINT AS ct FROM dex_t GROUP BY b),
+bits AS (SELECT craw.b,
+                ((length(bin(coalesce(ct, 0) + 1)) - 1)
+                 - (length(bin(cr + 1)) - 1))::BIGINT AS bits
+         FROM craw LEFT JOIN ctgt ON craw.b = ctgt.b),
+sc AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+              sum(bits)::BIGINT AS total_bits
+       FROM dex_c JOIN bits USING (b) GROUP BY doc_id)
+SELECT c.doc_id,
+       coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(sc.total_bits, 0)::BIGINT AS total_bits,
+       (CASE WHEN sc.n_grams > 0 THEN
+          CASE WHEN sc.total_bits >= 0
+               THEN (sc.total_bits * 1000) // sc.n_grams
+               ELSE -(((-sc.total_bits) * 1000) // sc.n_grams) END
+        END)::BIGINT AS milli_bits_per_gram
+FROM {corpus_table} c LEFT JOIN sc ON c.doc_id = sc.doc_id
+"""

@@ -1538,6 +1538,61 @@ def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR decoration: the organic vocabulary is shared across every lang
+# (31 words, all langs), so an undecorated target can't discriminate —
+# importance weights would be one flat corpus-size constant. A domain
+# vocabulary is planted instead: the doc_id%50==0 slice (the eval-slice
+# convention) is the TARGET and carries a domain tail; %13==1 corpus
+# docs carry the same tail and must score strictly higher than the
+# rest (asserted in tests/test_dsir.py — the oracle pins the values).
+_DSIR_DOMAIN = "finance report quarterly earnings revenue margin outlook guidance"
+
+_DSIR_CORPUS_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 1 THEN text || ' {_DSIR_DOMAIN}'
+            ELSE text END AS text
+FROM documents WHERE doc_id % 50 <> 0
+"""
+
+_DSIR_TARGET_SQL = f"""
+SELECT doc_id, text || ' {_DSIR_DOMAIN}' AS text
+FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+@query(
+    "dsir_weights",
+    curation.dsir_weights_sql(
+        f"({_DSIR_CORPUS_SQL.strip()})", f"({_DSIR_TARGET_SQL.strip()})"
+    )
+    # ORDER BY 1: the twin's final select still has both c.doc_id and
+    # sc.doc_id in scope, so a bare doc_id is ambiguous to DuckDB
+    + " ORDER BY 1",
+)
+def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) of the corpus slice
+    against the domain-decorated target slice: integer bit-length
+    log-ratios of hashed-bigram bucket counts, summed per document.
+    The two bucket-count tables are bounded at n_buckets rows by
+    construction, so the bits table BROADCASTS to the score pass —
+    corpus text never shuffles by bucket (plan-asserted in
+    tests/test_dsir.py)."""
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(d % 50 != 0).select(
+        "doc_id",
+        F.when(
+            d % 13 == F.lit(1),
+            F.concat(F.col("text"), F.lit(" " + _DSIR_DOMAIN)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    target = docs.filter(d % 50 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" " + _DSIR_DOMAIN)).alias("text"),
+    )
+    return curation.dsir_weights(corpus, target).orderBy("doc_id")
+
+
 @query(
     "winnow_fingerprints",
     dedup.winnow_fingerprints_sql() + " ORDER BY doc_id, fp",
@@ -4187,6 +4242,10 @@ _DEMOTED_ORACLED = frozenset({
     # sampled; the substring-granular Lee-et-al. span recovery);
     # demotion r4-green:
     "content_filters",          # metacompare family: remove_numbering stays in-window
+    # twenty-seventh r5 wave — yields a slot to dsir_weights (never
+    # sampled); demotion r4-green and its semantics run in-window inside
+    # curate_corpus_full's composed oracle (line dedup is its first stage):
+    "line_dedup",               # dedup family: curate_corpus_full composes it in-window
 })
 
 

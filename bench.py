@@ -96,6 +96,7 @@ HEADLINE = [
     "split_assign",             # hash-based train/val/test assignment (map-only)
     "exact_substrings",         # Lee-et-al. exact-substring spans (gram join + islands)
     "dsir_weights",             # DSIR importance weights (bounded bits-table broadcast)
+    "token_budget",             # exact token-budget selection (bounded score histogram)
 ]
 
 
@@ -491,7 +492,12 @@ def write_bench_md(result: dict) -> None:
         "(added: dsir_weights, DSIR importance-resampling weights —",
         "hashed-bigram bucket counts are bounded at n_buckets rows by",
         "construction, so the log-ratio bits table broadcasts to the",
-        "score pass and corpus text never shuffles by bucket).",
+        "score pass and corpus text never shuffles by bucket), then 62",
+        "(added: token_budget, exact greedy token-budget selection —",
+        "the global cumulative window the rule implies decomposes",
+        "through a bounded integer-score histogram, so only the one",
+        "straddling score bucket is ever windowed and the corpus is",
+        "never globally sorted).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

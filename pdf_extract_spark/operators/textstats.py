@@ -1874,3 +1874,107 @@ SELECT doc_id,
              THEN ({n} - ({covered})) * 1000 // {n} END)::BIGINT AS other_milli
 FROM {table}
 """
+
+
+# ------------------------------------------------ token-budget selection
+
+def token_budget_select(
+    scored: DataFrame,
+    budget: int,
+    score_col: str = "milli_bits_per_token",
+    tokens_col: str = "n_tokens",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Select the best documents that fit an exact token budget: walk
+    the corpus in (score ASC, key ASC) priority order and keep the
+    greedy prefix whose cumulative token count stays <= ``budget`` —
+    how a training run fills "the N highest-quality tokens" from a
+    scored corpus (score = unigram_surprisal milli-bits in the
+    registered query: lower = more typical = kept first).
+
+    Rows with a NULL score or a non-positive token count are never kept
+    (nothing to rank / nothing to contribute) and take no part in the
+    cumulative order — both engines agree because the twin's
+    eligibility predicate is identical.
+
+    Scale (100 TB): the naive form — one cumulative-sum window over the
+    globally score-sorted corpus — is a single-partition sort of
+    everything, the canonical scale-killer. The decision instead
+    decomposes through a SCORE HISTOGRAM that is BOUNDED BY
+    CONSTRUCTION: integer milli-bits-per-token scores live in
+    [0, 64000] (bits per token <= 64), so the per-score token-sum
+    aggregate has at most ~64k rows regardless of corpus size. The
+    running total over that bounded histogram places every score bucket
+    entirely inside the budget (cum <= budget: all kept), entirely
+    outside (prev_cum >= budget: all dropped), or on the SINGLE
+    straddling boundary — cumulative sums are monotone, so exactly one
+    bucket can straddle. Only that bucket's documents take a
+    within-bucket cumulative window (one score partition, ordered by
+    key; worst case = the whole corpus sharing one score, documented);
+    every other row is decided map-side after one bounded broadcast
+    join. The corpus is never globally sorted. Exactness:
+    cum_all(doc) = prev_cum(score) + within-bucket running sum, so the
+    verdict is bit-identical to the oracle's global window.
+
+    Returns (key_col, score_col, tokens_col, kept) for EVERY input row.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    b = F.lit(int(budget)).cast("long")
+    elig = scored.select(
+        F.col(key_col).alias("_k"),
+        F.col(score_col).alias("_s"),
+        F.col(tokens_col).cast("long").alias("_t"),
+    ).filter(F.col("_s").isNotNull() & (F.col("_t") > 0))
+    hist = elig.groupBy("_s").agg(F.sum("_t").alias("_bt"))
+    # bounded-histogram running total: the single-partition window runs
+    # over <= ~64k rows by construction (see docstring), never the corpus
+    cum = F.sum("_bt").over(Window.orderBy("_s")).cast("long")
+    hist = hist.select(
+        "_s", cum.alias("_cum"), (cum - F.col("_bt")).cast("long").alias("_prev")
+    )
+    j = elig.join(F.broadcast(hist), "_s")
+    decided = j.filter((F.col("_cum") <= b) | (F.col("_prev") >= b)).select(
+        "_k", (F.col("_cum") <= b).alias("kept")
+    )
+    boundary = j.filter((F.col("_prev") < b) & (F.col("_cum") > b))
+    run = F.col("_prev") + F.sum("_t").over(
+        Window.partitionBy("_s").orderBy("_k")
+    ).cast("long")
+    bverdict = boundary.select("_k", (run <= b).alias("kept"))
+    verdict = decided.unionByName(bverdict)
+    return (
+        scored.select(key_col, score_col, tokens_col)
+        .join(verdict.withColumnRenamed("_k", key_col), key_col, "left")
+        .select(
+            key_col,
+            score_col,
+            tokens_col,
+            F.coalesce("kept", F.lit(False)).alias("kept"),
+        )
+    )
+
+
+def token_budget_select_sql(
+    table: str,
+    budget: int,
+    score_expr: str = "milli_bits_per_token",
+    tokens_expr: str = "n_tokens",
+    key_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of token_budget_select: ONE global cumulative window
+    over (score, key) — correct as an oracle, and exactly the plan the
+    Spark side must avoid at scale. Window sums need ::BIGINT; keys are
+    unique so the default RANGE frame equals ROWS."""
+    return f"""
+WITH e AS (SELECT {key_col} AS k, {score_expr} AS s,
+                  ({tokens_expr})::BIGINT AS t
+           FROM {table}
+           WHERE ({score_expr}) IS NOT NULL AND ({tokens_expr}) > 0),
+c AS (SELECT k, (sum(t) OVER (ORDER BY s, k))::BIGINT AS cum FROM e)
+SELECT d.{key_col} AS {key_col},
+       d.{score_expr} AS {score_expr},
+       d.{tokens_expr} AS {tokens_expr},
+       coalesce(c.cum <= {budget}, FALSE) AS kept
+FROM {table} d LEFT JOIN c ON d.{key_col} = c.k
+"""

@@ -2310,6 +2310,32 @@ def quality_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ~44% of the sf0.01 corpus' tokens / ~4% of sf0.1's — lands strictly
+# inside a score bucket at every scale, so the boundary path (the part
+# the histogram decomposition exists for) is exercised by the oracle.
+_TOKEN_BUDGET = 12_000
+
+
+@query(
+    "token_budget",
+    textstats.token_budget_select_sql(
+        f"({textstats.unigram_surprisal_sql().strip()})", _TOKEN_BUDGET
+    )
+    + " ORDER BY 1",
+)
+def token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill an exact token budget with the most-typical documents:
+    greedy prefix of the (surprisal ASC, doc_id ASC) order while the
+    running token total stays within budget. The Spark side decides
+    through a bounded score-histogram broadcast (only the single
+    straddling bucket takes a window) — the oracle is the naive global
+    cumulative window the scale path must avoid."""
+    scored = textstats.unigram_surprisal(_t(spark, sf_dir, "documents"))
+    return textstats.token_budget_select(scored, _TOKEN_BUDGET).orderBy(
+        "doc_id"
+    )
+
+
 # =====================================================================
 # alignment suite (SURVEY.md §2.4 J5-J10)
 # =====================================================================
@@ -4246,6 +4272,10 @@ _DEMOTED_ORACLED = frozenset({
     # sampled); demotion r4-green and its semantics run in-window inside
     # curate_corpus_full's composed oracle (line dedup is its first stage):
     "line_dedup",               # dedup family: curate_corpus_full composes it in-window
+    # twenty-eighth r5 wave — yields a slot to token_budget (never
+    # sampled); demotion r4-green and its semantics run in-window inside
+    # curate_corpus_full's composed oracle (pii scrub is its 2nd stage):
+    "pii_scrub",                # scrub family: curate_corpus_full composes it in-window
 })
 
 

@@ -97,6 +97,7 @@ HEADLINE = [
     "exact_substrings",         # Lee-et-al. exact-substring spans (gram join + islands)
     "dsir_weights",             # DSIR importance weights (bounded bits-table broadcast)
     "token_budget",             # exact token-budget selection (bounded score histogram)
+    "shard_manifest",           # content-addressed shard checksums (one hash aggregate)
 ]
 
 
@@ -497,7 +498,10 @@ def write_bench_md(result: dict) -> None:
         "the global cumulative window the rule implies decomposes",
         "through a bounded integer-score histogram, so only the one",
         "straddling score bucket is ever windowed and the corpus is",
-        "never globally sorted).",
+        "never globally sorted), then 63 (added: shard_manifest,",
+        "content-addressed per-shard checksums via an XOR fold of",
+        "key-bound digests — order/partitioning-independent, one hash",
+        "aggregate, bounded output).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

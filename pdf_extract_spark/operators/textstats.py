@@ -1978,3 +1978,72 @@ SELECT d.{key_col} AS {key_col},
        coalesce(c.cum <= {budget}, FALSE) AS kept
 FROM {table} d LEFT JOIN c ON d.{key_col} = c.k
 """
+
+
+# ------------------------------------------------ shard write manifest
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 32,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-addressed manifest of a sharded corpus write: assign
+    every document to a shard by the portable hash of its key, and fold
+    each shard to (n_docs, n_tokens, content_xor) where content_xor is
+    the XOR of per-row phash(key ':' text) digests. XOR is commutative
+    and associative, so the checksum is independent of row order,
+    partitioning and executor count — re-reading a 100 TB lake under
+    ANY plan reproduces it, which is what makes the manifest verifiable
+    without a global sort. A flipped byte in any row flips its shard's
+    checksum, and binding the key into the digest also catches two rows
+    swapping texts (their digest multiset would otherwise be unchanged).
+
+    NULL text hashes as the empty string (documented collision with a
+    genuinely empty doc; its token count stays NULL-skipped in the sum
+    exactly as token_count's twin does).
+
+    Scale: ONE hash aggregate with map-side combine; output is bounded
+    at n_shards rows. Zero windows, zero joins."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key_s = F.col(key_col).cast("string")
+    digest = phash(
+        F.concat(key_s, F.lit(":"), F.coalesce(F.col(text_col), F.lit("")))
+    )
+    return (
+        df.select(
+            (phash(key_s) % n_shards).alias("shard"),
+            digest.alias("_d"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("_t"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+            F.bit_xor("_d").cast("long").alias("content_xor"),
+        )
+    )
+
+
+def shard_manifest_sql(
+    table: str = "documents",
+    n_shards: int = 32,
+    key_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of shard_manifest (phash_sql digests, bit_xor fold;
+    len(tokens) is NULL on NULL text in both engines, skipped by sum)."""
+    from pdf_extract_spark.operators.hashing import phash_sql
+
+    key_s = f"{key_col}::VARCHAR"
+    digest = phash_sql(f"{key_s} || ':' || coalesce({text_expr}, '')")
+    toks = tokens_sql(text_expr)
+    return f"""
+SELECT {phash_sql(key_s)} % {n_shards} AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(len({toks}))::BIGINT AS n_tokens,
+       bit_xor({digest})::BIGINT AS content_xor
+FROM {table}
+GROUP BY 1
+"""

@@ -2336,6 +2336,21 @@ def token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "shard_manifest",
+    textstats.shard_manifest_sql(n_shards=32) + " ORDER BY shard",
+)
+def shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed manifest of a 32-shard corpus write: per-shard
+    doc/token counts plus an order- and partitioning-independent XOR
+    checksum of key-bound content digests — how a 100 TB write is
+    verified on re-read without a global sort. One hash aggregate,
+    bounded output."""
+    return textstats.shard_manifest(
+        _t(spark, sf_dir, "documents"), n_shards=32
+    ).orderBy("shard")
+
+
 # =====================================================================
 # alignment suite (SURVEY.md §2.4 J5-J10)
 # =====================================================================
@@ -4276,6 +4291,10 @@ _DEMOTED_ORACLED = frozenset({
     # sampled); demotion r4-green and its semantics run in-window inside
     # curate_corpus_full's composed oracle (pii scrub is its 2nd stage):
     "pii_scrub",                # scrub family: curate_corpus_full composes it in-window
+    # twenty-ninth r5 wave — yields a slot to shard_manifest (never
+    # sampled); demotion r3/r4-green and BOTH its strict supersets
+    # (curate_corpus_capped, curate_corpus_full) stay in-window:
+    "curate_corpus",            # curation family: capped + full siblings in-window
 })
 
 

@@ -1895,7 +1895,10 @@ def token_budget_select(
     Rows with a NULL score or a non-positive token count are never kept
     (nothing to rank / nothing to contribute) and take no part in the
     cumulative order — both engines agree because the twin's
-    eligibility predicate is identical.
+    eligibility predicate is identical: both test the RAW token value
+    before any cast. Token counts are integral by contract (the cast
+    to long exists for narrower integer types; fractional counts would
+    round differently between engines).
 
     Scale (100 TB): the naive form — one cumulative-sum window over the
     globally score-sorted corpus — is a single-partition sort of
@@ -1921,11 +1924,13 @@ def token_budget_select(
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     b = F.lit(int(budget)).cast("long")
-    elig = scored.select(
+    elig = scored.filter(
+        F.col(score_col).isNotNull() & (F.col(tokens_col) > 0)
+    ).select(
         F.col(key_col).alias("_k"),
         F.col(score_col).alias("_s"),
         F.col(tokens_col).cast("long").alias("_t"),
-    ).filter(F.col("_s").isNotNull() & (F.col("_t") > 0))
+    )
     hist = elig.groupBy("_s").agg(F.sum("_t").alias("_bt"))
     # bounded-histogram running total: the single-partition window runs
     # over <= ~64k rows by construction (see docstring), never the corpus
@@ -1958,23 +1963,25 @@ def token_budget_select(
 def token_budget_select_sql(
     table: str,
     budget: int,
-    score_expr: str = "milli_bits_per_token",
-    tokens_expr: str = "n_tokens",
+    score_col: str = "milli_bits_per_token",
+    tokens_col: str = "n_tokens",
     key_col: str = "doc_id",
 ) -> str:
     """DuckDB twin of token_budget_select: ONE global cumulative window
     over (score, key) — correct as an oracle, and exactly the plan the
     Spark side must avoid at scale. Window sums need ::BIGINT; keys are
-    unique so the default RANGE frame equals ROWS."""
+    unique so the default RANGE frame equals ROWS. Arguments are bare
+    COLUMN NAMES, same contract as the Spark twin (which resolves them
+    via F.col) — wrap expressions in a subquery first."""
     return f"""
-WITH e AS (SELECT {key_col} AS k, {score_expr} AS s,
-                  ({tokens_expr})::BIGINT AS t
+WITH e AS (SELECT {key_col} AS k, {score_col} AS s,
+                  {tokens_col}::BIGINT AS t
            FROM {table}
-           WHERE ({score_expr}) IS NOT NULL AND ({tokens_expr}) > 0),
+           WHERE {score_col} IS NOT NULL AND {tokens_col} > 0),
 c AS (SELECT k, (sum(t) OVER (ORDER BY s, k))::BIGINT AS cum FROM e)
 SELECT d.{key_col} AS {key_col},
-       d.{score_expr} AS {score_expr},
-       d.{tokens_expr} AS {tokens_expr},
+       d.{score_col} AS {score_col},
+       d.{tokens_col} AS {tokens_col},
        coalesce(c.cum <= {budget}, FALSE) AS kept
 FROM {table} d LEFT JOIN c ON d.{key_col} = c.k
 """

@@ -1576,9 +1576,13 @@ def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     The two bucket-count tables are bounded at n_buckets rows by
     construction, so the bits table BROADCASTS to the score pass —
     corpus text never shuffles by bucket (plan-asserted in
-    tests/test_dsir.py)."""
+    tests/test_dsir.py). The explicit-count input repartition spreads
+    the single-file fixture scan the way a real deployment's many
+    input splits would — both tokenize passes run upstream of the
+    first exchange."""
     d = F.col("doc_id")
-    docs = _t(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").repartition(n_part, "doc_id")
     corpus = docs.filter(d % 50 != 0).select(
         "doc_id",
         F.when(
@@ -2345,9 +2349,13 @@ def shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc/token counts plus an order- and partitioning-independent XOR
     checksum of key-bound content digests — how a 100 TB write is
     verified on re-read without a global sort. One hash aggregate,
-    bounded output."""
+    bounded output. The explicit-count input repartition spreads the
+    single-file fixture scan (the full-document md5 digests run
+    upstream of the only exchange)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return textstats.shard_manifest(
-        _t(spark, sf_dir, "documents"), n_shards=32
+        _t(spark, sf_dir, "documents").repartition(n_part, "doc_id"),
+        n_shards=32,
     ).orderBy("shard")
 
 

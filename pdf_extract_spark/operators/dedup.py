@@ -1474,3 +1474,83 @@ SELECT doc_a, doc_b, min(pos_a)::BIGINT AS pos_a, min(pos_b)::BIGINT AS pos_b,
        (count(*) + {L - 1})::BIGINT AS match_len
 FROM eisl GROUP BY doc_a, doc_b, diag, grp
 """
+
+
+def cluster_keepbest(
+    labels: DataFrame, quality: DataFrame, score_col: str = "n_chars"
+) -> DataFrame:
+    """Representative selection for NEAR-DUP clusters: given a
+    components labeling (``dedup_components`` output) and a per-doc
+    quality score, pick as each cluster's keeper the member with the
+    HIGHEST score, ties to the smallest doc_id — real curation runs
+    keep the longest / highest-quality member of a near-dup family
+    (RefinedWeb, CCNet), not the smallest id that keep-first
+    ``is_keeper`` encodes. Scoreless members (NULL score) rank below
+    every scored member via coalesce(score, -1) — identically in the
+    SQL twin, where a NULL inside the comparison struct would
+    otherwise order engine-specifically.
+
+    Window-free argmax per component (the exact_dedup_keepbest
+    discipline): a lexicographic struct-MIN over (negated score,
+    doc_id) is associative and partial-combinable, so map-side combine
+    collapses each partition's cluster members before the only
+    shuffle; a row_number window would funnel every giant boilerplate
+    cluster through one task.
+
+    Scale (100 TB): labels join quality on the unskewed doc_id; the
+    keeper table rejoins as three short columns on component (AQE
+    broadcasts it when bounded, key-partitions when not) — document
+    payloads never ride either join.
+
+    Returns (doc_id, component, keeper_id, best_score, is_keeper)."""
+    j = labels.select("doc_id", "component").join(
+        quality.select(
+            "doc_id",
+            F.coalesce(F.col(score_col).cast("long"), F.lit(-1).cast("long"))
+            .alias("_score"),
+        ),
+        "doc_id",
+    )
+    m = F.min(
+        F.struct((-F.col("_score")).alias("ns"), F.col("doc_id").alias("id"))
+    )
+    keepers = (
+        j.groupBy("component")
+        .agg(m.alias("_m"))
+        .select(
+            "component",
+            F.col("_m.id").alias("keeper_id"),
+            (-F.col("_m.ns")).cast("long").alias("best_score"),
+        )
+    )
+    return j.join(keepers, "component").select(
+        "doc_id",
+        "component",
+        "keeper_id",
+        "best_score",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+    )
+
+
+def cluster_keepbest_sql(
+    pairs_cte: str,
+    table: str = "documents",
+    score_expr: str = "length(text)",
+) -> str:
+    """DuckDB mirror of minhash pairs -> dedup_components ->
+    cluster_keepbest (``pairs_cte`` must define a CTE named ``pairs``
+    with id_a/id_b; ``table`` may be an UNALIASED subquery — the
+    closure CTEs and the quality join both alias it themselves;
+    ``score_expr`` is evaluated against that table's columns)."""
+    return f"""
+WITH RECURSIVE {dedup_components_ctes(pairs_cte, table)},
+q AS (SELECT a.doc_id, a.component,
+             coalesce(({score_expr})::BIGINT, -1) AS s
+      FROM allc a JOIN {table} t ON t.doc_id = a.doc_id),
+k AS (SELECT component, min({{'ns': -s, 'id': doc_id}}) AS m
+      FROM q GROUP BY 1)
+SELECT q.doc_id, q.component, m.id AS keeper_id,
+       (-m.ns)::BIGINT AS best_score,
+       q.doc_id = m.id AS is_keeper
+FROM q JOIN k USING (component)
+"""

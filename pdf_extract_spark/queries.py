@@ -3577,6 +3577,46 @@ def component_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.component_stats(labels)
 
 
+# the unaliased twin of _NGRAM_DECOR_SQL: cluster_keepbest_sql aliases
+# the table itself (closure CTEs AND the quality join), so the fragment
+# must not carry its own alias
+_KEEPBEST_DECOR_NOALIAS = (
+    "(SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN '" + _CURATE_BOILER
+    + "' ELSE text END AS text FROM documents)"
+)
+
+
+@query(
+    "cluster_keepbest",
+    dedup.cluster_keepbest_sql(
+        f"pairs AS ({dedup.minhash_lsh_pairs_sql(table=_NGRAM_DECOR_SQL)})",
+        table=_KEEPBEST_DECOR_NOALIAS,
+        score_expr="length(text)",
+    )
+    + " ORDER BY 1",
+)
+def cluster_keepbest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup representative selection: MinHash pairs -> connected
+    components -> keep the LONGEST member of every cluster (ties to the
+    smallest doc_id) over the planted-boilerplate decoration — the
+    policy real curation runs want instead of keep-first. Window-free
+    struct-min argmax per component; the keeper table rejoins as three
+    short columns. NOT in the bench headline for the same reason as
+    component_stats: the uncapped ~N/7 boilerplate family at sf0.1
+    would bloat the verify join (the cap path is bench-covered by
+    curate_corpus_capped)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 3, F.lit(_CURATE_BOILER)).otherwise(
+            F.col("text")
+        ),
+    )
+    pairs = dedup.minhash_lsh_pairs(docs)
+    labels = dedup.dedup_components(pairs, universe=docs)
+    quality = docs.select("doc_id", F.length("text").alias("n_chars"))
+    return dedup.cluster_keepbest(labels, quality).orderBy("doc_id")
+
+
 # anchor-harvest decoration: each doc carries (1) a double-quoted anchor
 # to a messy-cased, tracking-parameterized host (one of five, doc_id % 5)
 # whose TEXT varies by doc_id % 4 — so per-host term counts differ and
@@ -4303,6 +4343,11 @@ _DEMOTED_ORACLED = frozenset({
     # sampled); demotion r3/r4-green and BOTH its strict supersets
     # (curate_corpus_capped, curate_corpus_full) stay in-window:
     "curate_corpus",            # curation family: capped + full siblings in-window
+    # thirtieth r5 wave — yields a slot to cluster_keepbest (never
+    # sampled); demotion r2/r3/r4-green and the same band machinery
+    # runs in-window via curate_corpus_capped/full, minhash_accuracy,
+    # component_stats and cluster_keepbest itself:
+    "dedup_minhash_lsh",        # minhash family: five in-window consumers
 })
 
 

@@ -98,6 +98,7 @@ HEADLINE = [
     "dsir_weights",             # DSIR importance weights (bounded bits-table broadcast)
     "token_budget",             # exact token-budget selection (bounded score histogram)
     "shard_manifest",           # content-addressed shard checksums (one hash aggregate)
+    "dup_gram_profile",         # memorization-risk audit (gram-keyed df join)
 ]
 
 
@@ -501,7 +502,11 @@ def write_bench_md(result: dict) -> None:
         "never globally sorted), then 63 (added: shard_manifest,",
         "content-addressed per-shard checksums via an XOR fold of",
         "key-bound digests — order/partitioning-independent, one hash",
-        "aggregate, bounded output).",
+        "aggregate, bounded output), then 64 (added: dup_gram_profile,",
+        "the per-document memorization-risk audit — fraction of each",
+        "doc's distinct 5-grams occurring in >= min_df documents; two",
+        "gram passes whose df join is gram-keyed, never a vocabulary",
+        "broadcast).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

@@ -1554,3 +1554,92 @@ SELECT q.doc_id, q.component, m.id AS keeper_id,
        q.doc_id = m.id AS is_keeper
 FROM q JOIN k USING (component)
 """
+
+
+def dup_gram_profile(
+    docs: DataFrame, k: int = 5, min_df: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplication profile — the memorization-risk audit
+    (Lee et al. 2021; Carlini et al. 2022: verbatim memorization scales
+    with how often a passage repeats in training data): for every
+    document, how many of its distinct word k-grams occur in at least
+    ``min_df`` documents corpus-wide, and the milli fraction. The
+    corpus-level sibling of ``decontaminate`` (same distinct k-gram
+    unit, but the reference set is the corpus itself, df-thresholded)
+    and the per-document complement of ``ngram_topk`` (which surfaces
+    only the global top). Docs whose every gram is unique score 0;
+    boilerplate-heavy docs approach 1000 — the number a curation run
+    reads to size dedup_lines/exact_substrings thresholds.
+
+    Scale (100 TB): two gram passes (the unigram_surprisal train/score
+    tradeoff). Pass 1: distinct-per-doc gram explode -> document-
+    frequency aggregate keyed on the gram (map-side combine; the
+    shuffle carries only the gram string). Pass 2: the same explode
+    equi-joins the df table ON THE GRAM KEY — a shuffle join, never a
+    broadcast: at web scale the gram vocabulary dwarfs executor memory
+    (the tfidf_topk discipline; AQE may still pick broadcast when it
+    measures small — an optimization, not a dependency) — then one
+    per-doc partial-combinable aggregate. Document text never shuffles.
+
+    Returns (doc_id, n_grams, n_dup_grams, milli_dup_frac); NULL and
+    zero-token texts contribute NO grams (zero counts, NULL fraction) —
+    gated explicitly on token count in BOTH engines, because the bare
+    whole-text fallback shingle would otherwise fabricate an '' gram on
+    the Spark side (and two empty docs would mark each other
+    duplicated) while DuckDB emits no rows."""
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    t = F.col(text_col)
+    gated = F.when(
+        F.size(tokens(t)) > 0, shingles(t, k)
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select("doc_id", F.explode(gated).alias("g"))
+    df_tab = ex.groupBy("g").agg(F.count("*").cast("long").alias("df"))
+    dup = df_tab.filter(F.col("df") >= min_df).select("g", F.lit(1).alias("hit"))
+    per_doc = (
+        ex.join(dup, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count("hit").cast("long").alias("n_dup_grams"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0).cast("long")).alias("n_dup_grams"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr("n_dup_grams * 1000 DIV n_grams"),
+            ).cast("long").alias("milli_dup_frac"),
+        )
+    )
+
+
+def dup_gram_profile_sql(
+    table: str = "documents", text_expr: str = "text",
+    k: int = 5, min_df: int = 2,
+) -> str:
+    """DuckDB twin of dup_gram_profile (shared shingle CTE; distinct
+    per-doc grams make df a plain count; trunc division on
+    non-negatives)."""
+    return f"""
+WITH {_sh_cte(table, text_expr, k)},
+gr AS (SELECT sh0.doc_id, unnest(sh) AS g
+       FROM sh0 JOIN tk USING (doc_id) WHERE len(tk.t) > 0),
+dfr AS (SELECT g, count(*)::BIGINT AS df FROM gr GROUP BY g),
+dup AS (SELECT g FROM dfr WHERE df >= {min_df}),
+per AS (SELECT gr.doc_id, count(*)::BIGINT AS n_grams,
+               count(dup.g)::BIGINT AS n_dup_grams
+        FROM gr LEFT JOIN dup ON gr.g = dup.g GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(p.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       (CASE WHEN p.n_grams > 0
+             THEN p.n_dup_grams * 1000 // p.n_grams END)::BIGINT
+           AS milli_dup_frac
+FROM tk d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""

@@ -3617,6 +3617,34 @@ def cluster_keepbest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_keepbest(labels, quality).orderBy("doc_id")
 
 
+@query(
+    "dup_gram_profile",
+    # ORDER BY 1: the final select keeps both d.doc_id and p.doc_id in
+    # scope, so a bare doc_id is ambiguous to DuckDB
+    dedup.dup_gram_profile_sql(table=_NGRAM_DECOR_SQL) + " ORDER BY 1",
+)
+def dup_gram_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication profile (the memorization-risk audit):
+    fraction of each doc's distinct 5-grams occurring in >= 2 documents,
+    over the planted-boilerplate decoration — the ~N/7 family reads
+    1000 milli, the natural shared passage partially, organic docs 0.
+    Two gram passes; the df join is gram-keyed (never a vocabulary
+    broadcast). The explicit-count input repartition spreads the
+    single-file fixture scan across tasks."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(n_part, "doc_id")
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 7 == 3, F.lit(_CURATE_BOILER)).otherwise(
+                F.col("text")
+            ),
+        )
+    )
+    return dedup.dup_gram_profile(docs, k=5, min_df=2).orderBy("doc_id")
+
+
 # anchor-harvest decoration: each doc carries (1) a double-quoted anchor
 # to a messy-cased, tracking-parameterized host (one of five, doc_id % 5)
 # whose TEXT varies by doc_id % 4 — so per-host term counts differ and
@@ -4348,6 +4376,11 @@ _DEMOTED_ORACLED = frozenset({
     # runs in-window via curate_corpus_capped/full, minhash_accuracy,
     # component_stats and cluster_keepbest itself:
     "dedup_minhash_lsh",        # minhash family: five in-window consumers
+    # thirty-first r5 wave — yields a slot to dup_gram_profile (never
+    # sampled); demotion r2/r3/r4-green and the identical closure runs
+    # in-window via component_stats, cluster_keepbest and both curate
+    # pipelines' recursive-CTE oracles:
+    "dedup_components",         # components family: four in-window consumers
 })
 
 

@@ -1485,34 +1485,44 @@ def cluster_keepbest(
     HIGHEST score, ties to the smallest doc_id — real curation runs
     keep the longest / highest-quality member of a near-dup family
     (RefinedWeb, CCNet), not the smallest id that keep-first
-    ``is_keeper`` encodes. Scoreless members (NULL score) rank below
-    every scored member via coalesce(score, -1) — identically in the
-    SQL twin, where a NULL inside the comparison struct would
-    otherwise order engine-specifically.
+    ``is_keeper`` encodes. Scoreless members — a NULL score OR no
+    quality row at all (quality is LEFT-joined, so gated scorers that
+    only emit rows for passing docs never silently drop cluster
+    members) — rank below EVERY scored member, including negative
+    scores: the comparison struct leads with a scoreless flag, never a
+    magic sentinel a genuine score could tie or undercut. A keeper
+    that is itself scoreless reports a NULL best_score.
 
     Window-free argmax per component (the exact_dedup_keepbest
-    discipline): a lexicographic struct-MIN over (negated score,
-    doc_id) is associative and partial-combinable, so map-side combine
-    collapses each partition's cluster members before the only
-    shuffle; a row_number window would funnel every giant boilerplate
-    cluster through one task.
+    discipline): a lexicographic struct-MIN over (scoreless flag,
+    negated score, doc_id) is associative and partial-combinable, so
+    map-side combine collapses each partition's cluster members before
+    the only shuffle; a row_number window would funnel every giant
+    boilerplate cluster through one task.
 
     Scale (100 TB): labels join quality on the unskewed doc_id; the
-    keeper table rejoins as three short columns on component (AQE
-    broadcasts it when bounded, key-partitions when not) — document
-    payloads never ride either join.
+    joined relation then takes ONE explicit repartition(component) so
+    the keeper aggregate and the verdict rejoin share the exchange
+    (ReusedExchange — without it the labels+quality lineage executes
+    twice, the recompute class the minhash self-join invariant
+    documents); the keeper table itself is three short columns —
+    document payloads never ride either join.
 
     Returns (doc_id, component, keeper_id, best_score, is_keeper)."""
     j = labels.select("doc_id", "component").join(
         quality.select(
-            "doc_id",
-            F.coalesce(F.col(score_col).cast("long"), F.lit(-1).cast("long"))
-            .alias("_score"),
+            "doc_id", F.col(score_col).cast("long").alias("_score")
         ),
         "doc_id",
-    )
+        "left",
+    ).repartition("component")
+    nu = F.when(F.col("_score").isNull(), F.lit(1)).otherwise(F.lit(0))
     m = F.min(
-        F.struct((-F.col("_score")).alias("ns"), F.col("doc_id").alias("id"))
+        F.struct(
+            nu.alias("nu"),
+            (-F.coalesce(F.col("_score"), F.lit(0))).alias("ns"),
+            F.col("doc_id").alias("id"),
+        )
     )
     keepers = (
         j.groupBy("component")
@@ -1520,7 +1530,9 @@ def cluster_keepbest(
         .select(
             "component",
             F.col("_m.id").alias("keeper_id"),
-            (-F.col("_m.ns")).cast("long").alias("best_score"),
+            F.when(F.col("_m.nu") == 0, -F.col("_m.ns"))
+            .cast("long")
+            .alias("best_score"),
         )
     )
     return j.join(keepers, "component").select(
@@ -1544,13 +1556,14 @@ def cluster_keepbest_sql(
     ``score_expr`` is evaluated against that table's columns)."""
     return f"""
 WITH RECURSIVE {dedup_components_ctes(pairs_cte, table)},
-q AS (SELECT a.doc_id, a.component,
-             coalesce(({score_expr})::BIGINT, -1) AS s
-      FROM allc a JOIN {table} t ON t.doc_id = a.doc_id),
-k AS (SELECT component, min({{'ns': -s, 'id': doc_id}}) AS m
+q AS (SELECT a.doc_id, a.component, ({score_expr})::BIGINT AS s
+      FROM allc a LEFT JOIN {table} t ON t.doc_id = a.doc_id),
+k AS (SELECT component,
+             min({{'nu': CASE WHEN s IS NULL THEN 1 ELSE 0 END,
+                   'ns': -coalesce(s, 0), 'id': doc_id}}) AS m
       FROM q GROUP BY 1)
 SELECT q.doc_id, q.component, m.id AS keeper_id,
-       (-m.ns)::BIGINT AS best_score,
+       (CASE WHEN m.nu = 0 THEN -m.ns END)::BIGINT AS best_score,
        q.doc_id = m.id AS is_keeper
 FROM q JOIN k USING (component)
 """

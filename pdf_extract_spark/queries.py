@@ -1364,10 +1364,14 @@ def curate_corpus_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _curate_pipeline(docs, _CURATE_CAPPED_MAX_BUCKET)
 
 
-_NGRAM_DECOR_SQL = (
+# the unaliased form exists for twins that alias the table themselves
+# (cluster_keepbest_sql); _NGRAM_DECOR_SQL derives from it so the two
+# decoration fragments can never drift apart
+_KEEPBEST_DECOR_NOALIAS = (
     "(SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN '" + _CURATE_BOILER
-    + "' ELSE text END AS text FROM documents) dd"
+    + "' ELSE text END AS text FROM documents)"
 )
+_NGRAM_DECOR_SQL = _KEEPBEST_DECOR_NOALIAS + " dd"
 
 
 @query(
@@ -3575,15 +3579,6 @@ def component_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_lsh_pairs(docs)
     labels = dedup.dedup_components(pairs, universe=docs)
     return dedup.component_stats(labels)
-
-
-# the unaliased twin of _NGRAM_DECOR_SQL: cluster_keepbest_sql aliases
-# the table itself (closure CTEs AND the quality join), so the fragment
-# must not carry its own alias
-_KEEPBEST_DECOR_NOALIAS = (
-    "(SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN '" + _CURATE_BOILER
-    + "' ELSE text END AS text FROM documents)"
-)
 
 
 @query(

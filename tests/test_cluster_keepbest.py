@@ -32,13 +32,21 @@ def test_keeper_is_argmax_with_min_id_tiebreak(spark):
     assert out[5] == (5, 7, True) and out[6] == (5, 7, False)
 
 
-def test_null_scores_rank_below_scored_members(spark):
-    labels = _labels(spark, [(0, 0), (1, 0), (9, 9)])
-    quality = _quality(spark, [(0, None), (1, 1), (9, None)])
+def test_scoreless_members_rank_below_even_negative_scores(spark):
+    """NULL score, or NO quality row at all (gated scorers), ranks
+    below every scored member — including NEGATIVE scores, which a
+    sentinel like -1 would outrank; a scoreless keeper reports NULL."""
+    labels = _labels(spark, [(0, 0), (1, 0), (5, 5), (6, 5), (7, 5), (9, 9)])
+    # doc 0: NULL score; doc 7: no quality row at all; doc 5: negative
+    quality = _quality(spark, [(0, None), (1, 1), (5, -7), (6, None), (9, None)])
     out = {r["doc_id"]: r for r in dedup.cluster_keepbest(labels, quality).collect()}
+    assert len(out) == 6  # missing quality rows are kept, not dropped
     assert out[1]["is_keeper"] and not out[0]["is_keeper"]
-    # all-scoreless singleton: keeper by id with the -1 sentinel score
-    assert out[9]["is_keeper"] and out[9]["best_score"] == -1
+    # cluster 5: the only scored member wins despite its negative score
+    assert out[5]["is_keeper"] and out[5]["best_score"] == -7
+    assert not out[6]["is_keeper"] and not out[7]["is_keeper"]
+    # all-scoreless singleton: keeper by id, best_score NULL
+    assert out[9]["is_keeper"] and out[9]["best_score"] is None
 
 
 def test_end_to_end_keeps_longest_member(spark):
@@ -69,8 +77,17 @@ def test_plan_is_window_free_partial_aggregate(spark):
     quality = spark.range(0, 2000).select(
         F.col("id").alias("doc_id"), (F.col("id") % 17).alias("n_chars")
     )
-    q = dedup.cluster_keepbest(labels, quality)
-    plan = q._jdf.queryExecution().executedPlan().toString()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = dedup.cluster_keepbest(labels, quality)
+        q.collect()  # exchange reuse only materializes in the final AQE plan
+        plan = q._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "Window" not in plan  # struct-min argmax, no per-cluster funnel
-    assert "partial_min" in plan or "partial" in plan  # map-side combine
+    assert "partial_min" in plan  # map-side combine of the struct argmax
+    # the explicit repartition(component) is shared by the keeper
+    # aggregate and the verdict rejoin — labels+quality compute ONCE
+    assert "ReusedExchange" in plan
     assert "EvalPython" not in plan

@@ -44,7 +44,7 @@ def test_null_and_empty_text_no_grams(spark):
     for i in (0, 1):
         assert out[i]["n_grams"] == 0 and out[i]["n_dup_grams"] == 0
         assert out[i]["milli_dup_frac"] is None
-    assert out[2]["n_grams"] == 1  # whole-text fallback gram, unique
+    assert out[2]["n_grams"] == 1  # exactly 5 tokens -> one real 5-gram
 
 
 def test_min_df_threshold(spark):

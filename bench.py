@@ -99,6 +99,7 @@ HEADLINE = [
     "token_budget",             # exact token-budget selection (bounded score histogram)
     "shard_manifest",           # content-addressed shard checksums (one hash aggregate)
     "dup_gram_profile",         # memorization-risk audit (gram-keyed df join)
+    "linear_classify",          # fastText-style classifier inference (broadcast weights)
 ]
 
 
@@ -506,7 +507,10 @@ def write_bench_md(result: dict) -> None:
         "the per-document memorization-risk audit — fraction of each",
         "doc's distinct 5-grams occurring in >= min_df documents; two",
         "gram passes whose df join is gram-keyed, never a vocabulary",
-        "broadcast).",
+        "broadcast), then 65 (added: linear_classify, fastText-style",
+        "linear classifier inference over hashed bag-of-tokens — the",
+        "weight table is bounded at n_buckets rows so it broadcasts to",
+        "the one token pass; corpus text never shuffles by feature).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

@@ -2054,3 +2054,115 @@ SELECT {phash_sql(key_s)} % {n_shards} AS shard,
 FROM {table}
 GROUP BY 1
 """
+
+
+# -------------------------------------------- linear classifier inference
+
+def linear_classify(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 4096,
+    bias: int = 0,
+    threshold: int = 0,
+    text_col: str = "text",
+    bucket_col: str = "bucket",
+    weight_col: str = "milli_w",
+) -> DataFrame:
+    """FastText-style linear classifier INFERENCE over hashed
+    bag-of-tokens features — the model-based quality-filter stage of
+    CCNet/LLaMA-class pipelines (a trained classifier scores every
+    document; training happens offline, applying it is the 100 TB
+    problem): per-token feature = portable-hash bucket of the token,
+    doc score = bias + sum of the bucket weights, reported per token in
+    integer milli (sign-split trunc division, both engines identical).
+    ``weights`` is any (bucket, milli_w) table — duplicate bucket rows
+    are summed on entry so a caller may feed one row per vocabulary
+    word without pre-aggregating collisions.
+
+    Returns (doc_id, n_tokens, total_milli, milli_per_token, label)
+    where label = milli_per_token >= threshold; zero-token docs keep
+    zero totals, a NULL average and label FALSE (nothing to score is
+    not a pass) — the explicit CASE arms match the twin.
+
+    Scale (100 TB): the weight table is bounded at n_buckets rows by
+    construction, so it BROADCASTS to the one token pass (explode ->
+    bucket projection -> BroadcastHashJoin -> per-doc partial
+    aggregate); corpus text never shuffles by feature. Unknown buckets
+    weigh 0 via the left join, exactly like the model's hash table."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    w = weights.select(
+        F.col(bucket_col).cast("long").alias("_b"),
+        F.col(weight_col).cast("long").alias("_w"),
+    ).groupBy("_b").agg(F.sum("_w").alias("_w"))
+    ex = docs.select(
+        "doc_id",
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select("doc_id", (phash(F.col("tok")) % n_buckets).alias("_b"))
+    per_doc = (
+        ex.join(F.broadcast(w), "_b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("_w", F.lit(0))).cast("long").alias("_s"),
+        )
+    )
+    total = (F.lit(int(bias)).cast("long") + F.col("_s")).alias("total_milli")
+    # weights are ALREADY milli: the per-token mean is total DIV n, no
+    # re-scaling (sign-split so both engines truncate toward zero)
+    mean = F.when(
+        F.col("n_tokens") > 0,
+        F.when(
+            F.lit(int(bias)) + F.col("_s") >= 0,
+            F.expr(f"({int(bias)} + _s) DIV n_tokens"),
+        ).otherwise(-F.expr(f"(-({int(bias)} + _s)) DIV n_tokens")),
+    ).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce(total, F.lit(int(bias)).cast("long")).alias("total_milli"),
+            mean.alias("milli_per_token"),
+            F.coalesce(mean >= F.lit(int(threshold)), F.lit(False)).alias("label"),
+        )
+    )
+
+
+def linear_classify_sql(
+    table: str,
+    weights_sql: str,
+    n_buckets: int = 4096,
+    bias: int = 0,
+    threshold: int = 0,
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of linear_classify. ``weights_sql`` is a subquery
+    (no alias) yielding (bucket, milli_w); duplicate buckets are summed
+    on entry, exactly like the Spark side."""
+    from pdf_extract_spark.operators.hashing import phash_sql
+
+    toks = tokens_sql(text_expr)
+    return f"""
+WITH w AS (SELECT bucket::BIGINT AS b, sum(milli_w)::BIGINT AS w
+           FROM {weights_sql} GROUP BY 1),
+ex AS (SELECT doc_id, {phash_sql('tok')} % {n_buckets} AS b
+       FROM (SELECT doc_id, unnest({toks}) AS tok FROM {table})),
+per AS (SELECT ex.doc_id, count(*)::BIGINT AS n_tokens,
+               sum(coalesce(w.w, 0))::BIGINT AS s
+        FROM ex LEFT JOIN w USING (b) GROUP BY 1),
+sc AS (SELECT doc_id, n_tokens, ({bias} + s)::BIGINT AS total_milli,
+              (CASE WHEN n_tokens > 0 THEN
+                 CASE WHEN {bias} + s >= 0
+                      THEN ({bias} + s) // n_tokens
+                      ELSE -((-({bias} + s)) // n_tokens) END
+               END)::BIGINT AS milli_per_token
+       FROM per)
+SELECT d.doc_id,
+       coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(sc.total_milli, {bias})::BIGINT AS total_milli,
+       sc.milli_per_token,
+       coalesce(sc.milli_per_token >= {threshold}, FALSE) AS label
+FROM {table} d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""

@@ -2344,6 +2344,79 @@ def token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# linear-classifier fixture: a planted positive/negative vocabulary
+# (one weight row per word — bucket collisions are summed on entry by
+# the op) over doc_id-arithmetic decorated tails; organic tokens hash
+# to unweighted buckets and contribute 0, exactly like a fastText
+# model's out-of-vocabulary features
+_LINEAR_POS = _DSIR_DOMAIN  # "finance report quarterly ... guidance"
+_LINEAR_NEG = "lorem ipsum dolor placeholder spam casino jackpot unsubscribe"
+_LINEAR_BUCKETS = 4096
+
+_LINEAR_DECOR_NOALIAS = (
+    "(SELECT doc_id, CASE WHEN doc_id % 13 = 1 THEN text || ' "
+    + _LINEAR_POS + "' WHEN doc_id % 17 = 2 THEN text || ' "
+    + _LINEAR_NEG + "' ELSE text END AS text FROM documents)"
+)
+
+_LINEAR_WEIGHTS_SQL = (
+    "(SELECT (('0x' || substr(md5(w), 1, 15))::BIGINT) % "
+    + str(_LINEAR_BUCKETS)
+    + " AS bucket, 800 AS milli_w FROM (SELECT unnest(["
+    + ", ".join(f"'{w}'" for w in _LINEAR_POS.split())
+    + "]) AS w) UNION ALL SELECT (('0x' || substr(md5(w), 1, 15))::BIGINT) % "
+    + str(_LINEAR_BUCKETS)
+    + " AS bucket, -900 AS milli_w FROM (SELECT unnest(["
+    + ", ".join(f"'{w}'" for w in _LINEAR_NEG.split())
+    + "]) AS w))"
+)
+
+
+@query(
+    "linear_classify",
+    textstats.linear_classify_sql(
+        _LINEAR_DECOR_NOALIAS,
+        _LINEAR_WEIGHTS_SQL,
+        n_buckets=_LINEAR_BUCKETS,
+    )
+    + " ORDER BY 1",
+)
+def linear_classify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style linear quality-classifier inference: a planted
+    (word, milli weight) vocabulary hashed into bounded buckets scores
+    every document per token; docs decorated with the positive tail
+    label true, spam-tailed docs strongly negative, organic docs 0.
+    The weight table is bounded at n_buckets rows so it broadcasts to
+    the one token pass — corpus text never shuffles by feature. The
+    explicit-count input repartition spreads the single-file fixture
+    scan."""
+    d = F.col("doc_id")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(n_part, "doc_id")
+        .select(
+            "doc_id",
+            F.when(d % 13 == 1, F.concat(F.col("text"), F.lit(" " + _LINEAR_POS)))
+            .when(d % 17 == 2, F.concat(F.col("text"), F.lit(" " + _LINEAR_NEG)))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    from pdf_extract_spark.operators.hashing import phash
+
+    rows = [(w, 800) for w in _LINEAR_POS.split()] + [
+        (w, -900) for w in _LINEAR_NEG.split()
+    ]
+    weights = spark.createDataFrame(rows, "word string, milli_w long").select(
+        (phash(F.col("word")) % _LINEAR_BUCKETS).alias("bucket"),
+        "milli_w",
+    )
+    return textstats.linear_classify(
+        docs, weights, n_buckets=_LINEAR_BUCKETS
+    ).orderBy("doc_id")
+
+
 @query(
     "shard_manifest",
     textstats.shard_manifest_sql(n_shards=32) + " ORDER BY shard",
@@ -4376,6 +4449,9 @@ _DEMOTED_ORACLED = frozenset({
     # in-window via component_stats, cluster_keepbest and both curate
     # pipelines' recursive-CTE oracles:
     "dedup_components",         # components family: four in-window consumers
+    # thirty-second r5 wave — yields a slot to linear_classify (never
+    # sampled); demotion r2/r3/r4-green:
+    "ann_lsh_topk",             # ANN family: ann_ivf_fixed_topk, semantic_dedup in-window
 })
 
 

@@ -100,6 +100,7 @@ HEADLINE = [
     "shard_manifest",           # content-addressed shard checksums (one hash aggregate)
     "dup_gram_profile",         # memorization-risk audit (gram-keyed df join)
     "linear_classify",          # fastText-style classifier inference (broadcast weights)
+    "domain_boilerplate",       # intra-domain chrome strip (per-site doc frequency)
 ]
 
 
@@ -510,7 +511,11 @@ def write_bench_md(result: dict) -> None:
         "broadcast), then 65 (added: linear_classify, fastText-style",
         "linear classifier inference over hashed bag-of-tokens — the",
         "weight table is bounded at n_buckets rows so it broadcasts to",
-        "the one token pass; corpus text never shuffles by feature).",
+        "the one token pass; corpus text never shuffles by feature),",
+        "then 66 (added: domain_boilerplate, intra-domain chrome strip",
+        "— within-site DISTINCT-document line frequency, so per-domain",
+        "shuffles carry only (domain, line-key, doc_id) with map-side",
+        "partial distinct and the offender set stays AQE-joinable).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

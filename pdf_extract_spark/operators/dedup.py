@@ -1012,6 +1012,112 @@ GROUP BY doc_id
 """
 
 
+def dedup_lines_by_domain(
+    df: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "text",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Intra-domain boilerplate line removal — the per-site refinement of
+    ``dedup_lines`` (RefinedWeb removes repeated lines *within a dump
+    partition*, trafilatura-style site chrome is per-host): a line is
+    dropped from a document when its trimmed form appears in
+    ``min_docs``-or-more DISTINCT documents of the SAME domain.
+
+    Two deliberate semantic differences from the corpus-global pass:
+
+      * counting is per (domain, line) DOCUMENT frequency, not raw
+        occurrence count — a line pasted twice inside one page counts
+        once, so a single weird page can never trigger removal;
+      * a phrase appearing once on each of a thousand DIFFERENT sites is
+        content, not chrome — it survives here while ``dedup_lines``
+        would delete it from every document.
+
+    Blank lines are structure: never counted, never removed. Documents
+    whose every line is removed stay with ``clean_text=''``; NULL text
+    reads as '' so the doc survives. Rows with a NULL domain are
+    unkeyed: the equality join never matches NULL, so their lines pass
+    through untouched (same passthrough stance as ``weburl.domain_cap``
+    with ``keep_unkeyed``).
+
+    Returns (doc_id, domain, clean_text, n_removed, n_kept).
+
+    Scale (100 TB): the frequency pass shuffles (domain, trimmed-line,
+    doc_id) once with map-side partial distinct, then (domain, line) for
+    the final count — both partial-combinable; per-domain chrome makes
+    (domain, line) near-unique outside true boilerplate, so no hot keys.
+    The offender set projects to two columns and AQE broadcasts it when
+    small, falling back to a key-partitioned join otherwise —
+    correctness never depends on it fitting in memory. Reassembly is one
+    doc-keyed aggregate. No Python anywhere.
+    """
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        "doc_id",
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("pos", "line"),
+    )
+    bad = (
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("domain", F.trim(F.col("line")).alias("k"))
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select(F.col("domain").alias("bdomain"), "k")
+    )
+    joined = lines.join(
+        bad,
+        (lines["domain"] == bad["bdomain"])
+        & (F.trim(lines["line"]) == bad["k"]),
+        "left",
+    )
+    kept_struct = F.when(F.col("k").isNull(), F.struct("pos", "line"))
+    return joined.groupBy("doc_id", "domain").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("k").cast("long").alias("n_removed"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )
+
+
+def dedup_lines_by_domain_sql(
+    table: str = "documents",
+    domain_expr: str = "domain",
+    text_expr: str = "text",
+    min_docs: int = 3,
+) -> str:
+    """DuckDB mirror of ``dedup_lines_by_domain`` (zipped unnest =
+    posexplode; count(DISTINCT doc_id) = the within-domain document
+    frequency; NULL domains never match the equality join in either
+    engine, so unkeyed rows pass through in both)."""
+    return f"""
+WITH dlines AS (
+  SELECT {domain_expr} AS domain, doc_id,
+         unnest(string_split(coalesce({text_expr}, ''), chr(10))) AS line,
+         unnest(range(1, len(string_split(coalesce({text_expr}, ''), chr(10))) + 1)) AS pos
+  FROM {table}),
+dbad AS (
+  SELECT domain AS bdomain, trim(line) AS k
+  FROM dlines WHERE trim(line) <> ''
+  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= {min_docs})
+SELECT doc_id, domain,
+       coalesce(string_agg(CASE WHEN b.k IS NULL THEN line END,
+                           chr(10) ORDER BY pos), '') AS clean_text,
+       count(b.k)::BIGINT AS n_removed,
+       count(CASE WHEN b.k IS NULL THEN 1 END)::BIGINT AS n_kept
+FROM dlines LEFT JOIN dbad b
+  ON dlines.domain = b.bdomain AND trim(dlines.line) = b.k
+GROUP BY doc_id, domain
+"""
+
+
 # ------------------------------------------------- n-gram heavy hitters
 
 def ngram_topk(

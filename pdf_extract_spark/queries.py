@@ -3245,6 +3245,78 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_lines(docs, min_count=3)
 
 
+# Domain-boilerplate decoration: five synthetic sites (doc_id % 5), each
+# document a six-line page. Line classes: per-site nav chrome on every
+# page (removed: within-domain doc frequency n/5 >= 3); an organic
+# content prefix; a structural blank (never counted); an 'Early
+# cross-site banner' on docs 0..9 only — GLOBALLY 10 documents but
+# exactly 2 per site, so the domain-scoped rule KEEPS it where the
+# corpus-global line_dedup would delete it (the discriminating case); a
+# 'triple' line shared by exactly 3 docs of one site (doc_id, +5, +10
+# inside each 15-block — at the min_docs=3 boundary, removed); and a
+# unique tail (kept). SQL twin below.
+def _domain_site():
+    return F.concat(F.lit("site"), (F.col("doc_id") % 5).cast("string"))
+
+
+def _domain_page():
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    site = (d % 5).cast("string")
+    return F.concat_ws(
+        "\n",
+        F.concat(F.lit("Navigation menu for site "), site),
+        F.coalesce(F.substring(F.col("text"), 1, 30), F.lit("")),
+        F.lit(""),
+        F.when(d < 10, F.lit("Early cross-site banner"))
+        .otherwise(F.concat(F.lit("body "), ds)),
+        F.concat(F.lit("triple site "), site, F.lit(" block "),
+                 F.floor(d / 15).cast("string")),
+        F.concat(F.lit("tail "), ds),
+    )
+
+
+_DOMAIN_PAGE_SQL = """
+SELECT doc_id,
+       'site' || (doc_id % 5)::VARCHAR AS domain,
+       'Navigation menu for site ' || (doc_id % 5)::VARCHAR
+       || chr(10) || coalesce(substr(text, 1, 30), '')
+       || chr(10) || ''
+       || chr(10) || (CASE WHEN doc_id < 10 THEN 'Early cross-site banner'
+                           ELSE 'body ' || doc_id::VARCHAR END)
+       || chr(10) || 'triple site ' || (doc_id % 5)::VARCHAR
+                  || ' block ' || (doc_id // 15)::VARCHAR
+       || chr(10) || 'tail ' || doc_id::VARCHAR
+       AS text
+FROM documents
+"""
+
+
+@query(
+    "domain_boilerplate",
+    dedup.dedup_lines_by_domain_sql(
+        table=f"({_DOMAIN_PAGE_SQL.strip()})",
+        domain_expr="domain",
+        text_expr="text",
+        min_docs=3,
+    ),
+)
+def domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-domain boilerplate removal (dedup.dedup_lines_by_domain):
+    a line is dropped when its trimmed form appears in >= 3 DISTINCT
+    documents of the SAME site — per-host chrome (nav bars, footers)
+    goes, while a phrase that is merely common ACROSS sites stays (the
+    fixture's cross-site banner: 10 docs globally, 2 per site, kept).
+    The frequency pass shuffles only (domain, line-key, doc_id) with
+    map-side partial distinct; reassembly is one doc-keyed aggregate;
+    pure Catalyst."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _domain_site().alias("domain"),
+        _domain_page().alias("text"),
+    )
+    return dedup.dedup_lines_by_domain(docs, min_docs=3)
+
+
 # C4-page decoration: the synthetic corpus is single-line terminal-
 # punctuation-free text, so the C4 fixture rebuilds each document as an
 # eight-line page exercising every rule class: a kept long sentence, a
@@ -4452,6 +4524,10 @@ _DEMOTED_ORACLED = frozenset({
     # thirty-second r5 wave — yields a slot to linear_classify (never
     # sampled); demotion r2/r3/r4-green:
     "ann_lsh_topk",             # ANN family: ann_ivf_fixed_topk, semantic_dedup in-window
+    # thirty-third r5 wave — yields a slot to domain_boilerplate (never
+    # sampled); demotion r4-green and the same salted-cap machinery runs
+    # in-window inside web_curate's composed oracle:
+    "domain_cap_kept",          # URL family: web_curate, canonical_dedup, anchor_terms in-window
 })
 
 

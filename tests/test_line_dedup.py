@@ -109,6 +109,92 @@ def test_dedup_lines_matches_python_model_on_adversarial_corpus(spark):
         assert got == model(rows, k), f"min_count={k}"
 
 
+def _ddocs(spark, rows):
+    return spark.createDataFrame(
+        rows, schema="doc_id long, domain string, text string"
+    )
+
+
+def _dcollect(df):
+    return {
+        r["doc_id"]: (r["domain"], r["clean_text"], r["n_removed"], r["n_kept"])
+        for r in df.collect()
+    }
+
+
+def test_dedup_lines_by_domain_scopes_counts_per_site(spark):
+    rows = [
+        # 'chrome' reaches min_docs=3 only on site a: removed there,
+        # KEPT on site b (2 docs) even though globally it occurs 5x —
+        # the discriminating difference vs corpus-global dedup_lines.
+        (0, "a", "chrome\nbody zero"),
+        (1, "a", "chrome\nbody one"),
+        (2, "a", "chrome\nbody two"),
+        (3, "b", "chrome\nbody three"),
+        (4, "b", "chrome\nbody four"),
+    ]
+    got = _dcollect(
+        dedup.dedup_lines_by_domain(_ddocs(spark, rows), min_docs=3)
+    )
+    assert got[0] == ("a", "body zero", 1, 1)
+    assert got[2] == ("a", "body two", 1, 1)
+    assert got[3] == ("b", "chrome\nbody three", 0, 2)
+    assert got[4] == ("b", "chrome\nbody four", 0, 2)
+
+
+def test_dedup_lines_by_domain_counts_distinct_docs_not_occurrences(spark):
+    # the same line pasted twice inside ONE page counts once: 2 distinct
+    # docs < min_docs=3 -> kept everywhere, despite 3 raw occurrences
+    rows = [
+        (0, "a", "promo\npromo\nbody zero"),
+        (1, "a", "promo\nbody one"),
+        (2, "a", "body two"),
+    ]
+    got = _dcollect(
+        dedup.dedup_lines_by_domain(_ddocs(spark, rows), min_docs=3)
+    )
+    assert got[0] == ("a", "promo\npromo\nbody zero", 0, 3)
+    assert got[1] == ("a", "promo\nbody one", 0, 2)
+    # at min_docs=2 the 2-doc frequency crosses the bar: removed, and
+    # BOTH copies inside doc 0 go
+    got2 = _dcollect(
+        dedup.dedup_lines_by_domain(_ddocs(spark, rows), min_docs=2)
+    )
+    assert got2[0] == ("a", "body zero", 2, 1)
+    assert got2[1] == ("a", "body one", 1, 1)
+
+
+def test_dedup_lines_by_domain_null_domain_passes_through(spark):
+    # NULL-domain rows are unkeyed: never counted against each other,
+    # never removed (equality join can't match NULL)
+    rows = [
+        (0, None, "chrome\nbody zero"),
+        (1, None, "chrome\nbody one"),
+        (2, None, "chrome\nbody two"),
+        (3, "a", None),  # NULL text: doc survives as ''
+    ]
+    got = _dcollect(
+        dedup.dedup_lines_by_domain(_ddocs(spark, rows), min_docs=3)
+    )
+    assert got[0] == (None, "chrome\nbody zero", 0, 2)
+    assert got[2] == (None, "chrome\nbody two", 0, 2)
+    assert got[3] == ("a", "", 0, 1)
+
+
+def test_dedup_lines_by_domain_plan_is_pure_catalyst(spark):
+    df = dedup.dedup_lines_by_domain(
+        _ddocs(spark, [(i, f"s{i % 2}", f"nav\nbody {i}") for i in range(20)]),
+        min_docs=3,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # distinct-doc count (partial distinct + final), offender join, doc
+    # reassembly — bounded exchange count, no window anywhere
+    n_ex = plan.count("+- Exchange") + plan.count("   Exchange")
+    assert n_ex <= 4, plan
+    assert "Window" not in plan
+
+
 def test_minhash_accuracy_exact_on_identical_and_unbiased(spark):
     """Identical texts must read est=1000/exact=1000/err=0; a partial
     overlap's estimate stays a multiple of 1000//16 and the exact value

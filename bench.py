@@ -101,6 +101,7 @@ HEADLINE = [
     "dup_gram_profile",         # memorization-risk audit (gram-keyed df join)
     "linear_classify",          # fastText-style classifier inference (broadcast weights)
     "domain_boilerplate",       # intra-domain chrome strip (per-site doc frequency)
+    "bpe_pair_counts",          # BPE merge-decision pair counts (vocab-bounded)
 ]
 
 
@@ -515,7 +516,11 @@ def write_bench_md(result: dict) -> None:
         "then 66 (added: domain_boilerplate, intra-domain chrome strip",
         "— within-site DISTINCT-document line frequency, so per-domain",
         "shuffles carry only (domain, line-key, doc_id) with map-side",
-        "partial distinct and the offender set stays AQE-joinable).",
+        "partial distinct and the offender set stays AQE-joinable),",
+        "then 67 (added: bpe_pair_counts, the BPE merge-decision pair",
+        "count — the only corpus-sized pass is the map-combinable word",
+        "count; pair extraction runs over the bounded distinct-word",
+        "relation and the top-N is a TakeOrderedAndProject heap).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

@@ -1793,6 +1793,91 @@ FROM t LEFT JOIN per ON t.doc_id = per.doc_id
 """
 
 
+# ----------------------------------------------- BPE pair induction
+
+def bpe_pair_counts(
+    df: DataFrame, top: int = 40, text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer induction support: the frequency-weighted adjacent
+    codepoint-pair counts that drive the first BPE merge decision
+    (Sennrich et al. 2016 — training repeats exactly this count with
+    the winning pair merged into one symbol, so this primitive IS the
+    per-iteration workload). Pairs are counted inside cased words
+    (``tokens_cased`` — a vocab builder must not destroy case), each
+    word's pairs weighted by the word's corpus frequency. Returns the
+    ``top`` pairs as (pair, n_pairs, rank) under the total order
+    (n_pairs DESC, pair ASC) — binary UTF-8 comparison in both engines,
+    so the top-N boundary and ranks are engine-exact.
+
+    Scale (100 TB): the only corpus-sized pass is the word-count
+    aggregate — map-side combinable on the word key. Pair extraction
+    then runs over the DISTINCT-WORD relation (bounded by vocabulary,
+    not corpus size), which is why the per-character ``substring``
+    window here is fine while the same random-access pattern was a 12x
+    regression in winnow's corpus-sized gram kernel (zip_with shifted
+    slices there). The global top-N compiles to TakeOrderedAndProject —
+    a per-partition bounded heap, never a full sort; the rank window
+    runs after LIMIT, over ``top`` rows."""
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    wc = (
+        df.select(F.explode(tokens_cased(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    # sequence(1, 0) DESCENDS in Spark, so single-char words must gate
+    # to an empty array (DuckDB's exclusive range(1, 1) is [] natively)
+    pairs = wc.select(
+        "n",
+        F.explode(
+            F.when(
+                F.length("w") >= 2,
+                F.expr("transform(sequence(1, length(w) - 1),"
+                       " i -> substring(w, i, 2))"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.sum("n").cast("long").alias("n_pairs")
+    )
+    topped = counted.orderBy(F.desc("n_pairs"), F.asc("pair")).limit(top)
+    return topped.select(
+        "pair",
+        "n_pairs",
+        F.row_number()
+        .over(
+            Window.orderBy(F.desc("n_pairs"), F.asc("pair"))
+        )
+        .cast("long")
+        .alias("rank"),
+    )
+
+
+def bpe_pair_counts_sql(
+    table: str = "documents", text_expr: str = "text", top: int = 40
+) -> str:
+    """DuckDB mirror of ``bpe_pair_counts`` (range(1, length) is the
+    exclusive pair-start list; substr is codepoint-based in both
+    engines; row_number over the same total order)."""
+    toks = tokens_cased_sql(text_expr)
+    return f"""
+WITH words AS (
+  SELECT unnest({toks}) AS w FROM {table}),
+wc AS (SELECT w, count(*)::BIGINT AS n FROM words GROUP BY w),
+pairs AS (
+  SELECT n, unnest(list_transform(range(1, length(w)),
+                                  i -> substr(w, i, 2))) AS pair
+  FROM wc WHERE length(w) >= 2),
+topped AS (
+  SELECT pair, sum(n)::BIGINT AS n_pairs
+  FROM pairs GROUP BY pair
+  ORDER BY n_pairs DESC, pair LIMIT {top})
+SELECT pair, n_pairs,
+       row_number() OVER (ORDER BY n_pairs DESC, pair)::BIGINT AS rank
+FROM topped
+"""
+
+
 # ----------------------------------------------- script composition
 
 # Unicode script classes for the per-document composition profile.

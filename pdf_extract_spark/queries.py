@@ -4026,6 +4026,24 @@ def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bpe_pair_counts",
+    textstats.bpe_pair_counts_sql(table="documents", top=40),
+)
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-induction primitive over the organic corpus: the top-40
+    frequency-weighted adjacent codepoint pairs inside cased words —
+    the count that decides the first BPE merge, and (with the winner
+    merged) the per-iteration workload of BPE training. The only
+    corpus-sized pass is the map-combinable word-count aggregate; pair
+    extraction runs over the bounded distinct-word relation and the
+    top-N compiles to TakeOrderedAndProject with the rank window after
+    LIMIT."""
+    return textstats.bpe_pair_counts(
+        _t(spark, sf_dir, "documents"), top=40
+    )
+
+
 @query("tfidf_topk", textstats.tfidf_topk_sql(table="documents", top=5))
 def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 keyword extraction by integer-exact tf-idf
@@ -4528,6 +4546,10 @@ _DEMOTED_ORACLED = frozenset({
     # sampled); demotion r4-green and the same salted-cap machinery runs
     # in-window inside web_curate's composed oracle:
     "domain_cap_kept",          # URL family: web_curate, canonical_dedup, anchor_terms in-window
+    # thirty-fourth r5 wave — yields a slot to bpe_pair_counts (never
+    # sampled); demotion r1..r4-green (the longest-green query in the
+    # registry) and the aggregate family stays richly represented:
+    "pricing_summary",          # agg family: corpus_card, length_quantiles, component_stats in-window
 })
 
 

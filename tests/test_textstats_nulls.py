@@ -300,3 +300,52 @@ def test_split_assign_plan_map_only(spark):
     plan = (textstats.split_assign(docs)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    """Pair counts weight by word frequency; single-char words
+    contribute nothing; case is preserved; NULL/empty text drop out."""
+    df = spark.createDataFrame(
+        [
+            (1, "aab aab ab"),   # 'aab' n=2 -> aa:2, ab:2 ; 'ab' n=1 -> ab:1
+            (2, "a Ab"),         # 'a' len 1 -> no pairs; 'Ab' cased, distinct from 'ab'
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = textstats.bpe_pair_counts(df, top=10).collect()
+    got = {r.pair: (r.n_pairs, r.rank) for r in rows}
+    # totals: ab=3, aa=2, Ab=1 — order (n desc, pair asc); note 'Ab' < 'aa'
+    # in binary UTF-8 so at n=1 it would sort before lowercase pairs
+    assert got == {"ab": (3, 1), "aa": (2, 2), "Ab": (1, 3)}
+
+
+def test_bpe_pair_counts_weighting_is_per_occurrence(spark):
+    # the same word in two documents counts twice: frequency weighting,
+    # not document frequency
+    df = spark.createDataFrame(
+        [(1, "xy"), (2, "xy"), (3, "zz zz zz")],
+        "doc_id long, text string",
+    )
+    got = {r.pair: r.n_pairs for r in
+           textstats.bpe_pair_counts(df, top=5).collect()}
+    assert got == {"xy": 2, "zz": 3}
+
+
+def test_bpe_pair_counts_top_rejects_bad_arg(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textstats.bpe_pair_counts(df, top=0)
+
+
+def test_bpe_pair_counts_plan_heap_topk_no_python(spark):
+    """The top-N must compile to TakeOrderedAndProject (bounded heap);
+    the rank window runs AFTER the limit, over `top` rows; no Python."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (textstats.bpe_pair_counts(docs, top=40)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan

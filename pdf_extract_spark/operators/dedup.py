@@ -924,6 +924,99 @@ FROM csz GROUP BY 1
 """
 
 
+def split_leakage(labels: DataFrame, assigned: DataFrame) -> DataFrame:
+    """Cross-split near-dup leakage audit — the check a training run
+    makes AFTER splitting and BEFORE trusting its eval numbers: a
+    held-out document whose near-duplicate sits in train is measuring
+    memorization, not generalization (the within-corpus twin of
+    benchmark decontamination). A document LEAKS when its near-dup
+    cluster contains a member assigned to a DIFFERENT split; singleton
+    documents can never leak.
+
+    Inputs: ``labels`` = (doc_id, component) — a ``dedup_components``
+    labeling over the full universe; ``assigned`` = (doc_id, split) —
+    ``split_assign`` output. Returns one row per split:
+    (split, n_docs, n_dup_docs, n_leaked, leak_milli) where n_dup_docs
+    counts members of any >1-doc cluster and leak_milli is the integer
+    milli leaked fraction (trunc division, engine-exact).
+
+    Scale (100 TB): the only corpus-sized relations carry (doc_id,
+    component, split) — never text. The cluster aggregate is
+    partial-combinable on the near-unique component key (a giant
+    boilerplate family is ONE hot key into a count aggregate — combined
+    map-side, not a window); the stats rejoin carries three short
+    columns and AQE's skew handling splits the giant component's probe
+    side if needed; the final aggregate is keyed on the handful of
+    split names AFTER map-side combine collapses each partition to
+    |splits| rows."""
+    j = labels.select("doc_id", "component").join(
+        assigned.select("doc_id", "split"), "doc_id"
+    )
+    comp = j.groupBy("component").agg(
+        F.count("*").cast("long").alias("csize"),
+        F.count_distinct("split").cast("long").alias("n_splits"),
+    )
+    per_doc = j.join(comp, "component")
+    return (
+        per_doc.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("csize") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_leaked"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_dup_docs",
+            "n_leaked",
+            F.expr("n_leaked * 1000 DIV n_docs")
+            .cast("long")
+            .alias("leak_milli"),
+        )
+    )
+
+
+def split_leakage_sql(
+    pairs_cte: str,
+    table: str = "documents",
+    fractions: tuple[tuple[str, int], ...] = (
+        ("train", 8000), ("val", 1000), ("test", 1000),
+    ),
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> str:
+    """DuckDB mirror: the dedup_components closure CTEs + the
+    split_assign hash CASE + the same two aggregates (``pairs_cte``
+    must define a CTE named ``pairs`` with columns id_a, id_b; n_docs
+    is never zero inside a group so the trunc division is total)."""
+    from pdf_extract_spark.operators.textstats import split_assign_sql
+
+    asg = split_assign_sql(
+        fractions=fractions, table=table, key_col=key_col, salt=salt
+    )
+    return f"""
+WITH RECURSIVE {dedup_components_ctes(pairs_cte, table)},
+asg AS (SELECT doc_id, split FROM ({asg.strip()})),
+lj AS (SELECT allc.doc_id, allc.component, asg.split
+       FROM allc JOIN asg ON allc.doc_id = asg.doc_id),
+cst AS (SELECT component, count(*)::BIGINT AS csize,
+               count(DISTINCT split)::BIGINT AS n_splits
+        FROM lj GROUP BY 1)
+SELECT split,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+       sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)::BIGINT AS n_leaked,
+       (sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) * 1000
+        // count(*))::BIGINT AS leak_milli
+FROM lj JOIN cst USING (component)
+GROUP BY split
+"""
+
+
 # -------------------------------------------------------- line-level dedup
 
 def dedup_lines(

@@ -3727,6 +3727,40 @@ def component_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_leakage",
+    dedup.split_leakage_sql(
+        f"pairs AS ({dedup.minhash_lsh_pairs_sql(table=_NGRAM_DECOR_SQL)})",
+        "documents",
+    ),
+)
+def split_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-dup leakage audit over the planted-boilerplate
+    decoration: MinHash pairs -> connected components -> hash-based
+    train/val/test assignment (8000/1000/1000 bp) -> per split, how
+    many documents sit in a cluster that straddles split boundaries.
+    The ~N/7 boilerplate family guarantees members in every split, so
+    the audit reads non-trivial leakage — exactly the eval-integrity
+    number (memorization vs generalization) a run checks before
+    trusting held-out metrics. All corpus-sized relations carry only
+    (doc_id, component, split); aggregates are partial-combinable.
+    NOT in the bench headline for the component_stats reason (the
+    uncapped giant family at sf0.1 bloats the verify join)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 3, F.lit(_CURATE_BOILER)).otherwise(
+            F.col("text")
+        ),
+    )
+    pairs = dedup.minhash_lsh_pairs(docs)
+    labels = dedup.dedup_components(pairs, universe=docs)
+    assigned = textstats.split_assign(
+        _t(spark, sf_dir, "documents"),
+        fractions=(("train", 8000), ("val", 1000), ("test", 1000)),
+    )
+    return dedup.split_leakage(labels, assigned)
+
+
+@query(
     "cluster_keepbest",
     dedup.cluster_keepbest_sql(
         f"pairs AS ({dedup.minhash_lsh_pairs_sql(table=_NGRAM_DECOR_SQL)})",
@@ -4550,6 +4584,10 @@ _DEMOTED_ORACLED = frozenset({
     # sampled); demotion r1..r4-green (the longest-green query in the
     # registry) and the aggregate family stays richly represented:
     "pricing_summary",          # agg family: corpus_card, length_quantiles, component_stats in-window
+    # thirty-fifth r5 wave — yields a slot to split_leakage (never
+    # sampled); demotion r4-green and the grid heuristic stays
+    # pytest-oracled every run (test_table_detect + the dtype gate):
+    "table_detect",             # extraction family: extract_spans_flagship (emits table spans) in-window
 })
 
 

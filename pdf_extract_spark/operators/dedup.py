@@ -983,17 +983,23 @@ def split_leakage(labels: DataFrame, assigned: DataFrame) -> DataFrame:
 def split_leakage_sql(
     pairs_cte: str,
     table: str = "documents",
-    fractions: tuple[tuple[str, int], ...] = (
-        ("train", 8000), ("val", 1000), ("test", 1000),
-    ),
+    fractions: tuple[tuple[str, int], ...] | None = None,
     key_col: str = "doc_id",
     salt: str = "split",
 ) -> str:
     """DuckDB mirror: the dedup_components closure CTEs + the
     split_assign hash CASE + the same two aggregates (``pairs_cte``
     must define a CTE named ``pairs`` with columns id_a, id_b; n_docs
-    is never zero inside a group so the trunc division is total)."""
-    from pdf_extract_spark.operators.textstats import split_assign_sql
+    is never zero inside a group so the trunc division is total).
+    ``fractions=None`` resolves to ``textstats.SPLIT_FRACTIONS`` — the
+    same tuple ``split_assign`` defaults to — so twins composed with
+    defaults on both sides can never diverge on bucket boundaries."""
+    from pdf_extract_spark.operators.textstats import (
+        SPLIT_FRACTIONS, split_assign_sql,
+    )
+
+    if fractions is None:
+        fractions = SPLIT_FRACTIONS
 
     asg = split_assign_sql(
         fractions=fractions, table=table, key_col=key_col, salt=salt

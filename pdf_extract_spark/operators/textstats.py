@@ -346,13 +346,18 @@ def stratified_sample_sql(
 
 
 SPLIT_MOD = 10_000  # dataset-split buckets in basis points
+# Single source for the default train/val/test fractions: split_assign,
+# split_assign_sql AND dedup.split_leakage_sql all resolve to THIS tuple,
+# so the Spark kernel and any oracle composing the hash CASE can never
+# silently disagree on where a bucket falls.
+SPLIT_FRACTIONS: tuple[tuple[str, int], ...] = (
+    ("train", 9800), ("val", 100), ("test", 100),
+)
 
 
 def split_assign(
     df: DataFrame,
-    fractions: tuple[tuple[str, int], ...] = (
-        ("train", 9800), ("val", 100), ("test", 100),
-    ),
+    fractions: tuple[tuple[str, int], ...] = SPLIT_FRACTIONS,
     key_col: str = "doc_id", salt: str = "split",
 ) -> DataFrame:
     """Deterministic train/val/test split assignment: bucket =
@@ -390,9 +395,7 @@ def split_assign(
 
 
 def split_assign_sql(
-    fractions: tuple[tuple[str, int], ...] = (
-        ("train", 9800), ("val", 100), ("test", 100),
-    ),
+    fractions: tuple[tuple[str, int], ...] = SPLIT_FRACTIONS,
     table: str = "documents", key_col: str = "doc_id", salt: str = "split",
 ) -> str:
     """DuckDB mirror of split_assign (same phash, same cumulative

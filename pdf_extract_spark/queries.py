@@ -3309,10 +3309,17 @@ def domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's cross-site banner: 10 docs globally, 2 per site, kept).
     The frequency pass shuffles only (domain, line-key, doc_id) with
     map-side partial distinct; reassembly is one doc-keyed aggregate;
-    pure Catalyst."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", _domain_site().alias("domain"),
-        _domain_page().alias("text"),
+    pure Catalyst. The explicit-count input repartition spreads the
+    single-file fixture scan (the page build + line explode are
+    map-heavy and would otherwise run in ONE scan task)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(n_part, "doc_id")
+        .select(
+            "doc_id", _domain_site().alias("domain"),
+            _domain_page().alias("text"),
+        )
     )
     return dedup.dedup_lines_by_domain(docs, min_docs=3)
 
@@ -3731,6 +3738,10 @@ def component_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.split_leakage_sql(
         f"pairs AS ({dedup.minhash_lsh_pairs_sql(table=_NGRAM_DECOR_SQL)})",
         "documents",
+        # explicit on BOTH sides (Spark call below passes the same
+        # tuple): the fixture wants val/test wide enough that the
+        # ~N/7 boilerplate family provably straddles splits at sf0.01
+        fractions=(("train", 8000), ("val", 1000), ("test", 1000)),
     ),
 )
 def split_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4072,9 +4083,13 @@ def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized pass is the map-combinable word-count aggregate; pair
     extraction runs over the bounded distinct-word relation and the
     top-N compiles to TakeOrderedAndProject with the rank window after
-    LIMIT."""
+    LIMIT. The explicit-count input repartition spreads the
+    single-file fixture scan (the token explode is map-heavy and would
+    otherwise run in ONE scan task)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return textstats.bpe_pair_counts(
-        _t(spark, sf_dir, "documents"), top=40
+        _t(spark, sf_dir, "documents").repartition(n_part, "doc_id"),
+        top=40,
     )
 
 

@@ -102,6 +102,9 @@ HEADLINE = [
     "linear_classify",          # fastText-style classifier inference (broadcast weights)
     "domain_boilerplate",       # intra-domain chrome strip (per-site doc frequency)
     "bpe_pair_counts",          # BPE merge-decision pair counts (vocab-bounded)
+    "gram_novelty",             # ingestion-order marginal-utility audit (gram-keyed owner join)
+    "bigram_surprisal",         # stupid-backoff bigram LM scoring (key-shuffled LM tables)
+    "rank_correlation",         # Spearman signal-agreement audit (bounded value histograms)
 ]
 
 
@@ -520,7 +523,14 @@ def write_bench_md(result: dict) -> None:
         "then 67 (added: bpe_pair_counts, the BPE merge-decision pair",
         "count — the only corpus-sized pass is the map-combinable word",
         "count; pair extraction runs over the bounded distinct-word",
-        "relation and the top-N is a TakeOrderedAndProject heap).",
+        "relation and the top-N is a TakeOrderedAndProject heap), then",
+        "70 (added: gram_novelty, the ingestion-order marginal-utility",
+        "audit — min-owner aggregate and owner join both gram-keyed;",
+        "bigram_surprisal, stupid-backoff bigram LM scoring in the",
+        "CCNet train/score shape — LM tables key-shuffled, never",
+        "broadcast; rank_correlation, integer-milli Spearman between",
+        "quality signals — midranks from bounded value histograms, no",
+        "corpus-wide window).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

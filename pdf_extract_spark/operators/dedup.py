@@ -1837,6 +1837,91 @@ def dup_gram_profile(
     )
 
 
+def gram_novelty(
+    docs: DataFrame, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Per-document content novelty in ingestion order — the marginal-
+    utility audit of an incremental crawl (each Common Crawl snapshot
+    adds progressively less NEW text once dedup runs; this measures
+    exactly that, per document): every distinct word k-gram is owned by
+    the FIRST document that contains it (min doc_id = ingestion order),
+    and a document's novelty is the milli fraction of its distinct
+    grams that it owns. The first copy of boilerplate scores high, every
+    later copy scores low — unlike ``dup_gram_profile`` (which marks ALL
+    copies of a repeated gram), novelty attributes each gram to exactly
+    one document, so corpus-wide ``sum(n_novel) == count(distinct
+    grams)`` and a curation run can read "ingest N added X% new text"
+    directly off the aggregate.
+
+    Scale (100 TB): the dup_gram_profile shape exactly — pass 1 is a
+    distinct-per-doc gram explode into a min aggregate keyed on the
+    gram (map-side combinable; the shuffle carries only (gram, doc_id));
+    pass 2 equi-joins the owner table ON THE GRAM KEY as a shuffle
+    join, never a broadcast (the gram vocabulary dwarfs executor
+    memory), then one per-doc partial-combinable aggregate. Document
+    text never shuffles.
+
+    Returns (doc_id, n_grams, n_novel, milli_novel); NULL and
+    zero-token texts contribute no grams (zero counts, NULL fraction),
+    gated on token count in BOTH engines — the bare whole-text fallback
+    shingle would otherwise fabricate an '' gram whose ownership goes
+    to the earliest empty document."""
+    t = F.col(text_col)
+    gated = F.when(
+        F.size(tokens(t)) > 0, shingles(t, k)
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select("doc_id", F.explode(gated).alias("g"))
+    owners = ex.groupBy("g").agg(F.min("doc_id").alias("first_owner"))
+    per_doc = (
+        ex.join(owners, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_owner") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr("n_novel * 1000 DIV n_grams"),
+            ).cast("long").alias("milli_novel"),
+        )
+    )
+
+
+def gram_novelty_sql(
+    table: str = "documents", text_expr: str = "text", k: int = 5
+) -> str:
+    """DuckDB twin of gram_novelty (shared shingle CTE; min() over the
+    same doc_id type on both engines, so first-owner attribution is
+    identical; trunc division on non-negatives)."""
+    return f"""
+WITH {_sh_cte(table, text_expr, k)},
+gr AS (SELECT sh0.doc_id, unnest(sh) AS g
+       FROM sh0 JOIN tk USING (doc_id) WHERE len(tk.t) > 0),
+own AS (SELECT g, min(doc_id) AS first_owner FROM gr GROUP BY g),
+per AS (SELECT gr.doc_id, count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN own.first_owner = gr.doc_id
+                        THEN 1 ELSE 0 END)::BIGINT AS n_novel
+        FROM gr JOIN own USING (g) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(p.n_novel, 0)::BIGINT AS n_novel,
+       (CASE WHEN p.n_grams > 0
+             THEN p.n_novel * 1000 // p.n_grams END)::BIGINT
+           AS milli_novel
+FROM tk d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+
 def dup_gram_profile_sql(
     table: str = "documents", text_expr: str = "text",
     k: int = 5, min_df: int = 2,

@@ -806,6 +806,158 @@ FROM {table} d LEFT JOIN per p USING (doc_id)
 """
 
 
+# Stupid-backoff constants (Brants et al. 2007 use alpha = 0.4, i.e.
+# ~1.32 bits; the integer kernel charges a flat 2 bits — conservative,
+# ~alpha = 0.25 — so the whole chain stays bit-exact across engines).
+BIGRAM_BACKOFF_BITS = 2
+
+
+def bigram_surprisal(
+    train: DataFrame, score: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Bigram LM surprisal with stupid backoff — the two-corpus form of
+    the CCNet quality signal (Wenzek et al. 2020 score a crawl with an
+    LM trained on trusted text; ``unigram_surprisal`` is the
+    degenerate self-trained case): train bigram + unigram counts on
+    ``train``, then score every ``score`` document by its adjacent
+    token pairs. A bigram seen in training costs its conditional bit
+    count ``flog2(c(w1)) - flog2(c(w1,w2))``; an unseen bigram backs
+    off to the unigram (``BIGRAM_BACKOFF_BITS + flog2(N) -
+    flog2(c(w2))``, the integer Stupid Backoff of Brants et al. 2007);
+    an out-of-vocabulary token costs one bit more than the rarest seen
+    token (``BIGRAM_BACKOFF_BITS + flog2(N) + 1``). All arithmetic is
+    integer (_flog2 bit lengths, integer sums, milli trunc division),
+    so scores are bit-identical across engines, partitionings and
+    reruns.
+
+    Returns (doc_id, n_bigrams, total_bits, n_backoff,
+    milli_bits_per_bigram) for every ``score`` row; docs with fewer
+    than two tokens keep zero counts and a NULL average.
+
+    Scale (100 TB): the CCNet deployment shape — a bounded trusted
+    train corpus and an unbounded crawl to score. Train passes are
+    vocab-/bigram-keyed count aggregates (map-side combine; shuffles
+    carry only token strings). The score pass builds bigrams by
+    zip_with over two shifted slices (the positional-array invariant —
+    never element_at random access), then LEFT-joins the bigram and
+    unigram tables ON THEIR KEYS as shuffle joins — a web-scale bigram
+    vocabulary is never broadcast; only the single-row corpus total is.
+    Document text never shuffles; the join relations carry (w1, w2,
+    doc_id) and counts only."""
+    def _bigrams(col: Column) -> Column:
+        t = tokens(col)
+        blen = F.greatest(F.size(t) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(t, 1, blen), F.slice(t, 2, blen),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+
+    tc = F.col(text_col)
+    ex_uni = train.select(F.explode(tokens(tc)).alias("tok"))
+    uni = ex_uni.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    total = uni.agg(F.sum("c").alias("n_total"))
+    big = (
+        train.select(F.explode(_bigrams(tc)).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    sc = score.select("doc_id", F.explode(_bigrams(tc)).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    j = (
+        sc.join(big, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c12").isNotNull(),
+                _flog2(F.col("c1")) - _flog2(F.col("c12")),
+            )
+            .when(
+                F.col("c2").isNotNull(),
+                F.lit(BIGRAM_BACKOFF_BITS)
+                + _flog2(F.col("n_total")) - _flog2(F.col("c2")),
+            )
+            .otherwise(
+                F.lit(BIGRAM_BACKOFF_BITS) + _flog2(F.col("n_total")) + 1
+            )
+            .cast("long")
+            .alias("bits"),
+            F.when(F.col("c12").isNull(), 1).otherwise(0).alias("bo"),
+        )
+    )
+    per_doc = j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("total_bits"),
+        F.sum("bo").cast("long").alias("n_backoff"),
+    )
+    return (
+        score.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce("total_bits", F.lit(0).cast("long")).alias("total_bits"),
+            F.coalesce("n_backoff", F.lit(0).cast("long")).alias("n_backoff"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.expr("total_bits * 1000 DIV n_bigrams"),
+            ).cast("long").alias("milli_bits_per_bigram"),
+        )
+    )
+
+
+def bigram_surprisal_sql(
+    train_table: str, score_table: str, text_expr: str = "text"
+) -> str:
+    """DuckDB mirror of bigram_surprisal (lockstep multi-unnest of the
+    two shifted 1-based-inclusive slices zips the bigram pairs; bin
+    lengths == _flog2; trunc `//` == DIV on non-negatives)."""
+    toks = tokens_sql(text_expr)
+    nb = "length(bin((SELECT n_total FROM tot))) - 1"
+    return f"""
+WITH tru AS (SELECT unnest({toks}) AS tok FROM {train_table}),
+uni AS (SELECT tok, count(*)::BIGINT AS c FROM tru GROUP BY tok),
+tot AS (SELECT sum(c)::BIGINT AS n_total FROM uni),
+trt AS (SELECT {toks} AS t FROM {train_table}),
+big AS (SELECT w1, w2, count(*)::BIGINT AS c12
+        FROM (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+              FROM trt WHERE len(t) >= 2)
+        GROUP BY w1, w2),
+sct AS (SELECT doc_id, {toks} AS t FROM {score_table}),
+sc AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+       FROM sct WHERE len(t) >= 2),
+j AS (SELECT sc.doc_id,
+             (CASE WHEN b.c12 IS NOT NULL
+                   THEN (length(bin(u1.c)) - 1) - (length(bin(b.c12)) - 1)
+                   WHEN u2.c IS NOT NULL
+                   THEN {BIGRAM_BACKOFF_BITS} + ({nb}) - (length(bin(u2.c)) - 1)
+                   ELSE {BIGRAM_BACKOFF_BITS} + ({nb}) + 1 END)::BIGINT AS bits,
+             CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS bo
+      FROM sc
+      LEFT JOIN big b ON sc.w1 = b.w1 AND sc.w2 = b.w2
+      LEFT JOIN uni u1 ON sc.w1 = u1.tok
+      LEFT JOIN uni u2 ON sc.w2 = u2.tok),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               sum(bits)::BIGINT AS total_bits,
+               sum(bo)::BIGINT AS n_backoff
+        FROM j GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(p.total_bits, 0)::BIGINT AS total_bits,
+       coalesce(p.n_backoff, 0)::BIGINT AS n_backoff,
+       (CASE WHEN p.n_bigrams > 0
+             THEN p.total_bits * 1000 // p.n_bigrams END)::BIGINT
+           AS milli_bits_per_bigram
+FROM {score_table} d LEFT JOIN per p USING (doc_id)
+"""
+
+
 def quality_buckets(
     df: DataFrame,
     text_col: str = "text",
@@ -2253,4 +2405,120 @@ SELECT d.doc_id,
        sc.milli_per_token,
        coalesce(sc.milli_per_token >= {threshold}, FALSE) AS label
 FROM {table} d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
+# ---------------------------------------------------------------------
+# Spearman rank correlation between quality signals
+# ---------------------------------------------------------------------
+
+def rank_correlation(
+    df: DataFrame, col_a: str, col_b: str, key_col: str = "doc_id"
+) -> DataFrame:
+    """Integer-milli Spearman rank correlation between two per-document
+    signals — the signal-agreement audit a curation run makes before
+    trusting a new quality score (do the model-based classifier and the
+    heuristic battery rank documents the same way? is surprisal just
+    length in disguise?). Rows where either signal is NULL are excluded
+    (both signals must speak). Ties take MIDRANKS — the statistically
+    standard choice, and the one that needs no per-row tiebreak window.
+
+    To stay integer-exact, ranks are DOUBLED (midrank2 = 2*cum_before +
+    n_ties + 1, always an integer even for .5 midranks), so
+    sum(d2x) = 4 * sum(d^2) and
+
+        rho_milli = 1000 - (3000 * sum(d2x)) DIV (2 * n * (n^2 - 1))
+
+    — one trunc division of exact integers, identical in both engines
+    (decimal(38,0) / HUGEINT intermediates carry the product exactly to
+    ~1e38, i.e. any corpus). Returns ONE row (n_docs, rho_milli); NULL
+    rho when n < 2. rho_milli uses the classic difference formula,
+    which with midranks is the standard approximation (exact when
+    either signal is tie-free).
+
+    Scale (100 TB): NO corpus-wide window. Each signal's rank table is
+    built from its VALUE HISTOGRAM — a count aggregate keyed on the
+    (bounded-cardinality) signal value, a cumulative window over that
+    bounded relation only (the token_budget discipline), and an
+    equi-join back on the value key. The d^2 pass joins the two rank
+    relations on the document key and feeds one partial-combinable
+    global aggregate. Every shuffled relation carries (key, value,
+    rank) only."""
+
+    def _rank2(side: DataFrame, val: str) -> DataFrame:
+        hist = side.groupBy(val).agg(F.count("*").cast("long").alias("nv"))
+        w = Window.orderBy(val).rowsBetween(Window.unboundedPreceding, -1)
+        cum = hist.select(
+            val,
+            (
+                F.coalesce(F.sum("nv").over(w), F.lit(0)) * 2
+                + F.col("nv") + 1
+            ).cast("long").alias("r2"),
+        )
+        return side.join(cum, val).select(key_col, "r2")
+
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(key_col, col_a, col_b)
+    ra = _rank2(base.select(key_col, col_a), col_a)
+    rb = _rank2(base.select(key_col, col_b), col_b).withColumnRenamed(
+        "r2", "r2b"
+    )
+    dd = ra.join(rb, key_col).select(
+        (F.col("r2") - F.col("r2b")).alias("d"),
+    )
+    agg = dd.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("s"),
+    )
+    return agg.select(
+        "n_docs",
+        F.when(
+            F.col("n_docs") >= 2,
+            F.expr(
+                "1000 - CAST(3000 AS DECIMAL(38,0)) * s DIV "
+                "(CAST(2 AS DECIMAL(38,0)) * n_docs"
+                " * (CAST(n_docs AS DECIMAL(38,0)) * n_docs - 1))"
+            ),
+        ).cast("long").alias("rho_milli"),
+    )
+
+
+def rank_correlation_sql(
+    table: str, col_a: str, col_b: str, key_col: str = "doc_id"
+) -> str:
+    """DuckDB mirror of rank_correlation. ``table`` is a table name or
+    parenthesized subquery yielding (key_col, col_a, col_b). The naive
+    global midrank here (2*rank - 1 + n_ties via window frames) equals
+    the Spark side's histogram construction."""
+    return f"""
+WITH base AS (SELECT {key_col} AS k, {col_a} AS va, {col_b} AS vb
+              FROM {table}
+              WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL),
+ha AS (SELECT va, count(*)::BIGINT AS nv FROM base GROUP BY va),
+ca AS (SELECT va,
+              (2 * coalesce(sum(nv) OVER (ORDER BY va
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + nv + 1)::BIGINT AS r2a
+       FROM ha),
+hb AS (SELECT vb, count(*)::BIGINT AS nv FROM base GROUP BY vb),
+cb AS (SELECT vb,
+              (2 * coalesce(sum(nv) OVER (ORDER BY vb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + nv + 1)::BIGINT AS r2b
+       FROM hb),
+dd AS (SELECT (ca.r2a - cb.r2b)::HUGEINT AS d
+       FROM base JOIN ca USING (va) JOIN cb USING (vb)),
+agg AS (SELECT count(*)::BIGINT AS n_docs,
+               coalesce(sum(d * d), 0)::HUGEINT AS s
+        FROM dd)
+SELECT n_docs,
+       (CASE WHEN n_docs >= 2 THEN
+          1000 - (3000::HUGEINT * s) //
+                 (2::HUGEINT * n_docs * (n_docs::HUGEINT * n_docs - 1))
+        END)::BIGINT AS rho_milli
+FROM agg
 """

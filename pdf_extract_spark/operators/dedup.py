@@ -1807,11 +1807,7 @@ def dup_gram_profile(
     duplicated) while DuckDB emits no rows."""
     if min_df < 1:
         raise ValueError(f"min_df must be >= 1, got {min_df}")
-    t = F.col(text_col)
-    gated = F.when(
-        F.size(tokens(t)) > 0, shingles(t, k)
-    ).otherwise(F.array().cast("array<string>"))
-    ex = docs.select("doc_id", F.explode(gated).alias("g"))
+    ex = _gated_gram_explode(docs, k, text_col)
     df_tab = ex.groupBy("g").agg(F.count("*").cast("long").alias("df"))
     dup = df_tab.filter(F.col("df") >= min_df).select("g", F.lit(1).alias("hit"))
     per_doc = (
@@ -1835,6 +1831,55 @@ def dup_gram_profile(
             ).cast("long").alias("milli_dup_frac"),
         )
     )
+
+
+def _gated_gram_explode(
+    docs: DataFrame, k: int, text_col: str
+) -> DataFrame:
+    """Distinct-per-doc word k-gram explode, GATED on token count —
+    shared by dup_gram_profile and gram_novelty so their gating
+    semantics can never drift: the bare whole-text fallback shingle
+    would fabricate an '' gram for NULL/zero-token docs on the Spark
+    side (while DuckDB emits no rows), letting two empty docs mark
+    each other duplicated / steal each other's novelty. Returns
+    (doc_id, g)."""
+    t = F.col(text_col)
+    gated = F.when(
+        F.size(tokens(t)) > 0, shingles(t, k)
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(gated).alias("g"))
+
+
+def _gated_gram_cte(table: str, text_expr: str, k: int) -> str:
+    """DuckDB twin of _gated_gram_explode: the shared shingle CTEs plus
+    the token-count-gated gram unnest as CTE ``gr`` (doc_id, g)."""
+    return f"""{_sh_cte(table, text_expr, k)},
+gr AS (SELECT sh0.doc_id, unnest(sh) AS g
+       FROM sh0 JOIN tk USING (doc_id) WHERE len(tk.t) > 0)"""
+
+
+def dup_gram_profile_sql(
+    table: str = "documents", text_expr: str = "text",
+    k: int = 5, min_df: int = 2,
+) -> str:
+    """DuckDB twin of dup_gram_profile (shared gated gram CTE;
+    distinct per-doc grams make df a plain count; trunc division on
+    non-negatives)."""
+    return f"""
+WITH {_gated_gram_cte(table, text_expr, k)},
+dfr AS (SELECT g, count(*)::BIGINT AS df FROM gr GROUP BY g),
+dup AS (SELECT g FROM dfr WHERE df >= {min_df}),
+per AS (SELECT gr.doc_id, count(*)::BIGINT AS n_grams,
+               count(dup.g)::BIGINT AS n_dup_grams
+        FROM gr LEFT JOIN dup ON gr.g = dup.g GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(p.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       (CASE WHEN p.n_grams > 0
+             THEN p.n_dup_grams * 1000 // p.n_grams END)::BIGINT
+           AS milli_dup_frac
+FROM tk d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
 
 
 def gram_novelty(
@@ -1863,14 +1908,9 @@ def gram_novelty(
 
     Returns (doc_id, n_grams, n_novel, milli_novel); NULL and
     zero-token texts contribute no grams (zero counts, NULL fraction),
-    gated on token count in BOTH engines — the bare whole-text fallback
-    shingle would otherwise fabricate an '' gram whose ownership goes
-    to the earliest empty document."""
-    t = F.col(text_col)
-    gated = F.when(
-        F.size(tokens(t)) > 0, shingles(t, k)
-    ).otherwise(F.array().cast("array<string>"))
-    ex = docs.select("doc_id", F.explode(gated).alias("g"))
+    gated on token count in BOTH engines (the shared
+    _gated_gram_explode)."""
+    ex = _gated_gram_explode(docs, k, text_col)
     owners = ex.groupBy("g").agg(F.min("doc_id").alias("first_owner"))
     per_doc = (
         ex.join(owners, "g")
@@ -1900,13 +1940,11 @@ def gram_novelty(
 def gram_novelty_sql(
     table: str = "documents", text_expr: str = "text", k: int = 5
 ) -> str:
-    """DuckDB twin of gram_novelty (shared shingle CTE; min() over the
-    same doc_id type on both engines, so first-owner attribution is
-    identical; trunc division on non-negatives)."""
+    """DuckDB twin of gram_novelty (shared gated gram CTE; min() over
+    the same doc_id type on both engines, so first-owner attribution
+    is identical; trunc division on non-negatives)."""
     return f"""
-WITH {_sh_cte(table, text_expr, k)},
-gr AS (SELECT sh0.doc_id, unnest(sh) AS g
-       FROM sh0 JOIN tk USING (doc_id) WHERE len(tk.t) > 0),
+WITH {_gated_gram_cte(table, text_expr, k)},
 own AS (SELECT g, min(doc_id) AS first_owner FROM gr GROUP BY g),
 per AS (SELECT gr.doc_id, count(*)::BIGINT AS n_grams,
                sum(CASE WHEN own.first_owner = gr.doc_id
@@ -1921,28 +1959,3 @@ SELECT d.doc_id,
 FROM tk d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
 
-
-def dup_gram_profile_sql(
-    table: str = "documents", text_expr: str = "text",
-    k: int = 5, min_df: int = 2,
-) -> str:
-    """DuckDB twin of dup_gram_profile (shared shingle CTE; distinct
-    per-doc grams make df a plain count; trunc division on
-    non-negatives)."""
-    return f"""
-WITH {_sh_cte(table, text_expr, k)},
-gr AS (SELECT sh0.doc_id, unnest(sh) AS g
-       FROM sh0 JOIN tk USING (doc_id) WHERE len(tk.t) > 0),
-dfr AS (SELECT g, count(*)::BIGINT AS df FROM gr GROUP BY g),
-dup AS (SELECT g FROM dfr WHERE df >= {min_df}),
-per AS (SELECT gr.doc_id, count(*)::BIGINT AS n_grams,
-               count(dup.g)::BIGINT AS n_dup_grams
-        FROM gr LEFT JOIN dup ON gr.g = dup.g GROUP BY 1)
-SELECT d.doc_id,
-       coalesce(p.n_grams, 0)::BIGINT AS n_grams,
-       coalesce(p.n_dup_grams, 0)::BIGINT AS n_dup_grams,
-       (CASE WHEN p.n_grams > 0
-             THEN p.n_dup_grams * 1000 // p.n_grams END)::BIGINT
-           AS milli_dup_frac
-FROM tk d LEFT JOIN per p ON d.doc_id = p.doc_id
-"""

@@ -919,34 +919,34 @@ def bigram_surprisal_sql(
     two shifted 1-based-inclusive slices zips the bigram pairs; bin
     lengths == _flog2; trunc `//` == DIV on non-negatives)."""
     toks = tokens_sql(text_expr)
-    nb = "length(bin((SELECT n_total FROM tot))) - 1"
+    nb = "length(bin((SELECT n_total FROM bs_tot))) - 1"
     return f"""
-WITH tru AS (SELECT unnest({toks}) AS tok FROM {train_table}),
-uni AS (SELECT tok, count(*)::BIGINT AS c FROM tru GROUP BY tok),
-tot AS (SELECT sum(c)::BIGINT AS n_total FROM uni),
-trt AS (SELECT {toks} AS t FROM {train_table}),
-big AS (SELECT w1, w2, count(*)::BIGINT AS c12
+WITH bs_tru AS (SELECT unnest({toks}) AS tok FROM {train_table}),
+bs_uni AS (SELECT tok, count(*)::BIGINT AS c FROM bs_tru GROUP BY tok),
+bs_tot AS (SELECT sum(c)::BIGINT AS n_total FROM bs_uni),
+bs_trt AS (SELECT {toks} AS t FROM {train_table}),
+bs_big AS (SELECT w1, w2, count(*)::BIGINT AS c12
         FROM (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
-              FROM trt WHERE len(t) >= 2)
+              FROM bs_trt WHERE len(t) >= 2)
         GROUP BY w1, w2),
-sct AS (SELECT doc_id, {toks} AS t FROM {score_table}),
-sc AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
-       FROM sct WHERE len(t) >= 2),
-j AS (SELECT sc.doc_id,
+bs_sct AS (SELECT doc_id, {toks} AS t FROM {score_table}),
+bs_sc AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+       FROM bs_sct WHERE len(t) >= 2),
+bs_j AS (SELECT bs_sc.doc_id,
              (CASE WHEN b.c12 IS NOT NULL
                    THEN (length(bin(u1.c)) - 1) - (length(bin(b.c12)) - 1)
                    WHEN u2.c IS NOT NULL
                    THEN {BIGRAM_BACKOFF_BITS} + ({nb}) - (length(bin(u2.c)) - 1)
                    ELSE {BIGRAM_BACKOFF_BITS} + ({nb}) + 1 END)::BIGINT AS bits,
              CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS bo
-      FROM sc
-      LEFT JOIN big b ON sc.w1 = b.w1 AND sc.w2 = b.w2
-      LEFT JOIN uni u1 ON sc.w1 = u1.tok
-      LEFT JOIN uni u2 ON sc.w2 = u2.tok),
-per AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      FROM bs_sc
+      LEFT JOIN bs_big b ON bs_sc.w1 = b.w1 AND bs_sc.w2 = b.w2
+      LEFT JOIN bs_uni u1 ON bs_sc.w1 = u1.tok
+      LEFT JOIN bs_uni u2 ON bs_sc.w2 = u2.tok),
+bs_per AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
                sum(bits)::BIGINT AS total_bits,
                sum(bo)::BIGINT AS n_backoff
-        FROM j GROUP BY doc_id)
+        FROM bs_j GROUP BY doc_id)
 SELECT d.doc_id,
        coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
        coalesce(p.total_bits, 0)::BIGINT AS total_bits,
@@ -954,7 +954,7 @@ SELECT d.doc_id,
        (CASE WHEN p.n_bigrams > 0
              THEN p.total_bits * 1000 // p.n_bigrams END)::BIGINT
            AS milli_bits_per_bigram
-FROM {score_table} d LEFT JOIN per p USING (doc_id)
+FROM {score_table} d LEFT JOIN bs_per p USING (doc_id)
 """
 
 

@@ -4532,11 +4532,14 @@ def zorder_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries of queries().  Three tiers:
 #   1. oracled queries (value+schema+hash-checkable vs DuckDB) — the
 #      driver window should contain ONLY these;
-#   2. _DEMOTED_ORACLED — oracled queries whose operator family is
-#      already represented by an in-window sibling (noted below) and
-#      which were driver-green in rounds 1-3; they stay fully oracled
-#      (the pytest mirror checks them every run) but yield their window
-#      slot to queries the driver has never sampled;
+#   2. _DEMOTED_ORACLED — oracled queries whose operator family was
+#      represented by an in-window sibling AT DEMOTION TIME (each
+#      note below records that moment; later waves may demote a cited
+#      sibling too — the authoritative current window is simply the
+#      first 50 of QUERIES) and which were driver-green in a prior
+#      round; they stay fully oracled (the pytest mirror checks them
+#      every run) but yield their window slot to queries the driver
+#      has never sampled;
 #   3. rows-only queries (no SQL-expressible oracle — Hungarian,
 #      Lloyd-trained IVF, regex-cascade verdicts, byte-path parses) last.
 # Self-maintaining: any future oracle-less registration sinks to tier 3.

@@ -105,6 +105,8 @@ HEADLINE = [
     "gram_novelty",             # ingestion-order marginal-utility audit (gram-keyed owner join)
     "bigram_surprisal",         # stupid-backoff bigram LM scoring (key-shuffled LM tables)
     "rank_correlation",         # Spearman signal-agreement audit (bounded value histograms)
+    "token_drift",              # snapshot TV-distance drift monitor (vocab-keyed full outer)
+    "filter_kappa",             # gate-agreement Cohen's kappa (map-only five-counter fold)
 ]
 
 
@@ -530,7 +532,11 @@ def write_bench_md(result: dict) -> None:
         "CCNet train/score shape — LM tables key-shuffled, never",
         "broadcast; rank_correlation, integer-milli Spearman between",
         "quality signals — midranks from bounded value histograms, no",
-        "corpus-wide window).",
+        "corpus-wide window), then 72 (added: token_drift, the snapshot",
+        "total-variation drift monitor — one vocab-keyed full-outer",
+        "join, never broadcast, single-row totals fold in by broadcast;",
+        "filter_kappa, Cohen's kappa between two keep/drop gates —",
+        "map-only battery plus one global five-counter aggregate).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

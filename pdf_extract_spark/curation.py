@@ -225,6 +225,135 @@ FROM o FULL OUTER JOIN n USING ({key_col})
 """
 
 
+# --------------------------------------------- token-distribution drift
+
+def token_drift(
+    corpus_a: DataFrame, corpus_b: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Unigram distribution drift between two corpus snapshots — the
+    dataset-shift monitor a recurring ingest runs next to
+    ``corpus_diff`` (which diffs DOCUMENTS; this diffs the TOKEN
+    DISTRIBUTION, catching drift that document-level diffing cannot:
+    the same pages re-crawled with new boilerplate, a language mix
+    shift, a template change). The metric is total-variation distance
+    ``TV = 0.5 * sum_t |p_a(t) - p_b(t)|`` in exact integer milli:
+
+        milli_tv = (sum_t |c_a(t)*N_b - c_b(t)*N_a|) * 1000
+                   DIV (2 * N_a * N_b)
+
+    — one trunc division of exact integers (decimal(38,0) / HUGEINT
+    intermediates carry c*N products exactly to ~1e38, any corpus).
+    TV is 0 for identical distributions, 1000 for disjoint vocabularies.
+
+    Returns ONE row: (n_tokens_a, n_tokens_b, vocab_a, vocab_b,
+    vocab_shared, milli_tv); milli_tv is NULL when either side has no
+    tokens (no distribution to compare).
+
+    Scale (100 TB): two vocab-keyed count aggregates (map-side
+    combine; shuffles carry only the token string), ONE full-outer
+    join on the token key — vocabulary-sized, so never broadcast —
+    and a single partial-combinable global aggregate. The two
+    single-row totals fold in by broadcast. Document text never
+    shuffles."""
+    from pdf_extract_spark.operators.textstats import tokens
+
+    def _counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    ca = _counts(corpus_a, "ca")
+    cb = _counts(corpus_b, "cb")
+    na = ca.agg(F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("na"))
+    nb = cb.agg(F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("nb"))
+    joined = (
+        ca.join(cb, "tok", "full_outer")
+        .select(
+            F.coalesce("ca", F.lit(0).cast("long")).alias("ca"),
+            F.coalesce("cb", F.lit(0).cast("long")).alias("cb"),
+        )
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    agg = joined.agg(
+        F.max("na").alias("n_tokens_a"),
+        F.max("nb").alias("n_tokens_b"),
+        F.sum(F.when(F.col("ca") > 0, 1).otherwise(0)).cast("long").alias("vocab_a"),
+        F.sum(F.when(F.col("cb") > 0, 1).otherwise(0)).cast("long").alias("vocab_b"),
+        F.sum(
+            F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1).otherwise(0)
+        ).cast("long").alias("vocab_shared"),
+        F.sum(
+            F.abs(
+                F.col("ca").cast("decimal(38,0)") * F.col("nb")
+                - F.col("cb").cast("decimal(38,0)") * F.col("na")
+            )
+        ).alias("s"),
+    )
+    # empty-side edge: when BOTH vocabularies are empty the join emits
+    # no rows and every aggregate is NULL -> coalesce the counters to 0;
+    # the milli_tv guard reads the PRE-coalesce aggregates (NULL > 0 is
+    # NULL -> milli_tv NULL), which is the documented contract for an
+    # empty side
+    return agg.select(
+        F.coalesce("n_tokens_a", F.lit(0).cast("long")).alias("n_tokens_a"),
+        F.coalesce("n_tokens_b", F.lit(0).cast("long")).alias("n_tokens_b"),
+        F.coalesce("vocab_a", F.lit(0).cast("long")).alias("vocab_a"),
+        F.coalesce("vocab_b", F.lit(0).cast("long")).alias("vocab_b"),
+        F.coalesce("vocab_shared", F.lit(0).cast("long")).alias("vocab_shared"),
+        F.when(
+            (F.col("n_tokens_a") > 0) & (F.col("n_tokens_b") > 0),
+            F.expr(
+                "s * 1000 DIV (CAST(2 AS DECIMAL(38,0))"
+                " * n_tokens_a * n_tokens_b)"
+            ),
+        ).cast("long").alias("milli_tv"),
+    )
+
+
+def token_drift_sql(
+    table_a: str, table_b: str, text_expr: str = "text"
+) -> str:
+    """DuckDB twin of token_drift (same full-outer token join; HUGEINT
+    products; ``//`` == DIV on the non-negative sum)."""
+    from pdf_extract_spark.operators.textstats import tokens_sql
+
+    toks = tokens_sql(text_expr)
+    return f"""
+WITH td_ca AS (SELECT tok, count(*)::BIGINT AS ca
+               FROM (SELECT unnest({toks}) AS tok FROM {table_a})
+               GROUP BY tok),
+td_cb AS (SELECT tok, count(*)::BIGINT AS cb
+               FROM (SELECT unnest({toks}) AS tok FROM {table_b})
+               GROUP BY tok),
+td_na AS (SELECT coalesce(sum(ca), 0)::BIGINT AS na FROM td_ca),
+td_nb AS (SELECT coalesce(sum(cb), 0)::BIGINT AS nb FROM td_cb),
+td_j AS (SELECT coalesce(a.ca, 0)::BIGINT AS ca,
+                coalesce(b.cb, 0)::BIGINT AS cb
+         FROM td_ca a FULL OUTER JOIN td_cb b USING (tok)),
+td_agg AS (SELECT
+    (SELECT na FROM td_na) AS n_tokens_a,
+    (SELECT nb FROM td_nb) AS n_tokens_b,
+    sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_a,
+    sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_b,
+    sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_shared,
+    sum(abs(ca::HUGEINT * (SELECT nb FROM td_nb)
+            - cb::HUGEINT * (SELECT na FROM td_na))) AS s
+    FROM td_j)
+SELECT coalesce(n_tokens_a, 0)::BIGINT AS n_tokens_a,
+       coalesce(n_tokens_b, 0)::BIGINT AS n_tokens_b,
+       coalesce(vocab_a, 0)::BIGINT AS vocab_a,
+       coalesce(vocab_b, 0)::BIGINT AS vocab_b,
+       coalesce(vocab_shared, 0)::BIGINT AS vocab_shared,
+       (CASE WHEN n_tokens_a > 0 AND n_tokens_b > 0
+             THEN s * 1000 // (2::HUGEINT * n_tokens_a * n_tokens_b)
+        END)::BIGINT AS milli_tv
+FROM td_agg
+"""
+
+
 # --------------------------------------------- DSIR importance weights
 
 def dsir_weights(

@@ -2522,3 +2522,112 @@ SELECT n_docs,
         END)::BIGINT AS rho_milli
 FROM agg
 """
+
+
+# --------------------------------------------- gate-agreement kappa
+
+def filter_kappa(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Cohen's kappa between two boolean keep/drop gates — the
+    binary-filter sibling of ``rank_correlation`` (continuous
+    signals): before swapping a heuristic gate for a model-based one,
+    a curation run asks how often they agree BEYOND CHANCE. Raw
+    agreement (po) flatters gates that both keep almost everything;
+    kappa subtracts the chance agreement (pe) implied by the two
+    gates' marginal keep rates.
+
+    Integer-milli, engine-exact:
+
+        S   = r1*c1 + r0*c0          (chance-agreement numerator)
+        num = n*(n11 + n00) - S      (can be negative)
+        den = n*n - S                (>= 0; 0 iff pe = 1)
+        kappa_milli = sign-split( 1000*num DIV den )
+
+    with decimal(38,0)/HUGEINT intermediates (exact to ~1e38) and the
+    sign-split trunc division (``-((-x) DIV d)`` for negative x) the
+    engines agree on. Rows where either verdict is NULL are excluded
+    (both gates must speak). Returns ONE row: (n_docs, n_agree,
+    milli_po, milli_pe, kappa_milli); kappa is NULL when n = 0 or
+    pe = 1 (two constant, identical gates — agreement is vacuous).
+
+    Scale (100 TB): one map-only projection and ONE global
+    partial-combinable aggregate — every executor reduces its
+    partition to five counters. Nothing shuffles but the counters."""
+    a = F.col(col_a)
+    b = F.col(col_b)
+    base = df.filter(a.isNotNull() & b.isNotNull())
+    agg = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(a & b, 1).otherwise(0)).cast("long").alias("n11"),
+        F.sum(F.when(~a & ~b, 1).otherwise(0)).cast("long").alias("n00"),
+        F.sum(F.when(a, 1).otherwise(0)).cast("long").alias("r1"),
+        F.sum(F.when(b, 1).otherwise(0)).cast("long").alias("c1"),
+    )
+    k = agg.select(
+        F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+        F.coalesce("n11", F.lit(0).cast("long")).alias("n11"),
+        F.coalesce("n00", F.lit(0).cast("long")).alias("n00"),
+        F.coalesce("r1", F.lit(0).cast("long")).alias("r1"),
+        F.coalesce("c1", F.lit(0).cast("long")).alias("c1"),
+    ).select(
+        "*",
+        F.expr(
+            "CAST(r1 AS DECIMAL(38,0)) * c1"
+            " + CAST(n - r1 AS DECIMAL(38,0)) * (n - c1)"
+        ).alias("s"),
+    )
+    return k.select(
+        F.col("n").alias("n_docs"),
+        (F.col("n11") + F.col("n00")).cast("long").alias("n_agree"),
+        F.when(
+            F.col("n") > 0, F.expr("(n11 + n00) * 1000 DIV n")
+        ).cast("long").alias("milli_po"),
+        F.when(
+            F.col("n") > 0,
+            F.expr("s * 1000 DIV (CAST(n AS DECIMAL(38,0)) * n)"),
+        ).cast("long").alias("milli_pe"),
+        F.when(
+            (F.col("n") > 0)
+            & (F.expr("CAST(n AS DECIMAL(38,0)) * n - s") != F.lit(0)),
+            F.expr(
+                "CASE WHEN CAST(n AS DECIMAL(38,0)) * (n11 + n00) - s >= 0"
+                " THEN (CAST(n AS DECIMAL(38,0)) * (n11 + n00) - s) * 1000"
+                "      DIV (CAST(n AS DECIMAL(38,0)) * n - s)"
+                " ELSE -((s - CAST(n AS DECIMAL(38,0)) * (n11 + n00)) * 1000"
+                "        DIV (CAST(n AS DECIMAL(38,0)) * n - s)) END"
+            ),
+        ).cast("long").alias("kappa_milli"),
+    )
+
+
+def filter_kappa_sql(
+    table: str, col_a: str, col_b: str
+) -> str:
+    """DuckDB twin of filter_kappa (HUGEINT intermediates; the same
+    sign-split trunc division). ``table`` is a table name or
+    parenthesized subquery yielding boolean ``col_a``/``col_b``."""
+    return f"""
+WITH fk_base AS (SELECT {col_a} AS a, {col_b} AS b FROM {table}
+                 WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL),
+fk_agg AS (SELECT count(*)::BIGINT AS n,
+                  coalesce(sum(CASE WHEN a AND b THEN 1 ELSE 0 END), 0)::BIGINT AS n11,
+                  coalesce(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END), 0)::BIGINT AS n00,
+                  coalesce(sum(CASE WHEN a THEN 1 ELSE 0 END), 0)::BIGINT AS r1,
+                  coalesce(sum(CASE WHEN b THEN 1 ELSE 0 END), 0)::BIGINT AS c1
+           FROM fk_base),
+fk_s AS (SELECT *, (r1::HUGEINT * c1 + (n - r1)::HUGEINT * (n - c1)) AS s
+         FROM fk_agg)
+SELECT n AS n_docs,
+       (n11 + n00)::BIGINT AS n_agree,
+       (CASE WHEN n > 0 THEN (n11 + n00) * 1000 // n END)::BIGINT AS milli_po,
+       (CASE WHEN n > 0 THEN s * 1000 // (n::HUGEINT * n) END)::BIGINT AS milli_pe,
+       (CASE WHEN n > 0 AND n::HUGEINT * n - s <> 0 THEN
+          CASE WHEN n::HUGEINT * (n11 + n00) - s >= 0
+               THEN (n::HUGEINT * (n11 + n00) - s) * 1000
+                    // (n::HUGEINT * n - s)
+               ELSE -((s - n::HUGEINT * (n11 + n00)) * 1000
+                      // (n::HUGEINT * n - s)) END
+        END)::BIGINT AS kappa_milli
+FROM fk_s
+"""

@@ -3924,6 +3924,61 @@ def rank_correlation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.rank_correlation(u.join(q, "doc_id"), "sig_a", "sig_b")
 
 
+_DRIFT_A_SQL = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+_DRIFT_B_SQL = "(SELECT * FROM documents WHERE doc_id % 2 = 1)"
+
+
+@query(
+    "token_drift",
+    curation.token_drift_sql(table_a=_DRIFT_A_SQL, table_b=_DRIFT_B_SQL),
+)
+def token_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-shift monitor between two corpus snapshots: the even-
+    and odd-doc_id halves stand in for consecutive crawls — vocabulary
+    overlap is high but per-token frequencies differ, so the shared /
+    a-only / b-only join paths and the exact-integer TV division all
+    fire organically. One token-keyed full-outer join (vocabulary-
+    sized, never broadcast) + one global aggregate; the explicit-count
+    input repartition spreads the single-file fixture scan for the two
+    map-heavy tokenize passes."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = _t(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    d = F.col("doc_id")
+    return curation.token_drift(base.filter(d % 2 == 0), base.filter(d % 2 == 1))
+
+
+@query(
+    "filter_kappa",
+    textstats.filter_kappa_sql(
+        table=(
+            "(SELECT q.doc_id, q.keep AS keep_a, g.keep AS keep_b"
+            f" FROM ({textstats.quality_filter_sql()}) q"
+            f" JOIN ({textstats.gopher_gate_sql()}) g USING (doc_id))"
+        ),
+        col_a="keep_a",
+        col_b="keep_b",
+    ),
+)
+def filter_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-agreement audit: Cohen's kappa between the heuristic
+    length/stopword gate (quality_filter) and the Gopher repetition
+    gate over the same corpus — the exact question a curation run asks
+    before swapping one gate for another (raw agreement is inflated by
+    both gates keeping most docs; kappa subtracts the chance-agreement
+    implied by the marginals). Map-only battery + ONE global five-
+    counter aggregate; the explicit-count input repartition spreads
+    the single-file fixture scan for the map-heavy battery."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    qa = textstats.quality_filter(docs).select(
+        "doc_id", F.col("keep").alias("keep_a")
+    )
+    gb = textstats.gopher_gate(docs).select(
+        "doc_id", F.col("keep").alias("keep_b")
+    )
+    return textstats.filter_kappa(qa.join(gb, "doc_id"), "keep_a", "keep_b")
+
+
 # anchor-harvest decoration: each doc carries (1) a double-quoted anchor
 # to a messy-cased, tracking-parameterized host (one of five, doc_id % 5)
 # whose TEXT varies by doc_id % 4 — so per-host term counts differ and
@@ -4706,6 +4761,11 @@ _DEMOTED_ORACLED = frozenset({
     "remove_numbering",         # cleanup family: c4_clean, gopher_gate, extract_spans_flagship in-window
     "ann_ivf_fixed_topk",       # ANN/embedding family: semantic_dedup, dedup_media in-window
     "align_export_full_outer",  # align-export machinery differential-tested; join families in-window via web_curate/asof siblings
+    # thirty-seventh r5 wave — yields slots to token_drift and
+    # filter_kappa (never sampled); both demotions were driver-green in
+    # a prior window and keep their per-run pytest value+dtype mirror:
+    "web_curate",               # URL family: canonical_dedup, anchor_terms, curate_corpus_full (same salted-cap machinery) in-window
+    "extract_spans_flagship",   # the driver executes it EVERY round via entry(); golden 3-path + balanced sibling share its oracle
 })
 
 

@@ -2576,26 +2576,32 @@ def filter_kappa(
             "CAST(r1 AS DECIMAL(38,0)) * c1"
             " + CAST(n - r1 AS DECIMAL(38,0)) * (n - c1)"
         ).alias("s"),
+    ).select(
+        "*",
+        # kappa numerator n*(n11+n00) - s (may be negative) and
+        # denominator n*n - s (>= 0; 0 iff pe = 1), hoisted once so the
+        # sign-split branches below cannot desync from the guard
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * (n11 + n00) - s"
+        ).alias("knum"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * n - s").alias("kden"),
     )
     return k.select(
         F.col("n").alias("n_docs"),
         (F.col("n11") + F.col("n00")).cast("long").alias("n_agree"),
         F.when(
-            F.col("n") > 0, F.expr("(n11 + n00) * 1000 DIV n")
+            F.col("n") > 0,
+            F.expr("CAST(n11 + n00 AS DECIMAL(38,0)) * 1000 DIV n"),
         ).cast("long").alias("milli_po"),
         F.when(
             F.col("n") > 0,
             F.expr("s * 1000 DIV (CAST(n AS DECIMAL(38,0)) * n)"),
         ).cast("long").alias("milli_pe"),
         F.when(
-            (F.col("n") > 0)
-            & (F.expr("CAST(n AS DECIMAL(38,0)) * n - s") != F.lit(0)),
+            (F.col("n") > 0) & (F.col("kden") != F.lit(0)),
             F.expr(
-                "CASE WHEN CAST(n AS DECIMAL(38,0)) * (n11 + n00) - s >= 0"
-                " THEN (CAST(n AS DECIMAL(38,0)) * (n11 + n00) - s) * 1000"
-                "      DIV (CAST(n AS DECIMAL(38,0)) * n - s)"
-                " ELSE -((s - CAST(n AS DECIMAL(38,0)) * (n11 + n00)) * 1000"
-                "        DIV (CAST(n AS DECIMAL(38,0)) * n - s)) END"
+                "CASE WHEN knum >= 0 THEN knum * 1000 DIV kden"
+                " ELSE -((-knum) * 1000 DIV kden) END"
             ),
         ).cast("long").alias("kappa_milli"),
     )
@@ -2617,17 +2623,17 @@ fk_agg AS (SELECT count(*)::BIGINT AS n,
                   coalesce(sum(CASE WHEN b THEN 1 ELSE 0 END), 0)::BIGINT AS c1
            FROM fk_base),
 fk_s AS (SELECT *, (r1::HUGEINT * c1 + (n - r1)::HUGEINT * (n - c1)) AS s
-         FROM fk_agg)
+         FROM fk_agg),
+fk_nd AS (SELECT *, (n::HUGEINT * (n11 + n00) - s) AS knum,
+                 (n::HUGEINT * n - s) AS kden
+          FROM fk_s)
 SELECT n AS n_docs,
        (n11 + n00)::BIGINT AS n_agree,
-       (CASE WHEN n > 0 THEN (n11 + n00) * 1000 // n END)::BIGINT AS milli_po,
+       (CASE WHEN n > 0 THEN (n11 + n00)::HUGEINT * 1000 // n END)::BIGINT AS milli_po,
        (CASE WHEN n > 0 THEN s * 1000 // (n::HUGEINT * n) END)::BIGINT AS milli_pe,
-       (CASE WHEN n > 0 AND n::HUGEINT * n - s <> 0 THEN
-          CASE WHEN n::HUGEINT * (n11 + n00) - s >= 0
-               THEN (n::HUGEINT * (n11 + n00) - s) * 1000
-                    // (n::HUGEINT * n - s)
-               ELSE -((s - n::HUGEINT * (n11 + n00)) * 1000
-                      // (n::HUGEINT * n - s)) END
+       (CASE WHEN n > 0 AND kden <> 0 THEN
+          CASE WHEN knum >= 0 THEN knum * 1000 // kden
+               ELSE -((-knum) * 1000 // kden) END
         END)::BIGINT AS kappa_milli
-FROM fk_s
+FROM fk_nd
 """

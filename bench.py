@@ -613,6 +613,17 @@ def write_bench_md(result: dict) -> None:
         "  15.1 -> 13.0 s median, 5 interleaved warm reps at sf0.1 (the",
         "  in-session equivalent of writing the cleaned corpus to a lake",
         "  table between stages, which is what a real 100 TB run does).",
+        "- pdf_bytes_extract r5-final suite reading 25.3 s (vs 4.8 s r4,",
+        "  nominal 5.2x, code untouched all round) from a suite launched",
+        "  right after a 28-min full-pytest run: KILLED by the isolated",
+        "  protocol on the settled machine — 5 warm reps at sf0.1 gave",
+        "  [5.646, 3.352, 3.138, 3.167, 3.454] s, median 3.352 s, at r4's",
+        "  warm level. html_extract's 8.75 s reading from the same",
+        "  contaminated suite re-read 6.644 s median ([7.619, 6.777,",
+        "  6.17, 6.644, 6.163]), inside its documented 4.7-8.8 s spread.",
+        "  Ambient suite-position noise in both cases, no fix applied;",
+        "  the 73-query r5 suite otherwise sits at a 0.951 median",
+        "  per-query ratio vs the r4 readings of the 35 common queries.",
         "- the scaling pair itself is subject to the same ambient band:",
         "  an r5-final --scaling run launched immediately after a 17-min",
         "  full-pytest run read 2->8 = 0.75 (its 8-core leg 22.9 s vs the",

@@ -107,6 +107,8 @@ HEADLINE = [
     "rank_correlation",         # Spearman signal-agreement audit (bounded value histograms)
     "token_drift",              # snapshot TV-distance drift monitor (vocab-keyed full outer)
     "filter_kappa",             # gate-agreement Cohen's kappa (map-only five-counter fold)
+    "lsh_tuning",               # (bands, rows) S-curve planner over the measured Jaccard histogram
+    "eval_contamination",       # per-eval-doc contamination report (broadcast eval grams)
 ]
 
 
@@ -536,7 +538,17 @@ def write_bench_md(result: dict) -> None:
         "total-variation drift monitor — one vocab-keyed full-outer",
         "join, never broadcast, single-row totals fold in by broadcast;",
         "filter_kappa, Cohen's kappa between two keep/drop gates —",
-        "map-only battery plus one global five-counter aggregate).",
+        "map-only battery plus one global five-counter aggregate),",
+        "then 75 (added: lsh_tuning, the evidence-based (bands, rows)",
+        "S-curve planner — exact-pair measurement confined to the tuning",
+        "sample, the <=101-row centi-Jaccard histogram localCheckpointed",
+        "once so the five grid branches never recompute the pair join,",
+        "integer-exact decimal/HUGEINT multiply chains, warm ~4 s at",
+        "sf0.1 after the in-query input repartition (11.3 s without);",
+        "eval_contamination, the per-eval-document report a model card",
+        "publishes — bounded eval gram relation broadcast, corpus never",
+        "shuffled by gram, benchmark-bounded totals join broadcast,",
+        "warm ~1.5 s).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

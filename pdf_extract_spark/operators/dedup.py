@@ -515,6 +515,185 @@ GROUP BY band_key HAVING count(*) >= {min_docs}
 """
 
 
+# ----------------------------------------------------- LSH S-curve tuning
+#
+# Choosing (bands, rows) is THE MinHash design decision: the candidate
+# probability of a pair at Jaccard j under b bands of r rows is the
+# S-curve p(j) = 1 - (1 - j^r)^b. The planner below evaluates every
+# (b, r) split of the N_HASHES budget against the corpus's MEASURED
+# Jaccard distribution, so the choice is made on evidence, not folklore
+# (the reference hard-codes its batch geometry once, utils.py:40-106;
+# a Spark-first pipeline re-tunes per corpus).
+
+# every (n_bands, rows_per_band) factorization of the signature budget
+LSH_CONFIG_GRID = [
+    (b, N_HASHES // b) for b in (1, 2, 4, 8, 16) if b * (N_HASHES // b) == N_HASHES
+]
+
+_SCURVE_DENOM = 100 ** N_HASHES  # centi-Jaccard denominator, (10^2)^16 = 10^32
+
+
+def _scurve_milli_spark(r: int, b: int) -> str:
+    """Spark SQL expression: milli detection probability of the S-curve
+    1 - (1 - j^r)^b at a CENTI-quantized Jaccard column ``jc`` — exact
+    integer arithmetic (decimal(38,0) intermediates peak at 1000 * 10^32
+    = 10^35 < 10^38; powers are explicit multiply chains, never pow(),
+    so both engines execute the identical integer sequence)."""
+    jr = " * ".join(["CAST(jc AS DECIMAL(38,0))"] * r)
+    term = f"(CAST({100 ** r} AS DECIMAL(38,0)) - ({jr}))"
+    tb = " * ".join([term] * b)
+    return (
+        f"(1000 - CAST(1000 AS DECIMAL(38,0)) * ({tb})"
+        f" DIV CAST({_SCURVE_DENOM} AS DECIMAL(38,0)))"
+    )
+
+
+def _scurve_milli_duck(r: int, b: int) -> str:
+    """DuckDB twin of _scurve_milli_spark (HUGEINT carries 10^35)."""
+    jr = " * ".join(["jc::HUGEINT"] * r)
+    term = f"({100 ** r}::HUGEINT - ({jr}))"
+    tb = " * ".join([term] * b)
+    return f"(1000 - (1000::HUGEINT * ({tb})) // {_SCURVE_DENOM}::HUGEINT)"
+
+
+def lsh_tuning_plan(
+    df: DataFrame, text_col: str = "text", k: int = 3, threshold_centi: int = 50
+) -> DataFrame:
+    """Evidence-based (bands, rows) planner for the MinHash-LSH family.
+
+    Measures the EXACT hashed-shingle Jaccard of every co-shingled pair
+    in ``df`` (pairs sharing zero shingles have p(j)=0 under every
+    config, so excluding them is exact, not an approximation), quantizes
+    to centi (jc = (100*|A∩B|) DIV |A∪B|), and evaluates each
+    (n_bands, rows_per_band) split of the N_HASHES signature budget on
+    the resulting <=101-row histogram. Per config:
+
+      * exp_cands_milli  — expected LSH candidate pairs x1000 (join cost)
+      * recall_milli     — mean detection probability x1000 over measured
+                           pairs at/above the threshold (what the config
+                           would CATCH of the true near-dups)
+      * falsepos_milli   — mean candidate probability x1000 over pairs
+                           below it (what it would WASTE verifying)
+
+    All integer-exact: the S-curve runs in decimal(38,0) multiply chains
+    (engine-identical), sums are over bigints (order-free), and the two
+    trunc divisions are the only divisions anywhere.
+
+    Scale shape (100 TB): the quadratic exact-pair measurement is the
+    documented TUNING-SAMPLE step — feed a bounded deterministic slice
+    (the registered query's corpus is itself that sample); everything
+    after the pair aggregate is arithmetic over a bounded histogram.
+    The production default (N_BANDS={nb}, rows={r}) appears as one grid
+    row, so the operating point is always visible in the report."""
+    sh = df.select(
+        "doc_id", shingle_hashes(F.col(text_col), k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    a, b_ = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b_, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    # the five grid branches each aggregate this histogram; without a
+    # checkpoint every branch recomputes the corpus-sized pair join
+    # upstream (measured: 0 ReusedExchange across the union) — the
+    # dedup_components discipline: materialize the loop-invariant input
+    # ONCE (<=101 rows) and let the branches scan that
+    hist = (
+        pairs.select(F.expr("(inter * 100) DIV (na + nb - inter)").alias("jc"))
+        .groupBy("jc")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    above = F.col("jc") >= threshold_centi
+    parts = []
+    for nb_, r in LSH_CONFIG_GRID:
+        pm = F.expr(_scurve_milli_spark(r, nb_)).cast("long")
+        agg = hist.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.sum(F.when(above, F.col("n"))), F.lit(0))
+            .cast("long").alias("n_above"),
+            F.coalesce(F.sum(F.col("n") * pm), F.lit(0))
+            .cast("long").alias("exp_cands_milli"),
+            F.coalesce(F.sum(F.when(above, F.col("n") * pm)), F.lit(0))
+            .cast("long").alias("s_above"),
+            F.coalesce(F.sum(F.when(~above, F.col("n") * pm)), F.lit(0))
+            .cast("long").alias("s_below"),
+        )
+        parts.append(
+            agg.select(
+                F.lit(nb_).cast("long").alias("n_bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                "n_pairs",
+                "n_above",
+                "exp_cands_milli",
+                F.when(F.col("n_above") > 0, F.expr("s_above DIV n_above"))
+                .cast("long").alias("recall_milli"),
+                F.when(
+                    F.col("n_pairs") - F.col("n_above") > 0,
+                    F.expr("s_below DIV (n_pairs - n_above)"),
+                ).cast("long").alias("falsepos_milli"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("n_bands")
+
+
+lsh_tuning_plan.__doc__ = lsh_tuning_plan.__doc__.format(
+    nb=N_BANDS, r=N_HASHES // N_BANDS
+)
+
+
+def lsh_tuning_plan_sql(
+    table: str = "documents", text_expr: str = "text", k: int = 3,
+    threshold_centi: int = 50,
+) -> str:
+    """DuckDB twin of lsh_tuning_plan (HUGEINT multiply chains mirror the
+    decimal(38,0) ones; `//` == DIV for the all-non-negative operands)."""
+    selects = []
+    for nb_, r in LSH_CONFIG_GRID:
+        pm = _scurve_milli_duck(r, nb_)
+        selects.append(f"""
+SELECT {nb_}::BIGINT AS n_bands, {r}::BIGINT AS rows_per_band,
+       coalesce(sum(n), 0)::BIGINT AS n_pairs,
+       coalesce(sum(CASE WHEN jc >= {threshold_centi} THEN n END), 0)::BIGINT AS n_above,
+       coalesce(sum(n::HUGEINT * {pm}), 0)::BIGINT AS exp_cands_milli,
+       (CASE WHEN coalesce(sum(CASE WHEN jc >= {threshold_centi} THEN n END), 0) > 0
+             THEN coalesce(sum(CASE WHEN jc >= {threshold_centi}
+                                    THEN n::HUGEINT * {pm} END), 0)
+                  // sum(CASE WHEN jc >= {threshold_centi} THEN n END)
+        END)::BIGINT AS recall_milli,
+       (CASE WHEN coalesce(sum(CASE WHEN jc < {threshold_centi} THEN n END), 0) > 0
+             THEN coalesce(sum(CASE WHEN jc < {threshold_centi}
+                                    THEN n::HUGEINT * {pm} END), 0)
+                  // sum(CASE WHEN jc < {threshold_centi} THEN n END)
+        END)::BIGINT AS falsepos_milli
+FROM hist""")
+    body = " UNION ALL ".join(selects)
+    return f"""
+WITH {_shh_cte(table, text_expr, k)},
+ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+hist AS (
+  SELECT (inter * 100) // (na + nb - inter) AS jc, count(*)::BIGINT AS n
+  FROM inter GROUP BY 1)
+{body}
+ORDER BY n_bands
+"""
+
+
 # ----------------------------------------------- cross-corpus near-dup
 #
 # The incremental-ingest shape: dedup a NEW batch against the EXISTING
@@ -700,6 +879,85 @@ SELECT d.doc_id,
        coalesce(a.max_jaccard, 0.0) AS max_jaccard,
        (coalesce(a.n_eval_matches, 0) > 0) AS is_contaminated
 FROM {corpus_table} d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+def eval_contamination(
+    docs: DataFrame, eval_docs: DataFrame, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Per-EVAL-document contamination report — the inverse direction of
+    ``decontaminate`` and the one a model/data card actually publishes
+    ("benchmark X: n% of examples appear in the training corpus",
+    GPT-3 App. C's contaminated-eval tables). For every eval document:
+    how many of its distinct word k-grams occur anywhere in the corpus,
+    and how many distinct corpus documents collide with it.
+
+    Returns (doc_id, n_grams, n_hit_grams, n_corpus_docs, contam_frac,
+    is_contaminated), one row per EVAL document (doc_id is the eval
+    doc's id).
+
+    Scale shape (100 TB corpus, FIXED-size benchmark): the eval
+    (doc_id, gram) relation is bounded by the benchmark, so it
+    BROADCASTS and the corpus-sized gram stream filters against it
+    map-side — the corpus is never shuffled by gram (same discipline as
+    ``decontaminate``, plan-pinned). The post-join aggregate is keyed by
+    eval doc_id (bounded), and its two COUNT(DISTINCT)s run over the
+    matches only (bounded by benchmark grams x colliding docs), never
+    over the corpus. The final totals join is between two relations
+    each bounded by the benchmark row count, so the hit side is
+    broadcast explicitly rather than left to AQE."""
+    ev = eval_docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), k)).alias("g")
+    )
+    tot = ev.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
+    cg = docs.select(
+        F.col("doc_id").alias("cid"), F.explode(shingles(F.col(text_col), k)).alias("g")
+    )
+    hits = (
+        cg.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").cast("long").alias("n_hit_grams"),
+            F.countDistinct("cid").cast("long").alias("n_corpus_docs"),
+        )
+    )
+    return tot.join(F.broadcast(hits), "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_hit_grams", F.lit(0).cast("long")).alias("n_hit_grams"),
+        F.coalesce("n_corpus_docs", F.lit(0).cast("long")).alias("n_corpus_docs"),
+        F.round(
+            F.coalesce("n_hit_grams", F.lit(0).cast("long")) / F.col("n_grams"), 6
+        ).alias("contam_frac"),
+        (F.coalesce("n_hit_grams", F.lit(0).cast("long")) > 0).alias(
+            "is_contaminated"
+        ),
+    )
+
+
+def eval_contamination_sql(
+    corpus_pred: str, eval_pred: str, table: str = "documents",
+    text_expr: str = "text", k: int = 5,
+) -> str:
+    """DuckDB mirror of ``eval_contamination`` where the corpus and eval
+    relations are predicate-selected slices of one table (mirrors
+    decontaminate_sql's fixture derivation)."""
+    return f"""
+WITH {_sh_cte(table, text_expr, k)},
+gr AS (SELECT doc_id, unnest(sh) AS g FROM sh0),
+ev AS (SELECT doc_id, g FROM gr WHERE {eval_pred}),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM ev GROUP BY 1),
+cg AS (SELECT doc_id AS cid, g FROM gr WHERE {corpus_pred}),
+hit AS (SELECT ev.doc_id,
+               count(DISTINCT ev.g)::BIGINT AS n_hit_grams,
+               count(DISTINCT cg.cid)::BIGINT AS n_corpus_docs
+        FROM ev JOIN cg ON ev.g = cg.g GROUP BY 1)
+SELECT t.doc_id, t.n_grams,
+       coalesce(h.n_hit_grams, 0)::BIGINT AS n_hit_grams,
+       coalesce(h.n_corpus_docs, 0)::BIGINT AS n_corpus_docs,
+       round(coalesce(h.n_hit_grams, 0) * 1.0 / t.n_grams, 6) AS contam_frac,
+       (coalesce(h.n_hit_grams, 0) > 0) AS is_contaminated
+FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
 """
 
 

@@ -4490,6 +4490,50 @@ def lsh_band_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_band_stats(d).filter(F.col("n_docs") >= 2)
 
 
+@query("lsh_tuning", dedup.lsh_tuning_plan_sql())
+def lsh_tuning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence-based (bands, rows) planner for the MinHash family: the
+    S-curve p(j) = 1 - (1 - j^r)^b of every split of the 16-hash
+    signature budget, evaluated against the corpus's MEASURED
+    centi-quantized Jaccard histogram — expected candidate volume, mean
+    detection probability over true near-dups (jc >= 50) and mean
+    false-candidate probability below, all in exact integer milli
+    (decimal(38,0)/HUGEINT multiply chains, no pow(), no doubles). The
+    corpus here IS the bounded tuning sample a 100 TB run would slice;
+    the production config (4 bands x 4 rows) appears as one grid row so
+    the operating point is always visible (998 recall / 0 falsepos
+    milli on this corpus — the measured justification for N_BANDS=4).
+    Where the reference fixes its batch geometry once (utils.py:40-106),
+    the Spark-first pipeline re-tunes per corpus. The explicit-count
+    input repartition spreads the single-file fixture scan for the
+    shingle-explode pass."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = _t(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    return dedup.lsh_tuning_plan(d)
+
+
+@query(
+    "eval_contamination",
+    dedup.eval_contamination_sql(
+        corpus_pred="doc_id % 50 <> 0", eval_pred="doc_id % 50 = 0"
+    ),
+)
+def eval_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVAL-document contamination report — the direction a model
+    card publishes (GPT-3 App. C tables: per-benchmark % contaminated),
+    inverse of `decontaminate`'s per-corpus-doc verdicts. The same
+    deterministic 2% slice (doc_id % 50 == 0) plays the benchmark; for
+    each of its documents: distinct word-5-grams, how many collide with
+    the remaining corpus, and how many distinct corpus documents carry
+    the collision. The bounded eval gram relation broadcasts; the
+    corpus is never shuffled by gram (plan-pinned in
+    test_contam_tuning.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup.eval_contamination(corpus, ev)
+
+
 # =====================================================================
 # sentence point lookup (the reference's full-sentence-text indexes,
 # database.py:140,146 — re-expressed as write-time storage organization)
@@ -4766,6 +4810,11 @@ _DEMOTED_ORACLED = frozenset({
     # a prior window and keep their per-run pytest value+dtype mirror:
     "web_curate",               # URL family: canonical_dedup, anchor_terms, curate_corpus_full (same salted-cap machinery) in-window
     "extract_spans_flagship",   # the driver executes it EVERY round via entry(); golden 3-path + balanced sibling share its oracle
+    # thirty-eighth r5 wave — yields slots to lsh_tuning and
+    # eval_contamination (never sampled); both demotions keep their
+    # per-run pytest value+dtype mirror and their machinery in-window:
+    "lsh_band_audit",           # band machinery family: lsh_tuning (same shingle/band formulas + the S-curve planner), minhash_accuracy, curate_corpus_capped in-window
+    "gopher_gate",              # a pure CASE over gopher_repetition's columns, which stays in-window
 })
 
 

@@ -539,7 +539,7 @@ def write_bench_md(result: dict) -> None:
         "join, never broadcast, single-row totals fold in by broadcast;",
         "filter_kappa, Cohen's kappa between two keep/drop gates —",
         "map-only battery plus one global five-counter aggregate),",
-        "then 75 (added: lsh_tuning, the evidence-based (bands, rows)",
+        "then 74 (added: lsh_tuning, the evidence-based (bands, rows)",
         "S-curve planner — exact-pair measurement confined to the tuning",
         "sample, the <=101-row centi-Jaccard histogram localCheckpointed",
         "once so the five grid branches never recompute the pair join,",

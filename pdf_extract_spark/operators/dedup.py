@@ -647,9 +647,10 @@ def lsh_tuning_plan(
     return out.orderBy("n_bands")
 
 
-lsh_tuning_plan.__doc__ = lsh_tuning_plan.__doc__.format(
-    nb=N_BANDS, r=N_HASHES // N_BANDS
-)
+if lsh_tuning_plan.__doc__:  # absent under python -OO
+    lsh_tuning_plan.__doc__ = lsh_tuning_plan.__doc__.format(
+        nb=N_BANDS, r=N_HASHES // N_BANDS
+    )
 
 
 def lsh_tuning_plan_sql(

@@ -109,6 +109,7 @@ HEADLINE = [
     "filter_kappa",             # gate-agreement Cohen's kappa (map-only five-counter fold)
     "lsh_tuning",               # (bands, rows) S-curve planner over the measured Jaccard histogram
     "eval_contamination",       # per-eval-doc contamination report (broadcast eval grams)
+    "minhash_merge",            # incremental sketch maintenance (elementwise-min fold, one aggregate)
 ]
 
 
@@ -548,7 +549,11 @@ def write_bench_md(result: dict) -> None:
         "eval_contamination, the per-eval-document report a model card",
         "publishes — bounded eval gram relation broadcast, corpus never",
         "shuffled by gram, benchmark-bounded totals join broadcast,",
-        "warm ~1.5 s).",
+        "warm ~1.5 s), then 75 (added: minhash_merge, incremental",
+        "sketch maintenance — elementwise-min signature fold, min",
+        "distributes over set union so batch sketches merge without",
+        "re-tokenizing history; ONE partial-combinable aggregate over",
+        "16-long rows, plan-pinned).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

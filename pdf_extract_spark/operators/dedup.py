@@ -332,6 +332,50 @@ def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def minhash_merge(sigs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Merge minhash signatures by elementwise MIN — the sketch algebra
+    that makes MinHash maintainable INCREMENTALLY: each mh_i is a min
+    over the shingle set, and min distributes over set union, so the
+    signature of (A ∪ B) is exactly the elementwise min of A's and B's
+    signatures. A lake run therefore sketches only the NEW batch /
+    chunk / snapshot and folds it into the stored corpus signatures —
+    history is never re-tokenized (the reference re-reads everything
+    per run, main.py's folder walk; a 100 TB lake cannot).
+
+    Input: any relation with (key, mh_0..mh_{N-1}) rows, one per
+    member (chunk signatures of a giant doc, daily batch signatures of
+    a logical document, shard-local sketches). Output: one merged
+    signature row per key. EXACTNESS: merged == minhash_signature over
+    the UNION of the members' shingle sets (property-tested); it is NOT
+    the signature of the concatenated text — k-grams spanning member
+    boundaries don't exist in any member (documented approximation,
+    negligible at word-gram k).
+
+    Scale shape: ONE partial-combinable hash aggregate over 16-long
+    rows — map-side combine reduces every partition to one row per
+    local key before the only shuffle; no text, no arrays move."""
+    return sigs.groupBy(key).agg(
+        *[F.min(f"mh_{i}").alias(f"mh_{i}") for i in range(N_HASHES)]
+    )
+
+
+def minhash_merge_sql(
+    table: str = "documents", text_expr: str = "text", group_expr: str = "doc_id",
+    key_name: str = "doc_id",
+) -> str:
+    """DuckDB mirror of minhash_signature + minhash_merge where members
+    are rows of ``table`` grouped by ``group_expr`` (the registered
+    fixture groups the documents corpus into multi-member logical docs
+    so every merge path fires)."""
+    mins = ", ".join(f"min(mh_{i}) AS mh_{i}" for i in range(N_HASHES))
+    return f"""
+WITH {_shh_cte(table, text_expr)},
+sig AS (SELECT doc_id, {_mh_cols_sql()} FROM shh)
+SELECT {group_expr} AS {key_name}, {mins}
+FROM sig GROUP BY 1
+"""
+
+
 def _band_keys_over(sh_col) -> list:
     rows_per_band = N_HASHES // N_BANDS
     mh = [_mh_i(sh_col, i) for i in range(N_HASHES)]

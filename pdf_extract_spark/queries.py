@@ -4534,6 +4534,26 @@ def eval_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.eval_contamination(corpus, ev)
 
 
+@query(
+    "minhash_merge",
+    dedup.minhash_merge_sql(group_expr="doc_id % 257", key_name="gid"),
+)
+def minhash_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance: per-member minhash signatures
+    folded into per-logical-doc signatures by elementwise MIN — min
+    distributes over set union, so the merge equals the signature of
+    the members' combined shingle sets (property-tested in
+    tests/test_contam_tuning.py) and a lake run sketches only the new
+    batch, never re-tokenizing history. The fixture groups the corpus
+    into multi-member logical docs (doc_id % 257) so every merge path
+    fires; ONE partial-combinable aggregate over 16-long rows."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(docs).withColumn(
+        "gid", F.col("doc_id") % 257
+    ).drop("doc_id")
+    return dedup.minhash_merge(sig, key="gid")
+
+
 # =====================================================================
 # sentence point lookup (the reference's full-sentence-text indexes,
 # database.py:140,146 — re-expressed as write-time storage organization)
@@ -4815,6 +4835,10 @@ _DEMOTED_ORACLED = frozenset({
     # per-run pytest value+dtype mirror and their machinery in-window:
     "lsh_band_audit",           # band machinery family: lsh_tuning (same shingle/band formulas + the S-curve planner), minhash_accuracy, curate_corpus_capped in-window
     "gopher_gate",              # a pure CASE over gopher_repetition's columns, which stays in-window
+    # thirty-ninth r5 wave — yields a slot to minhash_merge (never
+    # sampled); demotion keeps its per-run pytest mirror and the
+    # percentile machinery stays in-window:
+    "length_quantiles",         # percentile family: quality_buckets (quartile machinery) in-window
 })
 
 

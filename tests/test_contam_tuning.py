@@ -114,6 +114,66 @@ def test_production_config_operating_point(spark):
     assert prod["falsepos_milli"] <= 10, prod
 
 
+# ------------------------------------------------------------ minhash_merge
+
+def test_minhash_merge_equals_signature_of_shingle_union(spark):
+    """The algebra the operator rests on: min distributes over set
+    union, so merging member signatures elementwise equals computing
+    the signature over the UNION of the members' shingle sets. Checked
+    end-to-end: chunk the same logical doc into overlapping members,
+    merge their signatures, and compare against the signature computed
+    from the explicit shingle-set union."""
+    members = spark.createDataFrame(
+        [
+            (7, 0, "alpha beta gamma delta epsilon"),
+            (7, 1, "gamma delta epsilon zeta eta theta"),
+            (7, 2, "one two three"),
+            (9, 0, "lone member document here"),
+        ],
+        ["gid", "member", "text"],
+    )
+    sig = dedup.minhash_signature(
+        members.select(F.col("gid").alias("doc_id"), "text")
+    ).withColumnRenamed("doc_id", "gid")
+    merged = {
+        r["gid"]: [r[f"mh_{i}"] for i in range(dedup.N_HASHES)]
+        for r in dedup.minhash_merge(sig, key="gid").collect()
+    }
+    # explicit union of member shingle sets, then the same 2-hash family
+    union = (
+        members.select(
+            "gid", F.explode(dedup.shingle_hashes(F.col("text"))).alias("h")
+        )
+        .distinct()
+        .groupBy("gid")
+        .agg(F.collect_list("h").alias("sh"))
+        .select(
+            "gid",
+            *[
+                dedup._mh_i(F.col("sh"), i).alias(f"mh_{i}")
+                for i in range(dedup.N_HASHES)
+            ],
+        )
+    )
+    expected = {
+        r["gid"]: [r[f"mh_{i}"] for i in range(dedup.N_HASHES)]
+        for r in union.collect()
+    }
+    assert merged == expected
+
+
+def test_minhash_merge_single_aggregate_plan(spark):
+    """The merge is ONE partial-combinable hash aggregate: map-side
+    combine reduces each partition before the only Exchange; no join,
+    no window, no Python."""
+    plan = _plan(QUERIES["minhash_merge"](spark, SF))
+    n_exchange = plan.count("+- Exchange") + plan.count("   Exchange")
+    assert n_exchange == 1, plan
+    assert "partial_min" in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
 def test_scurve_expressions_are_integer_exact():
     """The generated Spark/DuckDB expressions must be literal twins of
     the rational S-curve: compare against Python big-int arithmetic at

@@ -110,6 +110,8 @@ HEADLINE = [
     "lsh_tuning",               # (bands, rows) S-curve planner over the measured Jaccard histogram
     "eval_contamination",       # per-eval-doc contamination report (broadcast eval grams)
     "minhash_merge",            # incremental sketch maintenance (elementwise-min fold, one aggregate)
+    "dup_substring_removal",    # Lee et al. exact-substring REMOVAL (interval-merged cuts, cased rebuild)
+    "shuffle_shards",           # deterministic training-order shuffle (one shuffle, reused exchange)
 ]
 
 
@@ -553,7 +555,17 @@ def write_bench_md(result: dict) -> None:
         "sketch maintenance — elementwise-min signature fold, min",
         "distributes over set union so batch sketches merge without",
         "re-tokenizing history; ONE partial-combinable aggregate over",
-        "16-long rows, plan-pinned).",
+        "16-long rows, plan-pinned), then 77 (added:",
+        "dup_substring_removal, the REMOVAL step of Lee et al.",
+        "exact-substring dedup — every >=8-token shared run cut from",
+        "all but its smallest-id holder, overlaps interval-merged per",
+        "victim, case-preserving map-side rebuild; warm 11.2 s at",
+        "sf0.1, indistinguishable from the exact_substrings span side",
+        "it composes (11.2 s alone) — the removal itself is free;",
+        "shuffle_shards, the deterministic training-order shuffle —",
+        "portable-hash shard + rank + exact cumulative offsets, ONE",
+        "data shuffle with the shard-size aggregate riding it as a",
+        "ReusedExchange, warm 0.4 s).",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",

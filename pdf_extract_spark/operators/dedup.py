@@ -25,7 +25,13 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from pdf_extract_spark.operators.hashing import phash, phash_sql
-from pdf_extract_spark.operators.textstats import WS, tokens, tokens_sql
+from pdf_extract_spark.operators.textstats import (
+    WS,
+    tokens,
+    tokens_cased,
+    tokens_cased_sql,
+    tokens_sql,
+)
 
 # -------------------------------------------------------------- normalize
 
@@ -1983,6 +1989,159 @@ SELECT doc_a, doc_b, min(pos_a)::BIGINT AS pos_a, min(pos_b)::BIGINT AS pos_b,
 FROM eisl GROUP BY doc_a, doc_b, diag, grp
 """
 
+
+def remove_dup_substrings(
+    df: DataFrame,
+    min_len: int = 8,
+    max_bucket: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REMOVAL step of Lee et al. 2021 exact-substring dedup — the
+    consumer of ``exact_substring_spans``: every shared token run of
+    >= ``min_len`` tokens is CUT from each document that holds it
+    except the smallest-id holder. Spans emit doc_a < doc_b, so doc_b
+    is always the victim; a region shared by k documents is doc_b of a
+    pair for every holder but the global minimum, hence exactly ONE
+    copy survives corpus-wide (the canonical, in the min-id doc) —
+    Lee et al.'s dedup goal made deterministic. A victim's cut
+    intervals are merged per doc (gaps-and-islands: a running max of
+    interval ends over the start-ordered cuts starts a new island
+    whenever a start clears it), so overlapping spans from different
+    partners never double-cut.
+
+    The rebuild drops cut token POSITIONS from the CASED token stream
+    (textstats.tokens_cased — span positions computed on the folded
+    tokens map 1:1 because lowercasing never creates or removes
+    whitespace) and re-joins with single spaces: the chunk_documents
+    normalization precedent — this output feeds a tokenizer, not a
+    renderer. Documents with no cuts keep their text VERBATIM (no
+    whitespace normalization for the untouched majority). A fully-cut
+    document yields '' (downstream quality gates drop it).
+
+    Returns one row per input row: (id_col, text, n_removed_tokens).
+
+    Scale (100 TB): the span side inherits exact_substring_spans'
+    discipline (near-unique grams — the overwhelming majority — are
+    filtered before the self-join; the n>=2 window count's exchange
+    doubles as the join boundary). Cut intervals carry only
+    (doc_id, start, end); the islands window partitions by VICTIM doc
+    — per-document granularity, never a hot funnel; the merged
+    interval list is collected per doc (bounded by the doc's own token
+    count). Document text rides exactly one join (the rebuild, on the
+    unskewed doc_id; the interval side holds only victim docs, so AQE
+    broadcasts it when small) and the rebuild filter is a map-side
+    higher-order function — linear iteration, never the interpreted
+    random-access path. The corpus is scanned twice by construction
+    (once hashed for spans, once re-emitted) — the same two passes
+    Lee et al.'s suffix-array pipeline makes.
+
+    Reference analog: the dedup stage of create_csv.py (SURVEY §2 A7)
+    extended to the corpus-prep surface; Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better".
+    """
+    spans = exact_substring_spans(
+        df, min_len=min_len, max_bucket=max_bucket, text_col=text_col
+    )
+    cuts = spans.select(
+        F.col("doc_b").alias(id_col),
+        F.col("pos_b").alias("s"),
+        (F.col("pos_b") + F.col("match_len")).alias("e"),
+    ).distinct()
+    ow = Window.partitionBy(id_col).orderBy("s", "e")
+    prev = ow.rowsBetween(Window.unboundedPreceding, -1)
+    cur = ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pm = F.max("e").over(prev)
+    isl = cuts.withColumn(
+        "_ni",
+        F.when(pm.isNull() | (F.col("s") > pm), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn("_isl", F.sum("_ni").over(cur))
+    merged = isl.groupBy(id_col, "_isl").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    iv = merged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_cuts")
+    )
+    toks = tokens_cased(F.col(text_col))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_cuts"), lambda c: (i >= c["s"]) & (i < c["e"])
+        ),
+    )
+    return (
+        df.join(iv, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_cuts").isNull(), F.col(text_col))
+            .otherwise(F.array_join(kept, " "))
+            .alias("text"),
+            F.when(F.col("_cuts").isNull(), F.lit(0))
+            .otherwise(F.size(toks) - F.size(kept))
+            .cast("long")
+            .alias("n_removed_tokens"),
+        )
+    )
+
+
+def remove_dup_substrings_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    min_len: int = 8,
+    max_bucket: int | None = None,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of remove_dup_substrings (the spans CTE is the
+    shared exact_substring_spans_sql verbatim; DuckDB's default window
+    frame is RANGE, so both running aggregates pin explicit ROWS
+    frames exactly like the kernel's rowsBetween; string_agg ordered
+    by the 0-based unnest position mirrors array_join over the
+    index-filtered token array)."""
+    spans = exact_substring_spans_sql(
+        table=table, text_expr=text_expr, min_len=min_len,
+        max_bucket=max_bucket,
+    )
+    toks = tokens_cased_sql(text_expr)
+    return f"""
+WITH rds_spans AS (SELECT * FROM ({spans}) s),
+rds_cuts AS (SELECT DISTINCT doc_b AS {id_col}, pos_b AS s,
+                    pos_b + match_len AS e
+             FROM rds_spans),
+rds_mrk AS (SELECT {id_col}, s, e,
+              CASE WHEN s > coalesce(max(e) OVER (
+                       PARTITION BY {id_col} ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                   THEN 1 ELSE 0 END AS ni
+            FROM rds_cuts),
+rds_isl AS (SELECT {id_col}, s, e,
+              sum(ni) OVER (PARTITION BY {id_col} ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+            FROM rds_mrk),
+rds_mg AS (SELECT {id_col}, min(s) AS s, max(e) AS e
+           FROM rds_isl GROUP BY {id_col}, isl),
+rds_base AS (SELECT {id_col}, {text_expr} AS text, {toks} AS toks
+             FROM {table}),
+rds_tok AS (SELECT {id_col}, unnest(toks) AS tok,
+                   unnest(range(0, len(toks))) AS pos
+            FROM rds_base),
+rds_kept AS (SELECT t.{id_col}, t.tok, t.pos
+             FROM rds_tok t LEFT JOIN rds_mg g
+               ON t.{id_col} = g.{id_col} AND t.pos >= g.s AND t.pos < g.e
+             WHERE g.{id_col} IS NULL),
+rds_reb AS (SELECT {id_col}, string_agg(tok, ' ' ORDER BY pos) AS new_text,
+                   count(*) AS n_kept
+            FROM rds_kept GROUP BY {id_col}),
+rds_cutdocs AS (SELECT DISTINCT {id_col} FROM rds_mg)
+SELECT b.{id_col},
+       CASE WHEN c.{id_col} IS NULL THEN b.text
+            ELSE coalesce(r.new_text, '') END AS text,
+       (CASE WHEN c.{id_col} IS NULL THEN 0
+             ELSE len(b.toks) - coalesce(r.n_kept, 0) END)::BIGINT
+         AS n_removed_tokens
+FROM rds_base b
+LEFT JOIN rds_cutdocs c ON b.{id_col} = c.{id_col}
+LEFT JOIN rds_reb r ON b.{id_col} = r.{id_col}
+"""
 
 def cluster_keepbest(
     labels: DataFrame, quality: DataFrame, score_col: str = "n_chars"

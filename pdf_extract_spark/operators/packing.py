@@ -16,9 +16,11 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.window import Window
 
 from pdf_extract_spark.operators.hashing import phash, phash_sql
 from pdf_extract_spark.operators.textstats import (
+    _sql_quote,
     tokens,
     tokens_cased,
     tokens_cased_sql,
@@ -193,4 +195,124 @@ SELECT {id_col},
        array_to_string(toks[start + 1:start + {window}], ' ') AS chunk_text,
        len(toks[start + 1:start + {window}])::BIGINT AS n_chunk_tokens
 FROM st
+"""
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 64,
+    key_col: str = "doc_id",
+    salt: str = "shuf",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic training-order shuffle — the "global shuffle"
+    every pretraining run performs before sharding its examples feed,
+    made reproducible: shard = portable-hash(salt:seed:key) mod
+    ``n_shards``, within-shard rank by (hash, key), and a global
+    position composed from exact cumulative shard sizes. The mapping
+    key -> global_pos is a bijection onto [0, N): reading shards in
+    shard order, each in pos_in_shard order, visits every row exactly
+    once in an order uncorrelated with ingestion order. Hash-ordered,
+    never random — the same seed reproduces the identical order across
+    runs, partitionings and engines (checkpoint resume needs this; a
+    new ``seed`` per epoch gives a fresh permutation).
+
+    Returns (key_col, shard, pos_in_shard, global_pos), all ranks
+    0-based longs. Keys must be unique and non-NULL to be ordered:
+    NULL-key rows are dropped (a NULL hashes to NULL — no orderable
+    position), and duplicate keys would tie on the full (hash, key)
+    sort key, making their relative order undefined.
+
+    Scale (100 TB): ONE data shuffle — the rank window partitioned by
+    shard; n_shards is the parallelism knob (at petabyte scale use
+    10^4-10^5 shards so each window partition is a sliver). The
+    shard-size aggregate rides the window's own hashpartitioning
+    exchange (ReusedExchange — co-partitioned, no second shuffle and
+    no second scan), collapses to n_shards rows, takes its running
+    total on a single bounded partition (the token_budget histogram
+    discipline) and broadcasts back — document payloads never ride
+    the offsets path.
+
+    Reference analog: the deterministic processing-order guarantees of
+    the reference's sequential pipeline (SURVEY §2 W8) lifted to a
+    distributed permutation.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = phash(
+        F.concat(F.lit(f"{salt}:{seed}:"), F.col(key_col).cast("string"))
+    )
+    # NULL keys are dropped: a NULL hashes to NULL, so such rows have
+    # no orderable position (and several of them would tie completely,
+    # making row_number nondeterministic). The filter is stated on the
+    # shard expression itself so it lands below the exchange on BOTH
+    # join inputs — the inner join would otherwise push its inferred
+    # isnotnull only into the probe side, and the asymmetric subtrees
+    # would defeat the exchange reuse this operator's plan pins.
+    base = df.select(
+        key_col,
+        h.alias("_h"),
+        F.pmod(h, F.lit(n_shards)).cast("long").alias("shard"),
+    ).filter(F.col("shard").isNotNull())
+    rw = Window.partitionBy("shard").orderBy("_h", key_col)
+    ranked = base.withColumn(
+        "pos_in_shard", (F.row_number().over(rw) - 1).cast("long")
+    )
+    # shard size = max(rank)+1, NOT count(*): a count would let the
+    # optimizer column-prune the window off this path and re-plan the
+    # aggregate with its own exchange — a second scan of the corpus.
+    # Depending on the rank column pins the sizes path to the window's
+    # hashpartitioning(shard) exchange, which the join's probe side
+    # reuses (ReusedExchange, plan-pinned in test_shuffle_shards).
+    sizes = ranked.groupBy("shard").agg(
+        (F.max("pos_in_shard") + 1).alias("_n")
+    )
+    ow = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "shard", F.coalesce(F.sum("_n").over(ow), F.lit(0)).alias("_off")
+    )
+    return (
+        ranked.join(F.broadcast(offs), "shard")
+        .select(
+            key_col,
+            "shard",
+            "pos_in_shard",
+            (F.col("_off") + F.col("pos_in_shard"))
+            .cast("long")
+            .alias("global_pos"),
+        )
+    )
+
+
+def shuffle_shards_sql(
+    n_shards: int = 64,
+    table: str = "documents",
+    key_col: str = "doc_id",
+    salt: str = "shuf",
+    seed: int = 0,
+) -> str:
+    """DuckDB mirror of shuffle_shards (same phash — positive, so
+    % == pmod; the cumulative-offset window pins an explicit ROWS
+    frame and ::BIGINT like every DuckDB window sum)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key_expr = _sql_quote(f"{salt}:{seed}:") + f" || {key_col}::VARCHAR"
+    h = phash_sql(key_expr)
+    return f"""
+WITH shf AS (SELECT {key_col}, {h} AS h,
+                    ({h} % {n_shards})::BIGINT AS shard
+             FROM {table} WHERE {key_col} IS NOT NULL),
+rnk AS (SELECT {key_col}, shard,
+               (row_number() OVER (PARTITION BY shard ORDER BY h, {key_col})
+                - 1)::BIGINT AS pos_in_shard
+        FROM shf),
+sz AS (SELECT shard, count(*) AS n FROM rnk GROUP BY shard),
+offs AS (SELECT shard,
+                coalesce(sum(n) OVER (ORDER BY shard
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0)::BIGINT AS off
+         FROM sz)
+SELECT r.{key_col}, r.shard, r.pos_in_shard,
+       (o.off + r.pos_in_shard)::BIGINT AS global_pos
+FROM rnk r JOIN offs o ON r.shard = o.shard
 """

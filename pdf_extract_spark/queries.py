@@ -4646,6 +4646,48 @@ def zorder_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "dup_substring_removal",
+    dedup.remove_dup_substrings_sql(
+        table=f"({_ESS_PAGE_SQL.strip()})", min_len=8
+    ),
+)
+def dup_substring_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. exact-substring REMOVAL over the same passage-decorated
+    corpus exact_substrings reports on: every >= 8-token shared run is
+    CUT from all but its smallest-id holder (interval-merged per victim,
+    case-preserving rebuild; untouched docs keep text verbatim) — one
+    row per doc with the rebuilt text and the removed-token count. Same
+    input repartition as exact_substrings (single-file fixture scan;
+    the gram side's n>=2 window exchange doubles as the self-join
+    boundary)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(n_part, "doc_id")
+        .select("doc_id", _ess_page().alias("text"))
+    )
+    return dedup.remove_dup_substrings(docs, min_len=8)
+
+
+@query(
+    "shuffle_shards",
+    packing.shuffle_shards_sql(n_shards=16, table="documents"),
+)
+def shuffle_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle of the corpus: shard =
+    portable-hash mod 16, within-shard rank by (hash, key), global
+    position from exact cumulative shard sizes — a reproducible
+    bijection onto [0, N) that a checkpointed training run can resume
+    and a new seed reshuffles per epoch. ONE data shuffle; the
+    shard-size relation rides it as a ReusedExchange and broadcasts
+    back."""
+    return packing.shuffle_shards(
+        _t(spark, sf_dir, "documents"), n_shards=16
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate samples the FIRST 50
 # entries of queries().  Three tiers:

@@ -2143,6 +2143,7 @@ LEFT JOIN rds_cutdocs c ON b.{id_col} = c.{id_col}
 LEFT JOIN rds_reb r ON b.{id_col} = r.{id_col}
 """
 
+
 def cluster_keepbest(
     labels: DataFrame, quality: DataFrame, score_col: str = "n_chars"
 ) -> DataFrame:

@@ -1332,6 +1332,89 @@ GROUP BY split
 """
 
 
+
+def split_assign_clustered(
+    labels: DataFrame,
+    fractions: tuple[tuple[str, int], ...] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-PROOF split assignment — the repair counterpart of the
+    ``split_leakage`` audit (the decontaminate/eval_contamination
+    pattern: one operator measures the defect, its sibling removes it):
+    hash the near-dup CLUSTER label instead of the document id, so
+    every member of a component lands in the same split and cross-split
+    leakage is zero BY CONSTRUCTION — ``split_leakage`` over the result
+    reads n_leaked = 0 on every split, not because the hash got lucky
+    but because a cluster cannot straddle what it is atomically
+    assigned to.
+
+    Because ``dedup_components`` labels each cluster with its minimum
+    reachable doc_id, a singleton's label IS its own doc_id: singleton
+    documents receive exactly the split plain ``split_assign`` gives
+    them, and only members of >1-doc clusters move (they adopt their
+    cluster representative's split). Split SIZES stay within the
+    requested basis points up to cluster granularity — a giant
+    boilerplate family lands whole in one split, which is precisely
+    the guarantee eval integrity demands.
+
+    Input: ``labels`` = (doc_id, component), a ``dedup_components``
+    labeling over the full universe. ``fractions=None`` resolves to
+    ``textstats.SPLIT_FRACTIONS`` (the split_assign default) on BOTH
+    engines. Returns (doc_id, component, split_bucket, split).
+
+    Scale (100 TB): a pure map-side projection over the labeling (the
+    split_assign hash CASE evaluated on the component key) — ZERO
+    Exchange beyond what produced the labels; no join, no window;
+    document text never appears (plan-pinned in
+    tests/test_split_clustered.py).
+    """
+    from pdf_extract_spark.operators.textstats import (
+        SPLIT_FRACTIONS,
+        split_assign,
+    )
+
+    if fractions is None:
+        fractions = SPLIT_FRACTIONS
+    return split_assign(
+        labels.select("doc_id", "component"),
+        fractions=fractions,
+        key_col="component",
+        salt=salt,
+    )
+
+
+def split_assign_clustered_sql(
+    pairs_cte: str,
+    table: str = "documents",
+    fractions: tuple[tuple[str, int], ...] | None = None,
+    salt: str = "split",
+) -> str:
+    """DuckDB mirror: the dedup_components closure CTEs + the
+    split_assign hash CASE keyed on the component label (allc is
+    projected to (doc_id, component) first so the output schema matches
+    the kernel's SELECT * exactly; fractions=None resolves to
+    textstats.SPLIT_FRACTIONS on both sides — the split_leakage_sql
+    discipline, so default-composed twins can never diverge on bucket
+    boundaries)."""
+    from pdf_extract_spark.operators.textstats import (
+        SPLIT_FRACTIONS,
+        split_assign_sql,
+    )
+
+    if fractions is None:
+        fractions = SPLIT_FRACTIONS
+    inner = split_assign_sql(
+        fractions=fractions,
+        table="(SELECT doc_id, component FROM allc)",
+        key_col="component",
+        salt=salt,
+    )
+    return f"""
+WITH RECURSIVE {dedup_components_ctes(pairs_cte, table)}
+{inner.strip()}
+"""
+
+
 # -------------------------------------------------------- line-level dedup
 
 def dedup_lines(

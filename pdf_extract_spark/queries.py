@@ -4688,6 +4688,36 @@ def shuffle_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "split_assign_clustered",
+    dedup.split_assign_clustered_sql(
+        f"pairs AS ({dedup.minhash_lsh_pairs_sql(table=_NGRAM_DECOR_SQL)})",
+        "documents",
+        fractions=(("train", 8000), ("val", 1000), ("test", 1000)),
+    ),
+)
+def split_assign_clustered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof splits over the same planted-boilerplate fixture
+    split_leakage audits: MinHash pairs -> connected components -> the
+    split hash evaluated on the CLUSTER label, so the ~N/7 boilerplate
+    family (which provably straddles splits under plain doc_id hashing
+    at these 8000/1000/1000 bp) lands whole in one split and
+    split_leakage over this assignment reads zero by construction.
+    Singletons keep their plain-split assignment (component == own id).
+    Map-side CASE over the labeling; zero Exchange beyond components."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 3, F.lit(_CURATE_BOILER)).otherwise(
+            F.col("text")
+        ),
+    )
+    pairs = dedup.minhash_lsh_pairs(docs)
+    labels = dedup.dedup_components(pairs, universe=docs)
+    return dedup.split_assign_clustered(
+        labels, fractions=(("train", 8000), ("val", 1000), ("test", 1000))
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate samples the FIRST 50
 # entries of queries().  Three tiers:

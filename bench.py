@@ -112,6 +112,10 @@ HEADLINE = [
     "minhash_merge",            # incremental sketch maintenance (elementwise-min fold, one aggregate)
     "dup_substring_removal",    # Lee et al. exact-substring REMOVAL (interval-merged cuts, cased rebuild)
     "shuffle_shards",           # deterministic training-order shuffle (one shuffle, reused exchange)
+    "bloom_ingest",             # incremental-ingest Bloom prefilter (bounded bit-set broadcast)
+    "site_quality",             # per-host quality gate (map-side-combinable mean aggregate)
+    "encoding_audit",           # mojibake/control/U+FFFD audit (map-only, zero Exchange)
+    "compaction_plan",          # small-file binpack planning (per-partition cumsum window)
 ]
 
 

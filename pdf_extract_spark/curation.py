@@ -38,7 +38,7 @@ equivalent (measured 15.1 -> 13.0 s on the oracle fixture's twin).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from pdf_extract_spark.operators import dedup, packing, textstats
 
@@ -490,4 +490,79 @@ SELECT c.doc_id,
                ELSE -(((-sc.total_bits) * 1000) // sc.n_grams) END
         END)::BIGINT AS milli_bits_per_gram
 FROM {corpus_table} c LEFT JOIN sc ON c.doc_id = sc.doc_id
+"""
+
+
+# --------------------------------------------- compaction planning
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    part_col: str = "part",
+    file_col: str = "file_id",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """Small-file compaction planning — the planning half of Iceberg's
+    ``rewrite_data_files`` binpack: within each table partition, walk
+    data files in file-id order and assign each to output bin
+    ``floor(preceding-cumulative-size / target_bytes)`` — a new bin
+    starts exactly when the running total crosses the target, so every
+    bin except possibly the last holds >= target bytes and < target +
+    one file. Deterministic (file order, not arrival order), pure
+    integer math, engine-portable. Returns every input row plus
+    ``bin``; the executing job then rewrites each (partition, bin)
+    group as one file.
+
+    Scale (100 TB): the input is the FILE MANIFEST — one metadata row
+    per data file, never the data — so even a million-file table is a
+    million rows. The window is partitioned by the table partition (the
+    unit a compaction commit rewrites), NEVER a global sort: plans for
+    different partitions build and execute independently, which is
+    exactly how the rewrite parallelizes on a cluster.
+
+    Reference analog: the fixed-size batch splitter it runs before
+    extraction (utils.py:40-106, SURVEY.md S4) — the same
+    'group small units up to a byte budget' rule, applied to the lake's
+    physical layout instead of the input corpus."""
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    return (
+        files.select(
+            part_col, file_col,
+            F.col(size_col).cast("long").alias(size_col),
+            prev.alias("_prev"),
+        )
+        .select(
+            part_col, file_col, size_col,
+            F.expr(f"_prev DIV {target_bytes}").cast("long").alias("bin"),
+        )
+    )
+
+
+def compaction_plan_sql(
+    files_sql: str,
+    target_bytes: int,
+    part_col: str = "part",
+    file_col: str = "file_id",
+    size_col: str = "size_bytes",
+) -> str:
+    """DuckDB twin of compaction_plan (window sum cast ::BIGINT — DuckDB
+    returns HUGEINT/DECIMAL otherwise; // is trunc division on the
+    non-negative cumulative sum, == Spark DIV)."""
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    return f"""
+SELECT {part_col}, {file_col}, {size_col},
+       (coalesce(sum({size_col}) OVER (
+            PARTITION BY {part_col} ORDER BY {file_col}
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        // {target_bytes})::BIGINT AS bin
+FROM ({files_sql})
 """

@@ -2505,3 +2505,128 @@ SELECT d.doc_id,
 FROM tk d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
 
+
+
+# --------------------------------------------- Bloom ingest prefilter
+
+# Production default: 2^20 bits. The bit-set RELATION is bounded at m
+# rows regardless of history size — sized so a year of daily ingests
+# stays under a few MB broadcast. Queries size it DOWN to the fixture
+# so every verdict branch is exercised (see queries.bloom_ingest_q).
+BLOOM_M = 1 << 20
+BLOOM_K = 4
+
+
+def _bloom_positions(fp, m: int, k: int):
+    """k double-hashed bit positions from ONE portable fingerprint:
+    ``pos_i = (fp % m + i * (1 + fp % (m-1))) % m`` (Kirsch-Mitzenmacher
+    double hashing — two derived hashes simulate k independent ones).
+    ``fp`` is a positive 60-bit phash and ``m`` stays far below 2^31,
+    so every intermediate fits int64 with room to spare."""
+    h1 = fp % m
+    h2 = 1 + (fp % (m - 1))
+    return F.array(*[((h1 + F.lit(i) * h2) % m).cast("long") for i in range(k)])
+
+
+def bloom_ingest(
+    history: DataFrame,
+    batch: DataFrame,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter prefilter for incremental ingest dedup: is each doc
+    of a new crawl ``batch`` already in the ``history`` lake? The filter
+    answers 'definitely new' exactly (no false negatives — an identical
+    fingerprint probes identical positions) and 'maybe seen'
+    approximately; only the maybe-seen docs pay the exact fingerprint
+    join against history. Returns one row per batch doc:
+    ``(id_col, bloom_hit, verdict)`` with verdict in
+    {'new', 'dup', 'false_positive'} — the false-positive column IS the
+    operator's accuracy audit (measured, not assumed from the formula).
+
+    Fingerprints are ``phash(norm_text(text))`` — the same portable key
+    as ``exact_dedup``, so 'dup' here means exactly what keep-first
+    dedup would collapse.
+
+    Scale (100 TB): the bit set is ONE distinct aggregate over history
+    positions, bounded at ``m`` rows BY CONSTRUCTION no matter how big
+    history grows (map-side partial distinct does the heavy lifting);
+    it broadcasts to the batch, which is never shuffled for the probe.
+    The exact-confirm join ships only (fp, id) pairs and only for the
+    bloom-positive subset — the whole point of the prefilter: a daily
+    batch joins against a year of history at the cost of its hit rate,
+    not the history's size. Incremental maintenance is free:
+    ``distinct(positions(h1 ∪ h2)) == distinct(positions(h1)) ∪
+    distinct(positions(h2))`` (min/distinct distribute over union, the
+    same algebra as minhash_merge), so yesterday's bit set unions with
+    today's batch positions without re-reading history — property-
+    tested in tests/test_ingest_lake_ops.py.
+
+    Reference analog: the resume-skip membership check of its lineage
+    loop (SURVEY.md §2.9) — 'have I already extracted this document?' —
+    re-expressed as a set-membership prefilter that never re-reads the
+    extracted corpus."""
+    fp = phash(norm_text(F.col(text_col)))
+    hist_fp = history.select(fp.alias("fp"))
+    bits = (
+        hist_fp.select(F.explode(_bloom_positions(F.col("fp"), m, k)).alias("pos"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    probed = (
+        batch.select(F.col(id_col), fp.alias("fp"))
+        .select(
+            id_col, "fp",
+            F.explode(_bloom_positions(F.col("fp"), m, k)).alias("pos"),
+        )
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy(id_col, "fp")
+        .agg((F.min(F.coalesce(F.col("_hit"), F.lit(0))) == 1).alias("bloom_hit"))
+    )
+    # exact confirm for the bloom-positive subset ONLY; history keys are
+    # corpus-sized, so this join must NOT broadcast (key-only shuffle)
+    hist_keys = hist_fp.distinct().withColumn("_dup", F.lit(1))
+    positive = probed.filter(F.col("bloom_hit")).join(hist_keys, "fp", "left")
+    out_pos = positive.select(
+        id_col, "bloom_hit",
+        F.when(F.col("_dup") == 1, F.lit("dup"))
+        .otherwise(F.lit("false_positive")).alias("verdict"),
+    )
+    out_neg = probed.filter(~F.col("bloom_hit")).select(
+        id_col, "bloom_hit", F.lit("new").alias("verdict")
+    )
+    return out_pos.unionByName(out_neg)
+
+
+def bloom_ingest_sql(
+    history_sql: str,
+    batch_sql: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of bloom_ingest (same phash fingerprint, same
+    double-hash position chain; fp is positive so % == pmod)."""
+    fpx = phash_sql(NORM_SQL.format(e=text_expr))
+    pos = f"((fp % {m}) + i * (1 + fp % {m - 1})) % {m}"
+    return f"""
+WITH hist AS ({history_sql}),
+bat AS ({batch_sql}),
+hfp AS (SELECT DISTINCT {fpx} AS fp FROM hist),
+ii AS (SELECT unnest(range(0, {k})) AS i),
+bits AS (SELECT DISTINCT {pos} AS pos FROM hfp, ii),
+bfp AS (SELECT {id_col}, {fpx} AS fp FROM bat),
+probe AS (
+  SELECT {id_col}, fp,
+         min(CASE WHEN {pos} IN (SELECT pos FROM bits)
+                  THEN 1 ELSE 0 END) AS hit
+  FROM bfp, ii GROUP BY 1, 2)
+SELECT {id_col}, hit = 1 AS bloom_hit,
+       CASE WHEN hit = 0 THEN 'new'
+            WHEN fp IN (SELECT fp FROM hfp) THEN 'dup'
+            ELSE 'false_positive' END AS verdict
+FROM probe
+"""

@@ -118,6 +118,26 @@ FROM {table}
 """
 
 
+def quality_expr(t):
+    """The 6dp-rounded [0,1] quality score of a text COLUMN (NULL when
+    zero tokens — ANSI 0/0 raises; DuckDB returns NULL). The single
+    source of the formula: quality_score and weburl.site_quality both
+    evaluate THIS expression; its SQL twin is quality_expr_sql."""
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[.!?,;:]"), 0))
+    return F.when(
+        n_tok > 0,
+        F.round(
+            F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+            + (stop_hits / n_tok) * 0.4
+            + F.least(n_punct / F.lit(10.0), F.lit(1.0)) * 0.2,
+            6,
+        ),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + score.
 
@@ -130,15 +150,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[.!?,;:]"), 0))
     n_chars = F.length(t)
-    score = F.when(
-        n_tok > 0,
-        F.round(
-            F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
-            + (stop_hits / n_tok) * 0.4
-            + F.least(n_punct / F.lit(10.0), F.lit(1.0)) * 0.2,
-            6,
-        ),
-    )  # zero tokens -> NULL (ANSI 0/0 raises; DuckDB returns NULL)
+    score = quality_expr(t)
     return df.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars_m"),
@@ -149,20 +161,29 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score_sql(table: str = "documents", text_expr: str = "text") -> str:
+def quality_expr_sql(text_expr: str) -> str:
+    """DuckDB twin of quality_expr (same formula text, shared by
+    quality_score_sql and weburl.site_quality_sql)."""
     toks = tokens_sql(text_expr)
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"round(least(len({toks}) / 100.0, 1.0) * 0.4 "
+        f"+ (len(list_filter({toks}, x -> x IN ({stop_list}))) * 1.0 / len({toks})) * 0.4 "
+        f"+ least(len(regexp_extract_all({text_expr}, '[.!?,;:]')) / 10.0, 1.0) * 0.2, 6) "
+        f"END"
+    )
+
+
+def quality_score_sql(table: str = "documents", text_expr: str = "text") -> str:
+    toks = tokens_sql(text_expr)
     return f"""
 SELECT doc_id,
        length({text_expr}) AS n_chars_m,
        len({toks}) AS n_tokens,
        {stop_ratio_sql(toks)} AS stopword_ratio,
        len(regexp_extract_all({text_expr}, '[.!?,;:]')) AS n_punct,
-       CASE WHEN len({toks}) > 0 THEN
-         round(least(len({toks}) / 100.0, 1.0) * 0.4
-             + (len(list_filter({toks}, x -> x IN ({stop_list}))) * 1.0 / len({toks})) * 0.4
-             + least(len(regexp_extract_all({text_expr}, '[.!?,;:]')) / 10.0, 1.0) * 0.2, 6)
-       END AS quality
+       {quality_expr_sql(text_expr)} AS quality
 FROM {table}
 """
 
@@ -2636,4 +2657,70 @@ SELECT n AS n_docs,
                ELSE -((-knum) * 1000 // kden) END
         END)::BIGINT AS kappa_milli
 FROM fk_nd
+"""
+
+
+# ----------------------------------------------------- encoding audit
+
+# Portable (Java + RE2) patterns. \x{..} escapes work in BOTH engines
+# (\uhhhh does NOT exist in RE2; raw C0 literals would not survive SQL
+# string transport) — concatenated, never str.format'ed (CLAUDE.md).
+# U+FFFD: the replacement char a lossy decode leaves behind.
+REPLACEMENT_PATTERN = "\\x{fffd}"
+# UTF-8-bytes-decoded-as-Latin-1 signatures: a two-byte sequence's lead
+# byte becomes Ã/Â followed by a continuation byte in U+0080-U+00BF
+# ('Ã©' for é, 'Â ' for NBSP); three-byte punctuation becomes â€…
+# ('â€™' for a right quote) — the literal pair 'â€' only ever appears
+# in mojibake.
+MOJIBAKE_PATTERN = (
+    "[\\x{00c2}\\x{00c3}][\\x{0080}-\\x{00bf}]|\\x{00e2}\\x{20ac}"
+)
+# C0 controls except \t \n \r — never legitimate in extracted text.
+CONTROL_PATTERN = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+def encoding_audit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document encoding-health audit (the ftfy-shaped triage a
+    crawl pipeline runs before spending tokens on broken text): counts
+    of U+FFFD replacement chars (a lossy decode upstream), classic
+    UTF-8-as-Latin-1 mojibake pair signatures ('Ã©', 'â€™'), and bare
+    C0 control characters, plus the composite ``is_clean`` verdict.
+    NULL text propagates NULL counts (same as DuckDB's len(NULL)).
+
+    Map-only projection, zero Exchange (plan-asserted): three JVM regex
+    counts per row, no Python, no shuffle — at 100 TB this rides the
+    ingest scan for free. Reference analog: the content-validity
+    filter family (SURVEY.md F7/F8, metadata_generator.py:430-463),
+    extended from 'is the text junk?' to 'was the text decoded
+    correctly?'."""
+    t = F.col(text_col)
+
+    def _cnt(p: str):
+        return F.size(F.regexp_extract_all(t, F.lit(p), 0)).cast("long")
+
+    n_repl = _cnt(REPLACEMENT_PATTERN)
+    n_moji = _cnt(MOJIBAKE_PATTERN)
+    n_ctrl = _cnt(CONTROL_PATTERN)
+    return df.select(
+        "doc_id",
+        n_repl.alias("n_replacement"),
+        n_moji.alias("n_mojibake"),
+        n_ctrl.alias("n_ctrl"),
+        ((n_repl == 0) & (n_moji == 0) & (n_ctrl == 0)).alias("is_clean"),
+    )
+
+
+def encoding_audit_sql(table: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB twin of encoding_audit (identical pattern strings — the
+    \\x{..} escape set is the Java∩RE2 portable subset)."""
+
+    def _c(p: str) -> str:
+        return f"len(regexp_extract_all({text_expr}, '{p}'))::BIGINT"
+
+    r, m, c = (_c(REPLACEMENT_PATTERN), _c(MOJIBAKE_PATTERN),
+               _c(CONTROL_PATTERN))
+    return f"""
+SELECT doc_id, {r} AS n_replacement, {m} AS n_mojibake, {c} AS n_ctrl,
+       ({r} = 0 AND {m} = 0 AND {c} = 0) AS is_clean
+FROM {table}
 """

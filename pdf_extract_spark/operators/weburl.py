@@ -577,3 +577,99 @@ SELECT ky.doc_id, ky.canonical_url,
        (ky.ckey IS NULL OR ky.doc_id = kp.keep_id) AS keep
 FROM ky LEFT JOIN kp ON ky.ckey = kp.ckey
 """
+
+
+# ------------------------------------------------- site-level quality
+
+
+def site_quality(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_docs: int = 2,
+    milli_threshold: int = 350,
+) -> DataFrame:
+    """Per-SITE quality gate (the RefinedWeb curation rule: judge the
+    host, not just the page — a domain whose pages are uniformly junk
+    is dropped wholesale, catching spam farms whose individual pages
+    squeak past per-document thresholds). Pages are scored with the
+    shared textstats quality formula, floor-milli'd to integers, and
+    aggregated per registrable host; a host is kept iff it has at
+    least ``min_docs`` pages AND integer mean milli-quality >=
+    ``milli_threshold``. Rows with no parseable http(s) host aggregate
+    under the explicit '(no-url)' domain (same passthrough contract as
+    domain_cap's keep_unkeyed) so non-web docs are visible in the
+    verdict table, never silently dropped. NULL-quality pages (zero
+    tokens) count as 0 milli — a blank page argues against its site.
+
+    Returns (domain, n_docs, mean_milli_q, site_kept). Integer mean =
+    sum DIV count — exact, order-independent, engine-identical (the
+    only doubles are inside the 6dp-rounded page score, the already-
+    proven quality_score chain).
+
+    Scale (100 TB): ONE aggregate keyed by host with map-side partial
+    (sum, count) combine — skewed mega-hosts fold locally before the
+    shuffle, so no salting is needed (unlike domain_cap's top-N, a mean
+    is associative); the shuffle carries (host, milli, 1) triples,
+    never page payloads. Applying the verdict is a broadcast-sized
+    semi-join back (hosts number ~10^7 at web scale, the bounded side).
+
+    Reference analog: the per-file status aggregate driving its skip
+    lists (SURVEY.md A2/A10) lifted to the web-corpus unit, the host."""
+    from pdf_extract_spark.operators.textstats import quality_expr
+
+    host = url_host(canonicalize_url(F.col(url_col)))
+    dom = F.when(host.isNull() | (host == ""), F.lit("(no-url)")).otherwise(host)
+    # floor == trunc: the score is >= 0 (house pattern, queries.py sig_b)
+    milli = F.coalesce(
+        (quality_expr(F.col(text_col)) * 1000).cast("long"), F.lit(0)
+    )
+    agg = (
+        df.select(dom.alias("domain"), milli.alias("_mq"))
+        .groupBy("domain")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("_mq").alias("_sum"))
+    )
+    mean = F.expr("_sum DIV n_docs")
+    return agg.select(
+        "domain", "n_docs",
+        mean.cast("long").alias("mean_milli_q"),
+        ((F.col("n_docs") >= min_docs)
+         & (mean >= milli_threshold)).alias("site_kept"),
+    )
+
+
+def site_quality_sql(
+    urls_sql: str,
+    docs_table: str = "documents",
+    text_expr: str = "text",
+    min_docs: int = 2,
+    milli_threshold: int = 350,
+) -> str:
+    """DuckDB twin of site_quality. ``urls_sql`` must yield
+    (doc_id, url) for every row of ``docs_table`` (the queries share
+    the messy-URL fixture). floor() mirrors Spark's truncating
+    double->long cast on the non-negative score; // is trunc division
+    on non-negatives."""
+    from pdf_extract_spark.operators.textstats import quality_expr_sql
+
+    host = url_host_sql(canonicalize_url_sql("u.url"))
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         coalesce(CAST(floor(({quality_expr_sql(text_expr)}) * 1000)
+                       AS BIGINT), 0) AS mq
+  FROM {docs_table}),
+hosted AS (SELECT u.doc_id, {host} AS host FROM ({urls_sql}) u),
+dom AS (
+  SELECT CASE WHEN host IS NULL OR host = '' THEN '(no-url)'
+              ELSE host END AS domain, doc_id
+  FROM hosted),
+per AS (
+  SELECT domain, count(*)::BIGINT AS n_docs, sum(mq)::BIGINT AS s
+  FROM dom JOIN q USING (doc_id) GROUP BY 1)
+SELECT domain, n_docs, (s // n_docs)::BIGINT AS mean_milli_q,
+       (n_docs >= {min_docs} AND (s // n_docs) >= {milli_threshold})
+           AS site_kept
+FROM per
+"""

@@ -4719,6 +4719,149 @@ def split_assign_clustered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# r5 ingest/lake-ops wave: bloom_ingest, site_quality, encoding_audit,
+# compaction_plan
+# ---------------------------------------------------------------------
+
+# Planted cross-split duplicates for the Bloom prefilter fixture: the
+# 'replay page N' texts appear on BOTH sides of the %3 history/batch
+# split, so the 'dup' branch is exercised; m is sized DOWN to the
+# fixture (4096 bits, 3 probes) so the false-positive audit column is
+# non-empty too (production default BLOOM_M is 2^20). Measured verdict
+# mix at sf0.01: 130 new / 34 dup / 3 false_positive.
+_BLOOM_HIST_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN 'replay page ' || "
+    "(doc_id % 20)::VARCHAR ELSE text END AS text "
+    "FROM documents WHERE doc_id % 3 <> 0"
+)
+_BLOOM_BATCH_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'replay page ' || "
+    "(doc_id % 20)::VARCHAR ELSE text END AS text "
+    "FROM documents WHERE doc_id % 3 = 0"
+)
+
+
+@query(
+    "bloom_ingest",
+    dedup.bloom_ingest_sql(_BLOOM_HIST_SQL, _BLOOM_BATCH_SQL, m=4096, k=3),
+)
+def bloom_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest Bloom prefilter (dedup.bloom_ingest): is each
+    doc of the new batch already in the history lake? 'new' is exact
+    (no false negatives), only the 'maybe' subset pays the fingerprint
+    confirm join; the verdict column MEASURES the false-positive rate
+    instead of assuming it from the formula. Reference analog: the
+    lineage resume-skip membership check (SURVEY.md §2.9) re-expressed
+    so history is never re-read."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    replay = F.concat(F.lit("replay page "), (d % 20).cast("string"))
+    hist = docs.filter(d % 3 != 0).select(
+        "doc_id",
+        F.when(d % 7 == 3, replay).otherwise(F.col("text")).alias("text"),
+    )
+    batch = docs.filter(d % 3 == 0).select(
+        "doc_id",
+        F.when(d % 5 == 0, replay).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.bloom_ingest(hist, batch, m=4096, k=3)
+
+
+# Per-host quality separation for the site gate fixture: docs of hosts
+# 0-2 (doc_id % 7 < 3) get a stopword- and punctuation-rich suffix, so
+# their site means land ~365-396 milli vs ~233-248 for hosts 3-6 and
+# ~306-340 for '(no-url)' — the default 350 threshold splits them at
+# every sf (measured at sf0.001/0.01/0.1).
+_SITE_BOOST = " the value is a good one, and it is the best of the set."
+_SITE_DOCS_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 7 < 3 THEN text || '" + _SITE_BOOST
+    + "' ELSE text END AS text FROM documents"
+)
+
+
+def _site_quality_oracle() -> str:
+    from pdf_extract_spark.operators import weburl
+
+    return weburl.site_quality_sql(
+        _MESSY_URL_SQL, docs_table=f"({_SITE_DOCS_SQL})"
+    )
+
+
+@query("site_quality", _site_quality_oracle())
+def site_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site quality gate (weburl.site_quality, the RefinedWeb
+    'judge the host, not just the page' rule): mean milli-quality +
+    doc count per registrable host -> keep/drop verdict; rows with no
+    parseable host aggregate under '(no-url)' instead of vanishing."""
+    from pdf_extract_spark.operators import weburl
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    boosted = F.when(
+        d % 7 < 3, F.concat(F.col("text"), F.lit(_SITE_BOOST))
+    ).otherwise(F.col("text"))
+    return weburl.site_quality(
+        docs.select("doc_id", boosted.alias("text"), _messy_url().alias("url"))
+    )
+
+
+
+
+_COMPACTION_FILES_SQL = (
+    "SELECT source AS part, (doc_id % 17)::BIGINT AS file_id, "
+    "sum(n_chars)::BIGINT AS size_bytes FROM documents GROUP BY 1, 2"
+)
+
+
+@query(
+    "compaction_plan",
+    curation.compaction_plan_sql(_COMPACTION_FILES_SQL, target_bytes=1500),
+)
+def compaction_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (curation.compaction_plan — the
+    planning half of Iceberg rewrite_data_files): per-partition
+    preceding-cumsum bin assignment over a synthesized file manifest
+    (one 'file' per (source, doc_id%17) group, sized by its chars)."""
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.groupBy(
+        F.col("source").alias("part"),
+        (F.col("doc_id") % 17).cast("long").alias("file_id"),
+    ).agg(F.sum("n_chars").cast("long").alias("size_bytes"))
+    return curation.compaction_plan(files, target_bytes=1500)
+
+
+# Deterministic encoding-damage decoration: mojibake 'Ã©' on %11 docs,
+# a BEL control on %13, U+FFFD on %17 (CASE order matters — mirrored;
+# the base corpus is all-ASCII so the undecorated docs audit clean).
+_ENCODING_DECO_SQL = (
+    "SELECT doc_id, CASE "
+    "WHEN doc_id % 11 = 0 THEN text || ' caf' || chr(195) || chr(169) "
+    "WHEN doc_id % 13 = 0 THEN text || chr(7) "
+    "WHEN doc_id % 17 = 0 THEN text || chr(65533) "
+    "ELSE text END AS text FROM documents"
+)
+
+
+@query(
+    "encoding_audit",
+    textstats.encoding_audit_sql(table=f"({_ENCODING_DECO_SQL})"),
+)
+def encoding_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health audit (textstats.encoding_audit): U+FFFD,
+    UTF-8-as-Latin-1 mojibake signatures and C0 controls counted per
+    doc in one map-only zero-Exchange projection."""
+    docs = _t(spark, sf_dir, "documents")
+    d, t = F.col("doc_id"), F.col("text")
+    deco = (
+        F.when(d % 11 == 0, F.concat(t, F.lit(" caf\u00c3\u00a9")))
+        .when(d % 13 == 0, F.concat(t, F.lit("\u0007")))
+        .when(d % 17 == 0, F.concat(t, F.lit("\ufffd")))
+        .otherwise(t)
+    )
+    return textstats.encoding_audit(docs.select("doc_id", deco.alias("text")))
+
+
+# ---------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate samples the FIRST 50
 # entries of queries().  Three tiers:
 #   1. oracled queries (value+schema+hash-checkable vs DuckDB) — the
@@ -4911,6 +5054,19 @@ _DEMOTED_ORACLED = frozenset({
     # sampled); demotion keeps its per-run pytest mirror and the
     # percentile machinery stays in-window:
     "length_quantiles",         # percentile family: quality_buckets (quartile machinery) in-window
+    # fortieth r5 wave — yields slots to bloom_ingest, site_quality,
+    # encoding_audit and compaction_plan (never sampled); every
+    # demotion below keeps its per-run pytest value+dtype mirror and
+    # leaves its family represented in-window (the window was 53 — 3
+    # already spilled past the driver's 50 — so seven demotions bring
+    # it to exactly 50 WITH the four new queries inside):
+    "unigram_surprisal",        # LM family: bigram_surprisal (strict superset: its backoff leg IS the unigram model) in-window
+    "upsample_mix",             # sampling family: temperature_sample (corpus-derived rates) in-window
+    "chunk_documents",          # packing family: pack_documents semantics compose in-window via both curate pipelines' oracles
+    "c4_clean",                 # cleanup-gate family: gopher_repetition/gopher_gate + domain_boilerplate in-window
+    "noindex_flags",            # web-gate family: url_blocklist, canonical_dedup in-window
+    "corpus_card",              # per-lang aggregate family: temperature_sample (same groupBy-lang counts), script_profile in-window
+    "dedup_media",              # media family: semantic_dedup (embedding near-dup verdict machinery) in-window; byte features pytest-mirrored every run
 })
 
 

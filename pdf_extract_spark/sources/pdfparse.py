@@ -292,6 +292,15 @@ class PdfDocument:
             at = int(prev) if prev is not None else None
         if self.trailer is None or "Root" not in self.trailer:
             raise PdfError("no trailer/Root found")
+        if "Encrypt" in self.trailer:
+            # PDF 32000-1 §7.6: an /Encrypt entry in the governing
+            # (newest) trailer means strings and content streams are
+            # RC4/AES-encrypted. The STRUCTURE still parses, so without
+            # this guard an encrypted file would "extract" ciphertext
+            # noise as sentence text instead of failing. Quarantine
+            # loudly (the F5 error-class contract: PdfError becomes a
+            # parse_error row, never silent garbage).
+            raise PdfError("encrypted pdf (/Encrypt in trailer)")
 
     def _parse_xref_stream(self, at: int) -> dict:
         """A /Type /XRef cross-reference STREAM object: W-field-width

@@ -303,3 +303,51 @@ def test_quote_operator_advances_by_leading():
     assert [ln["text"] for ln in page["lines"]] == ["first", "second", "third"]
     # each ' advances one leading (14pt) down the page (y0 grows top-down)
     assert ys == [142.0, 156.0, 170.0]
+
+
+def test_encrypted_pdf_raises_not_garbage():
+    """/Encrypt in the trailer means strings/streams are ciphertext:
+    the parse must refuse (PDF 32000-1 §7.6) — extracting would emit
+    noise as sentence text. Byte surgery on the trailer keeps every
+    xref offset valid, so ONLY the encryption flag differs."""
+    import pytest as _pytest
+
+    from pdf_extract_spark.sources import pdfparse
+
+    pdf = _raw({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] "
+           b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        4: b"<< /Length 42 >>\nstream\nBT /F1 12 Tf 72 700 Td (secret) Tj ET\nendstream",
+        5: b"<< /Type /Font /BaseFont /Helvetica >>",
+    })
+    assert _texts(pdfparse.parse_pdf(pdf)) == [["secret"]]  # sane baseline
+    enc = pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    with _pytest.raises(pdfparse.PdfError, match="encrypted"):
+        pdfparse.parse_pdf(enc)
+
+
+def test_encrypted_pdf_quarantined_in_batch(spark):
+    """The Spark path routes an encrypted file to a parse_error row
+    carrying the reason while healthy siblings extract normally."""
+    from pdf_extract_spark.operators import layout as L
+    from pdf_extract_spark.sources import pdfgen
+
+    good = bytes(pdfgen.build_pdf(0, seed=33))
+    enc = good.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    assert enc != good  # the surgery must have landed
+    df = spark.createDataFrame(
+        [{"doc_id": "ok", "content": bytearray(good)},
+         {"doc_id": "enc", "content": bytearray(enc)}],
+        schema="doc_id string, content binary",
+    )
+    full = L.pdf_to_spans_full(df).persist()
+    try:
+        assert {r["doc_id"] for r in L.healthy_spans(full).collect()} == {"ok"}
+        errs = {r["doc_id"]: r["parse_error"]
+                for r in L.parse_error_rows(full).collect()}
+        assert set(errs) == {"enc"}
+        assert "encrypted" in errs["enc"]
+    finally:
+        full.unpersist()

@@ -116,6 +116,7 @@ HEADLINE = [
     "site_quality",             # per-host quality gate (map-side-combinable mean aggregate)
     "encoding_audit",           # mojibake/control/U+FFFD audit (map-only, zero Exchange)
     "compaction_plan",          # small-file binpack planning (per-partition cumsum window)
+    "robots_gate",              # RFC 9309 fetch-permission gate (host-keyed metadata join)
 ]
 
 

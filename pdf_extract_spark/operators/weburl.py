@@ -125,6 +125,29 @@ def url_host_sql(canonical_expr: str) -> str:
     return f"regexp_extract({canonical_expr}, '{HOST_PATTERN}', 1)"
 
 
+# scheme+host stripper for the path part; '^' and literal classes only
+# (portable Java+RE2 subset)
+_SCHEME_HOST_PATTERN = r"^https?://[^/]*"
+
+
+def url_path(canonical_col):
+    """Path part of a CANONICAL http(s) URL column; '/' for a bare host
+    (the root), NULL propagates."""
+    stripped = F.regexp_replace(canonical_col, _SCHEME_HOST_PATTERN, "")
+    return F.when(
+        canonical_col.isNull(), F.lit(None).cast("string")
+    ).otherwise(F.when(stripped == "", F.lit("/")).otherwise(stripped))
+
+
+def url_path_sql(canonical_expr: str) -> str:
+    """DuckDB twin of url_path."""
+    s = f"regexp_replace({canonical_expr}, '{_SCHEME_HOST_PATTERN}', '')"
+    return (
+        f"CASE WHEN {canonical_expr} IS NULL THEN NULL "
+        f"WHEN {s} = '' THEN '/' ELSE {s} END"
+    )
+
+
 def dedup_url(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
     """Keep ONE row per canonical URL: the minimum id (deterministic
     keep-first, same contract as dedup.exact_dedup). One hash aggregate
@@ -672,4 +695,188 @@ SELECT domain, n_docs, (s // n_docs)::BIGINT AS mean_milli_q,
        (n_docs >= {min_docs} AND (s // n_docs) >= {milli_threshold})
            AS site_kept
 FROM per
+"""
+
+
+# ------------------------------------------------- robots.txt gate
+
+
+def robots_verdicts(
+    urls: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    robots_col: str = "robots",
+) -> DataFrame:
+    """Crawl-politeness gate: evaluate each URL against its host's
+    robots.txt under RFC 9309 semantics for the wildcard agent —
+    group selection (rules belong to the most recent User-agent run
+    above them; only groups naming ``*`` apply, so another bot's
+    ``Disallow: /`` is ignored), LONGEST-path-match wins, Allow wins a
+    length tie, and no-match / no-robots / no-host default to allowed.
+    Comment (#) and blank lines are skipped; an empty ``Disallow:`` is
+    the spec's allow-all no-op and produces no rule. Prefix matching
+    uses the canonical fetch path (path + surviving query string).
+
+    Returns one row per input URL: (id_col, host, allowed,
+    rule_type in {'allow','disallow','(default)'}, matched_rule —
+    the winning rule's path prefix, or '(none)').
+
+    Scale (100 TB corpus, 10^7-10^9 hosts): robots payloads are
+    HOST-cardinality metadata, not corpus data — the line explode and
+    the per-host group window are bounded by the 500 KiB robots size
+    convention, never by the corpus. The verdict join is host-keyed;
+    a mega-host is a skewed probe side against a small build side,
+    exactly the AQE skew-join case; the per-URL winner window
+    partitions by doc id over only that URL's matching rules. URL
+    payloads shuffle once (by host) carrying (id, host, path).
+
+    Reference analog: the per-file skip predicates of SURVEY.md F5/F9,
+    lifted to the crawl's fetch-permission contract."""
+    w = Window.partitionBy(host_col).orderBy("_ln")
+    lines = robots.select(
+        host_col,
+        F.posexplode(F.split(F.col(robots_col), r"\r?\n")).alias("_ln", "_raw"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("_raw"), "#[\\s\\S]*", ""),
+        "^[ \\t]+|[ \\t]+\\z",
+        "",
+    )
+    parsed = lines.select(
+        host_col, "_ln", clean.alias("_clean")
+    ).select(
+        host_col, "_ln", "_clean",
+        F.lower(F.trim(F.substring_index(F.col("_clean"), ":", 1))).alias("_field"),
+        F.trim(F.expr("substring(_clean, instr(_clean, ':') + 1)")).alias("_value"),
+    )
+    is_ua = F.col("_field") == "user-agent"
+    # two passes: a window function may not nest inside another's
+    # argument (both engines), so the new-group flag (lag) and the
+    # running group id (sum) are separate projections over one shuffle
+    flagged = parsed.select(
+        host_col, "_ln", "_field", "_value",
+        (is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False)))
+        .cast("int").alias("_newg"),
+    )
+    grouped = flagged.select(
+        host_col, "_ln", "_field", "_value",
+        F.sum("_newg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_grp"),
+    )
+    star_groups = (
+        grouped.filter((F.col("_field") == "user-agent") & (F.col("_value") == "*"))
+        .select(host_col, "_grp").distinct()
+    )
+    rules = (
+        grouped.filter(
+            F.col("_field").isin("allow", "disallow") & (F.col("_value") != "")
+        )
+        .join(star_groups, [host_col, "_grp"], "left_semi")
+        .select(
+            host_col,
+            F.col("_value").alias("_prefix"),
+            F.length("_value").alias("_plen"),
+            (F.col("_field") == "allow").alias("_is_allow"),
+            F.col("_ln").alias("_rule_ln"),
+        )
+    )
+    canon = canonicalize_url(F.col(url_col))
+    keyed = urls.select(
+        F.col(id_col),
+        url_host(canon).alias(host_col),
+        url_path(canon).alias("_path"),
+    )
+    matches = keyed.join(rules, host_col, "inner").filter(
+        F.expr("substring(_path, 1, _plen) = _prefix")
+    )
+    ww = Window.partitionBy(id_col).orderBy(
+        F.col("_plen").desc(), F.col("_is_allow").desc(), F.col("_rule_ln").asc()
+    )
+    winner = (
+        matches.withColumn("_rn", F.row_number().over(ww))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "_is_allow", "_prefix")
+    )
+    return keyed.join(winner, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(host_col), F.lit("")).alias(host_col),
+        F.coalesce(F.col("_is_allow"), F.lit(True)).alias("allowed"),
+        F.when(F.col("_is_allow").isNull(), F.lit("(default)"))
+        .when(F.col("_is_allow"), F.lit("allow"))
+        .otherwise(F.lit("disallow")).alias("rule_type"),
+        F.coalesce(F.col("_prefix"), F.lit("(none)")).alias("matched_rule"),
+    )
+
+
+def robots_verdicts_sql(
+    urls_sql: str,
+    robots_sql: str,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of robots_verdicts (same line split, comment strip,
+    group window, star-group semi-join, longest/allow-wins winner
+    window; window sum cast ::BIGINT per the cross-engine rule)."""
+    canon = canonicalize_url_sql("u.url")
+    return f"""
+WITH r AS ({robots_sql}),
+u AS ({urls_sql}),
+split AS (
+  SELECT host, regexp_split_to_array(robots, '\\r?\\n') AS arr FROM r),
+idx AS (
+  SELECT host, arr, unnest(range(0, len(arr)))::BIGINT AS ln FROM split),
+lines AS (SELECT host, ln, arr[ln + 1] AS raw FROM idx),
+parsed AS (
+  SELECT host, ln,
+         regexp_replace(regexp_replace(raw, '#[\\s\\S]*', ''),
+                        '^[ \\t]+|[ \\t]+\\z', '', 'g') AS clean
+  FROM lines),
+fields AS (
+  SELECT host, ln,
+         lower(trim(split_part(clean, ':', 1))) AS field,
+         trim(CASE WHEN strpos(clean, ':') > 0
+                   THEN substr(clean, strpos(clean, ':') + 1)
+                   ELSE '' END) AS value
+  FROM parsed),
+flagged AS (
+  SELECT host, ln, field, value,
+         CASE WHEN field = 'user-agent' AND coalesce(
+                lag(field = 'user-agent') OVER (PARTITION BY host ORDER BY ln),
+                false) = false THEN 1 ELSE 0 END AS newg
+  FROM fields),
+grouped AS (
+  SELECT host, ln, field, value,
+         (sum(newg) OVER (PARTITION BY host ORDER BY ln
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS grp
+  FROM flagged),
+star_groups AS (
+  SELECT DISTINCT host, grp FROM grouped
+  WHERE field = 'user-agent' AND value = '*'),
+rules AS (
+  SELECT g.host, g.value AS prefix, length(g.value)::BIGINT AS plen,
+         g.field = 'allow' AS is_allow, g.ln AS rule_ln
+  FROM grouped g JOIN star_groups s ON g.host = s.host AND g.grp = s.grp
+  WHERE g.field IN ('allow', 'disallow') AND g.value <> ''),
+keyed AS (
+  SELECT u.{id_col},
+         {url_host_sql(canon)} AS host,
+         {url_path_sql(canon)} AS path
+  FROM u),
+matches AS (
+  SELECT k.{id_col}, ru.is_allow, ru.prefix,
+         row_number() OVER (
+           PARTITION BY k.{id_col}
+           ORDER BY ru.plen DESC, ru.is_allow DESC, ru.rule_ln ASC) AS rn
+  FROM keyed k JOIN rules ru ON k.host = ru.host
+  WHERE substr(k.path, 1, ru.plen::INT) = ru.prefix),
+winner AS (SELECT {id_col}, is_allow, prefix FROM matches WHERE rn = 1)
+SELECT k.{id_col},
+       coalesce(k.host, '') AS host,
+       coalesce(w.is_allow, true) AS allowed,
+       CASE WHEN w.is_allow IS NULL THEN '(default)'
+            WHEN w.is_allow THEN 'allow' ELSE 'disallow' END AS rule_type,
+       coalesce(w.prefix, '(none)') AS matched_rule
+FROM keyed k LEFT JOIN winner w USING ({id_col})
 """

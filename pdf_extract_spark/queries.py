@@ -4861,6 +4861,51 @@ def encoding_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.encoding_audit(docs.select("doc_id", deco.alias("text")))
 
 
+# robots.txt fixture: per host 0-5 a file with (a) another bot's group
+# whose 'Disallow: /' must be IGNORED for us, (b) the '*' group with a
+# short disallow (/p/1), a longer allow carve-out (/p/1<h>) and an
+# equal-length allow/disallow tie on /p/3<h> (allow must win); host 6
+# publishes no robots at all (default-allow), mailto rows have no host.
+_ROBOTS_FIXTURE_SQL = (
+    "SELECT 'site' || i::VARCHAR || '.example' AS host, "
+    "'# robots fixture' || chr(10) || 'User-agent: otherbot' || chr(10) || "
+    "'Disallow: /' || chr(10) || chr(10) || 'User-agent: *' || chr(10) || "
+    "'Disallow: /p/1' || chr(10) || 'Allow: /p/1' || i::VARCHAR || chr(10) || "
+    "'Disallow: /p/3' || i::VARCHAR || chr(10) || 'Allow: /p/3' || i::VARCHAR "
+    "AS robots FROM (SELECT unnest(range(0, 6)) AS i)"
+)
+
+
+def _robots_gate_oracle() -> str:
+    from pdf_extract_spark.operators import weburl
+
+    return weburl.robots_verdicts_sql(_MESSY_URL_SQL, _ROBOTS_FIXTURE_SQL)
+
+
+@query("robots_gate", _robots_gate_oracle())
+def robots_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness gate (weburl.robots_verdicts, RFC 9309): every
+    messy-fixture URL evaluated against its host's robots.txt — group
+    selection (another bot's 'Disallow: /' ignored), longest-path
+    match, allow-wins-tie, and default-allow for unmatched paths,
+    robots-less hosts and hostless rows."""
+    from pdf_extract_spark.operators import weburl
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", _messy_url().alias("url"))
+    h = F.col("id").cast("string")
+    robots = spark.range(6).select(
+        F.concat(F.lit("site"), h, F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("# robots fixture\nUser-agent: otherbot\nDisallow: /\n\n"
+                  "User-agent: *\nDisallow: /p/1\nAllow: /p/1"), h,
+            F.lit("\nDisallow: /p/3"), h,
+            F.lit("\nAllow: /p/3"), h,
+        ).alias("robots"),
+    )
+    return weburl.robots_verdicts(urls, robots)
+
+
 # ---------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate samples the FIRST 50
 # entries of queries().  Three tiers:
@@ -5067,6 +5112,10 @@ _DEMOTED_ORACLED = frozenset({
     "noindex_flags",            # web-gate family: url_blocklist, canonical_dedup in-window
     "corpus_card",              # per-lang aggregate family: temperature_sample (same groupBy-lang counts), script_profile in-window
     "dedup_media",              # media family: semantic_dedup (embedding near-dup verdict machinery) in-window; byte features pytest-mirrored every run
+    # forty-first r5 wave — yields a slot to robots_gate (never
+    # sampled; the fetch-permission contract the blocklist gate
+    # approximates):
+    "url_blocklist",            # web-gate family: robots_gate + canonical_dedup in-window; suffix-join machinery pytest-mirrored every run
 })
 
 

@@ -351,3 +351,82 @@ def test_canonical_dedup_plan_no_payload_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------- robots_verdicts
+
+def _robots_case(spark, robots_text, urls):
+    from pdf_extract_spark.operators import weburl
+
+    r = spark.createDataFrame(
+        [("h.example", robots_text)], "host string, robots string"
+    )
+    u = spark.createDataFrame(
+        [(i, f"http://h.example{p}") for i, p in enumerate(urls)],
+        "doc_id long, url string",
+    )
+    out = weburl.robots_verdicts(u, r).collect()
+    return {urls[r2["doc_id"]]: (r2["allowed"], r2["rule_type"],
+                                 r2["matched_rule"]) for r2 in out}
+
+
+def test_robots_other_agents_group_ignored(spark):
+    v = _robots_case(
+        spark,
+        "User-agent: otherbot\nDisallow: /\n\nUser-agent: *\nDisallow: /priv",
+        ["/page", "/priv/x"],
+    )
+    assert v["/page"] == (True, "(default)", "(none)")   # otherbot's / ignored
+    assert v["/priv/x"] == (False, "disallow", "/priv")
+
+
+def test_robots_longest_match_wins_and_allow_wins_tie(spark):
+    v = _robots_case(
+        spark,
+        "User-agent: *\nDisallow: /a\nAllow: /a/pub\nDisallow: /t\nAllow: /t",
+        ["/a/x", "/a/pub/y", "/t/z"],
+    )
+    assert v["/a/x"][0] is False          # short disallow
+    assert v["/a/pub/y"][0] is True       # longer allow carve-out
+    assert v["/t/z"] == (True, "allow", "/t")  # equal length: allow wins
+
+
+def test_robots_empty_disallow_comments_crlf_and_case(spark):
+    # \r\n line endings, comment + blank lines, field-name case, and the
+    # spec's empty-Disallow allow-all no-op must all parse cleanly
+    v = _robots_case(
+        spark,
+        "# hi\r\nUSER-AGENT: *\r\n\r\nDisallow:\r\ndisallow: /x # inline\r\n",
+        ["/ok", "/x/y"],
+    )
+    assert v["/ok"][0] is True
+    assert v["/x/y"][0] is False
+
+
+def test_robots_missing_robots_and_hostless_default_allow(spark):
+    from pdf_extract_spark.operators import weburl
+
+    r = spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /")],
+        "host string, robots string",
+    )
+    u = spark.createDataFrame(
+        [(0, "http://h.example/a"), (1, "http://other.example/a"),
+         (2, "mailto:x@example.org")],
+        "doc_id long, url string",
+    )
+    out = {r2["doc_id"]: r2 for r2 in weburl.robots_verdicts(u, r).collect()}
+    assert out[0]["allowed"] is False                # governed host
+    assert out[1]["allowed"] is True                 # no robots published
+    assert out[1]["rule_type"] == "(default)"
+    assert out[2]["allowed"] is True and out[2]["host"] == ""  # hostless
+
+
+def test_robots_rules_before_any_group_are_invalid(spark):
+    # RFC 9309: rules outside a user-agent group have no effect
+    v = _robots_case(
+        spark, "Disallow: /\nUser-agent: *\nDisallow: /only",
+        ["/free", "/only/x"],
+    )
+    assert v["/free"][0] is True
+    assert v["/only/x"][0] is False

@@ -117,6 +117,7 @@ HEADLINE = [
     "encoding_audit",           # mojibake/control/U+FFFD audit (map-only, zero Exchange)
     "compaction_plan",          # small-file binpack planning (per-partition cumsum window)
     "robots_gate",              # RFC 9309 fetch-permission gate (host-keyed metadata join)
+    "pmi_collocations",         # PMI phrase induction (integer-milli lift, heap top-N)
 ]
 
 

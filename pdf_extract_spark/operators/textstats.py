@@ -2724,3 +2724,112 @@ SELECT doc_id, {r} AS n_replacement, {m} AS n_mojibake, {c} AS n_ctrl,
        ({r} = 0 AND {m} = 0 AND {c} = 0) AS is_clean
 FROM {table}
 """
+
+
+# ------------------------------------------------- PMI collocations
+
+
+def pmi_collocations(
+    df: DataFrame, text_col: str = "text", top: int = 20, min_count: int = 5
+) -> DataFrame:
+    """Corpus collocation mining by pointwise mutual information: the
+    top adjacent token pairs ranked by lift ``N * c(w1,w2) /
+    (c(w1) * c(w2))`` — PMI's argument, ranked WITHOUT the log since
+    log is monotone. The classic phrase-induction signal (Mikolov et
+    al. 2013 build word2vec phrases from exactly this statistic):
+    'new york' scores high because its parts rarely appear apart;
+    'of the' scores low despite its raw frequency.
+
+    All integer arithmetic: lift is emitted as ``milli_lift`` through
+    a DECIMAL(38,0) multiply chain (n_total * c12 can pass int64 at
+    web scale) with trunc division — bit-identical across engines,
+    partitionings and reruns; ranking ties break on the pair itself.
+    ``min_count`` prunes hapax pairs BEFORE any join (PMI's known
+    pathology: a pair seen once between two hapax words scores the
+    maximum lift N).
+
+    Returns ``top`` rows: (rank, w1, w2, c12, c1, c2, milli_lift).
+
+    Scale (100 TB): the corpus-sized passes are the two count
+    aggregates (token- and pair-keyed, map-side combinable); the join
+    back to unigram counts is keyed on the word — a web-scale
+    vocabulary is never broadcast; only the single-row total is. The
+    global top-N is a TakeOrderedAndProject heap, never a full sort;
+    the rank window runs AFTER the limit over <= top rows.
+
+    Reference analog: the frequency-ranked symbol/value-count reports
+    of SURVEY.md A8/A9 lifted to corpus phrase statistics."""
+
+    def _bigrams(col: Column) -> Column:
+        t = tokens(col)
+        blen = F.greatest(F.size(t) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(t, 1, blen), F.slice(t, 2, blen),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+
+    tc = F.col(text_col)
+    uni = (
+        df.select(F.explode(tokens(tc)).alias("tok"))
+        .groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    )
+    total = uni.agg(F.sum("c").cast("long").alias("n_total"))
+    pairs = (
+        df.select(F.explode(_bigrams(tc)).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        pairs.join(u1, "w1").join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "c12", "c1", "c2",
+            F.expr(
+                "CAST(n_total AS DECIMAL(38,0)) * c12 * 1000"
+                " DIV (CAST(c1 AS DECIMAL(38,0)) * c2)"
+            ).cast("long").alias("milli_lift"),
+        )
+    )
+    order = [F.col("milli_lift").desc(), F.col("w1").asc(), F.col("w2").asc()]
+    return (
+        scored.orderBy(*order).limit(top)
+        .select(
+            F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+            "w1", "w2", "c12", "c1", "c2", "milli_lift",
+        )
+    )
+
+
+def pmi_collocations_sql(
+    table: str = "documents", text_expr: str = "text",
+    top: int = 20, min_count: int = 5,
+) -> str:
+    """DuckDB twin of pmi_collocations (lockstep shifted-slice unnest
+    bigrams; HUGEINT multiply chain == the DECIMAL(38,0) one; trunc
+    `//` == DIV on non-negatives)."""
+    toks = tokens_sql(text_expr)
+    return f"""
+WITH pm_tok AS (SELECT unnest({toks}) AS tok FROM {table}),
+pm_uni AS (SELECT tok, count(*)::BIGINT AS c FROM pm_tok GROUP BY tok),
+pm_tot AS (SELECT sum(c)::BIGINT AS n_total FROM pm_uni),
+pm_t AS (SELECT {toks} AS t FROM {table}),
+pm_big AS (
+  SELECT w1, w2, count(*)::BIGINT AS c12
+  FROM (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        FROM pm_t WHERE len(t) >= 2)
+  GROUP BY w1, w2 HAVING count(*) >= {min_count}),
+pm_s AS (
+  SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+         ((SELECT n_total FROM pm_tot)::HUGEINT * b.c12 * 1000
+          // (u1.c::HUGEINT * u2.c))::BIGINT AS milli_lift
+  FROM pm_big b
+  JOIN pm_uni u1 ON b.w1 = u1.tok
+  JOIN pm_uni u2 ON b.w2 = u2.tok),
+pm_top AS (SELECT * FROM pm_s ORDER BY milli_lift DESC, w1, w2 LIMIT {top})
+SELECT (row_number() OVER (ORDER BY milli_lift DESC, w1, w2))::BIGINT AS rank,
+       w1, w2, c12, c1, c2, milli_lift
+FROM pm_top
+"""

@@ -4906,6 +4906,29 @@ def robots_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weburl.robots_verdicts(urls, robots)
 
 
+# Planted collocation for the PMI fixture: 'golden gate' appears ONLY
+# as a pair (every %6 doc), so it must dominate the lift ranking over
+# the corpus's independently-shuffled vocabulary words.
+_PMI_DECO_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN text || ' golden gate' "
+    "ELSE text END AS text FROM documents"
+)
+
+
+@query(
+    "pmi_collocations",
+    textstats.pmi_collocations_sql(table=f"({_PMI_DECO_SQL})"),
+)
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (textstats.pmi_collocations): top adjacent
+    token pairs by integer-milli PMI lift, hapax pairs pruned before
+    any join; the planted 'golden gate' pair must rank #1."""
+    docs = _t(spark, sf_dir, "documents")
+    d, t = F.col("doc_id"), F.col("text")
+    deco = F.when(d % 6 == 0, F.concat(t, F.lit(" golden gate"))).otherwise(t)
+    return textstats.pmi_collocations(docs.select("doc_id", deco.alias("text")))
+
+
 # ---------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate samples the FIRST 50
 # entries of queries().  Three tiers:
@@ -5116,6 +5139,10 @@ _DEMOTED_ORACLED = frozenset({
     # sampled; the fetch-permission contract the blocklist gate
     # approximates):
     "url_blocklist",            # web-gate family: robots_gate + canonical_dedup in-window; suffix-join machinery pytest-mirrored every run
+    # forty-second r5 wave — yields a slot to pmi_collocations (never
+    # sampled; the same corpus-phrase count machinery ranked by lift
+    # instead of raw frequency):
+    "ngram_topk",               # corpus-phrase family: pmi_collocations + bpe_pair_counts in-window; heap-top-N machinery pytest-mirrored every run
 })
 
 

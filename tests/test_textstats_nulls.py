@@ -349,3 +349,56 @@ def test_bpe_pair_counts_plan_heap_topk_no_python(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+# --------------------------------------------------- pmi_collocations
+
+def test_pmi_planted_pair_ranks_first_and_hapax_pruned(spark):
+    from pdf_extract_spark.operators import textstats
+
+    rows = (
+        # filler words are unique per doc, so every filler pair is a
+        # hapax and min_count prunes it
+        [(i, f"alpha beta x{i} y{i}") for i in range(10)]
+        # the exclusive pair: strong/collocation NEVER appear apart
+        + [(100 + i, "strong collocation") for i in range(5)]
+        # alpha and beta ALSO appear apart, diluting their lift below
+        # the exclusive pair's; 'hapax unicum' appears exactly once
+        + [(200, "alpha solo and beta apart hapax unicum")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.pmi_collocations(df, top=50, min_count=2).collect()
+    pairs = {(r["w1"], r["w2"]): r for r in out}
+    assert ("hapax", "unicum") not in pairs           # min_count gate
+    # 'strong collocation' only ever appears as the pair -> top lift
+    top1 = min(out, key=lambda r: r["rank"])
+    assert (top1["w1"], top1["w2"]) == ("strong", "collocation")
+    # ranks are 1..n dense and ordered by milli_lift desc
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+    lifts = [r["milli_lift"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_pmi_plan_heap_topk_vocab_not_broadcast(spark):
+    from pdf_extract_spark.operators import textstats
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.createDataFrame(
+            [(i, "one two three four five one two") for i in range(8)],
+            "doc_id long, text string",
+        )
+        out = textstats.pmi_collocations(df, top=5, min_count=2)
+        out.collect()
+        full = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    i, j = full.find("== Final Plan =="), full.find("== Initial Plan ==")
+    final = full[i:j] if 0 <= i < j else full
+    # global top-N is a heap, never a full sort of the pair space
+    assert "TakeOrderedAndProject" in final, final
+    # the ONLY broadcast is the single-row corpus total: the unigram
+    # vocabulary joins stay shuffle joins at scale
+    assert final.count("BroadcastExchange") == 1, final

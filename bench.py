@@ -118,6 +118,7 @@ HEADLINE = [
     "compaction_plan",          # small-file binpack planning (per-partition cumsum window)
     "robots_gate",              # RFC 9309 fetch-permission gate (host-keyed metadata join)
     "pmi_collocations",         # PMI phrase induction (integer-milli lift, heap top-N)
+    "skew_stats",               # key-skew diagnostic (exact Gini over count-of-counts)
 ]
 
 

@@ -2833,3 +2833,126 @@ SELECT (row_number() OVER (ORDER BY milli_lift DESC, w1, w2))::BIGINT AS rank,
        w1, w2, c12, c1, c2, milli_lift
 FROM pm_top
 """
+
+
+# --------------------------------------------------- skew diagnostics
+
+
+def skew_stats(df: DataFrame, key_col: str = "key") -> DataFrame:
+    """Key-skew diagnostic for a relation about to be grouped/joined on
+    ``key_col`` — the measurement you run BEFORE deciding whether a
+    shuffle needs salting (pipeline.py's salt, weburl.domain_cap's
+    two-phase window) or can lean on AQE's skew-join splitting. ONE
+    summary row: row/key totals, integer-milli mean keys-per-row, the
+    rank-based lower-median key size, the hottest key (ties break to
+    the smallest key string) with its share of all rows in milli, and
+    the exact Gini coefficient of the key-size distribution in milli —
+    0 = perfectly even, ~1000 = one key owns everything.
+
+    Exactness discipline: Gini is computed from the COUNT-OF-COUNTS
+    histogram with the sorted-rank identity ``G = (2*S - (n+1)*T) /
+    (n*T)``, where ``S = Σ rank_i * c_i`` over keys sorted ascending.
+    A block of ``h`` keys sharing count ``c`` after ``r0`` smaller keys
+    contributes ``c * h * (2*r0 + h + 1) / 2`` — and ``h*(2*r0+h+1)``
+    is always even, so ``2S`` is summed as an exact integer; the final
+    ratio runs through a DECIMAL(38,0)/HUGEINT chain with trunc
+    division. No floats anywhere: the number is bit-identical across
+    engines, partitionings and reruns.
+
+    Scale (100 TB): the only corpus-sized pass is the key-count
+    aggregate — exactly the shuffle being diagnosed, with map-side
+    combine. Everything downstream operates on the count-of-counts
+    HISTOGRAM, bounded by the number of DISTINCT key sizes (heavily
+    collapsed under skew — the regime this tool exists for); its
+    windows run over that bounded relation (the token_budget
+    histogram-decomposition discipline), and the single-row totals
+    broadcast back for the median and hot-key probes."""
+    counts = df.groupBy(key_col).agg(F.count("*").cast("long").alias("c"))
+    hist = counts.groupBy("c").agg(F.count("*").cast("long").alias("h"))
+    w = Window.orderBy("c")
+    ranked = hist.select(
+        "c", "h",
+        F.coalesce(
+            F.sum("h").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("r0"),
+        F.sum("h").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("cum"),
+    )
+    stats = ranked.agg(
+        F.sum("h").cast("long").alias("n_keys"),
+        F.expr("CAST(sum(c * h) AS BIGINT)").alias("n_rows"),
+        F.max("c").cast("long").alias("max_count"),
+        F.sum(
+            F.expr("CAST(c AS DECIMAL(38,0)) * h * (2 * r0 + h + 1)")
+        ).alias("_s2"),
+    )
+    median = (
+        ranked.crossJoin(F.broadcast(stats.select("n_keys")))
+        .filter(F.expr("cum >= (n_keys + 1) DIV 2"))
+        .agg(F.min("c").cast("long").alias("p50_count"))
+    )
+    hot = (
+        counts.crossJoin(F.broadcast(stats.select("max_count")))
+        .filter(F.col("c") == F.col("max_count"))
+        .agg(F.min(key_col).cast("string").alias("hot_key"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(median))
+        .crossJoin(F.broadcast(hot))
+        .select(
+            "n_rows", "n_keys",
+            F.expr("CAST(n_rows AS DECIMAL(38,0)) * 1000 DIV n_keys")
+            .cast("long").alias("mean_milli"),
+            "p50_count", "max_count", "hot_key",
+            F.expr("CAST(max_count AS DECIMAL(38,0)) * 1000 DIV n_rows")
+            .cast("long").alias("top1_share_milli"),
+            F.when(
+                (F.col("n_keys") > 1) & (F.col("n_rows") > 0),
+                F.expr(
+                    "CAST((_s2 - (CAST(n_keys AS DECIMAL(38,0)) + 1) * n_rows)"
+                    " * 1000 DIV (CAST(n_keys AS DECIMAL(38,0)) * n_rows)"
+                    " AS BIGINT)"
+                ),
+            ).alias("milli_gini"),
+        )
+    )
+
+
+def skew_stats_sql(keys_sql: str, key_col: str = "key") -> str:
+    """DuckDB twin of skew_stats (same histogram, same rank identity;
+    HUGEINT == the DECIMAL(38,0) chain; // == DIV on non-negatives;
+    lower-median rank (n+1)//2 mirrored)."""
+    return f"""
+WITH sk_in AS ({keys_sql}),
+sk_cnt AS (SELECT {key_col} AS k, count(*)::BIGINT AS c
+           FROM sk_in GROUP BY 1),
+sk_h AS (SELECT c, count(*)::BIGINT AS h FROM sk_cnt GROUP BY c),
+sk_r AS (
+  SELECT c, h,
+         coalesce(sum(h) OVER (ORDER BY c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS r0,
+         (sum(h) OVER (ORDER BY c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+  FROM sk_h),
+sk_st AS (
+  SELECT sum(h)::BIGINT AS n_keys, sum(c * h)::BIGINT AS n_rows,
+         max(c)::BIGINT AS max_count,
+         sum(c::HUGEINT * h * (2 * r0 + h + 1))::HUGEINT AS s2
+  FROM sk_r),
+sk_med AS (
+  SELECT min(c)::BIGINT AS p50_count
+  FROM sk_r, sk_st WHERE cum >= (n_keys + 1) // 2),
+sk_hot AS (
+  SELECT min(k)::VARCHAR AS hot_key
+  FROM sk_cnt, sk_st WHERE c = max_count)
+SELECT n_rows, n_keys,
+       (n_rows::HUGEINT * 1000 // n_keys)::BIGINT AS mean_milli,
+       p50_count, max_count, hot_key,
+       (max_count::HUGEINT * 1000 // n_rows)::BIGINT AS top1_share_milli,
+       (CASE WHEN n_keys > 1 AND n_rows > 0
+             THEN (s2 - (n_keys::HUGEINT + 1) * n_rows) * 1000
+                  // (n_keys::HUGEINT * n_rows) END)::BIGINT AS milli_gini
+FROM sk_st, sk_med, sk_hot
+"""

@@ -783,6 +783,11 @@ def robots_verdicts(
             F.col("_ln").alias("_rule_ln"),
         )
     )
+    # NOTE on the 3 s sf0.1 suite reading: overhead-dominated at toy
+    # scale (multiple short-key shuffle stages at 32 partitions over
+    # 5 k rows — the url_dedup_hosts pattern documented in BENCH.md);
+    # an isolated A/B of materializing the canonical URL in its own
+    # projection measured no difference (2.6-3.5 s both shapes).
     canon = canonicalize_url(F.col(url_col))
     keyed = urls.select(
         F.col(id_col),

@@ -4929,6 +4929,28 @@ def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pmi_collocations(docs.select("doc_id", deco.alias("text")))
 
 
+# Planted 25%-hot key over 97 cold keys: the shape salting exists for.
+_SKEW_KEYS_SQL = (
+    "SELECT CASE WHEN doc_id % 4 = 0 THEN 'hot' "
+    "ELSE 'k' || (doc_id % 97)::VARCHAR END AS key FROM documents"
+)
+
+
+@query("skew_stats", textstats.skew_stats_sql(_SKEW_KEYS_SQL))
+def skew_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (textstats.skew_stats): exact integer-milli
+    Gini + hottest-key share over the count-of-counts histogram — the
+    measurement run before choosing salting vs AQE skew-join for a
+    keyed shuffle; the planted hot key must surface with ~250 milli
+    share."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    key = F.when(d % 4 == 0, F.lit("hot")).otherwise(
+        F.concat(F.lit("k"), (d % 97).cast("string"))
+    )
+    return textstats.skew_stats(docs.select(key.alias("key")))
+
+
 # ---------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate samples the FIRST 50
 # entries of queries().  Three tiers:
@@ -5143,6 +5165,11 @@ _DEMOTED_ORACLED = frozenset({
     # sampled; the same corpus-phrase count machinery ranked by lift
     # instead of raw frequency):
     "ngram_topk",               # corpus-phrase family: pmi_collocations + bpe_pair_counts in-window; heap-top-N machinery pytest-mirrored every run
+    # forty-third r5 wave — yields a slot to skew_stats (never
+    # sampled; the GENERALIZED key-size-distribution diagnostic of
+    # which the component-size report is the cluster-label special
+    # case):
+    "component_stats",          # size-histogram family: skew_stats in-window; the components closure itself stays in-window via cluster_keepbest, split_assign_clustered and both curate pipelines' recursive-CTE oracles
 })
 
 

@@ -402,3 +402,42 @@ def test_pmi_plan_heap_topk_vocab_not_broadcast(spark):
     # the ONLY broadcast is the single-row corpus total: the unigram
     # vocabulary joins stay shuffle joins at scale
     assert final.count("BroadcastExchange") == 1, final
+
+
+# -------------------------------------------------------- skew_stats
+
+def test_skew_stats_extremes_and_hand_check(spark):
+    from pdf_extract_spark.operators import textstats
+
+    # perfectly even: 4 keys x 3 rows -> gini 0, top share = 1/4
+    even = spark.createDataFrame(
+        [(f"k{i % 4}",) for i in range(12)], "key string"
+    )
+    (r,) = textstats.skew_stats(even).collect()
+    assert (r["n_rows"], r["n_keys"], r["milli_gini"]) == (12, 4, 0)
+    assert r["top1_share_milli"] == 250 and r["p50_count"] == 3
+
+    # maximal skew: one key owns 99 of 100 rows
+    skew = spark.createDataFrame(
+        [("big",)] * 99 + [("small",)], "key string"
+    )
+    (r,) = textstats.skew_stats(skew).collect()
+    assert r["hot_key"] == "big" and r["top1_share_milli"] == 990
+    # G for sizes [1, 99]: (2*(1*1 + 2*99) - 3*100) / (2*100) = 0.49
+    assert r["milli_gini"] == 490
+
+    # single key: gini undefined -> NULL, not a division error
+    one = spark.createDataFrame([("k",)] * 5, "key string")
+    (r,) = textstats.skew_stats(one).collect()
+    assert r["milli_gini"] is None and r["max_count"] == 5
+
+    # hand-check an uneven distribution against the naive O(n^2) sum
+    import itertools
+
+    sizes = [1, 1, 2, 3, 5, 8, 13]
+    rows = [(f"k{i}",) for i, s in enumerate(sizes) for _ in range(s)]
+    df = spark.createDataFrame(rows, "key string")
+    (r,) = textstats.skew_stats(df).collect()
+    n, t = len(sizes), sum(sizes)
+    naive = sum(abs(a - b) for a, b in itertools.product(sizes, sizes))
+    assert r["milli_gini"] == naive * 1000 // (2 * n * t)

@@ -119,6 +119,7 @@ HEADLINE = [
     "robots_gate",              # RFC 9309 fetch-permission gate (host-keyed metadata join)
     "pmi_collocations",         # PMI phrase induction (integer-milli lift, heap top-N)
     "skew_stats",               # key-skew diagnostic (exact Gini over count-of-counts)
+    "robots_directives",        # crawl-delay/sitemap extraction (shared robots parse)
 ]
 
 

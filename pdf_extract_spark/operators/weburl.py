@@ -701,6 +701,96 @@ FROM per
 # ------------------------------------------------- robots.txt gate
 
 
+def _robots_grouped(
+    robots: DataFrame, host_col: str = "host", robots_col: str = "robots"
+) -> DataFrame:
+    """Shared robots.txt line parse: (host, _ln, _field, _value, _grp)
+    — lines split on \\r?\\n, comments (#) stripped, fields lowercased,
+    values trimmed, and the RFC 9309 group id assigned via the
+    most-recent-User-agent-run rule. Two window passes over ONE host
+    shuffle: a window function may not nest inside another's argument
+    (both engines), so the new-group flag (lag) and the running group
+    id (sum) are separate projections. Used by robots_verdicts and
+    robots_directives; SQL twin: ROBOTS_GROUPED_CTES."""
+    w = Window.partitionBy(host_col).orderBy("_ln")
+    lines = robots.select(
+        host_col,
+        F.posexplode(F.split(F.col(robots_col), r"\r?\n")).alias("_ln", "_raw"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("_raw"), "#[\\s\\S]*", ""),
+        "^[ \\t]+|[ \\t]+\\z",
+        "",
+    )
+    parsed = lines.select(
+        host_col, "_ln", clean.alias("_clean")
+    ).select(
+        host_col, "_ln", "_clean",
+        F.lower(F.trim(F.substring_index(F.col("_clean"), ":", 1))).alias("_field"),
+        F.trim(F.expr("substring(_clean, instr(_clean, ':') + 1)")).alias("_value"),
+    )
+    is_ua = F.col("_field") == "user-agent"
+    flagged = parsed.select(
+        host_col, "_ln", "_field", "_value",
+        (is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False)))
+        .cast("int").alias("_newg"),
+    )
+    return flagged.select(
+        host_col, "_ln", "_field", "_value",
+        F.sum("_newg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_grp"),
+    )
+
+
+def _robots_star_groups(grouped: DataFrame, host_col: str = "host") -> DataFrame:
+    """(host, _grp) pairs whose group names the wildcard agent."""
+    return (
+        grouped.filter(
+            (F.col("_field") == "user-agent") & (F.col("_value") == "*")
+        )
+        .select(host_col, "_grp").distinct()
+    )
+
+
+def robots_grouped_ctes(robots_sql: str) -> str:
+    """DuckDB twin of _robots_grouped: the CTE chain text from the raw
+    robots relation through `grouped` (host, ln, field, value, grp).
+    Compose as ``WITH {robots_grouped_ctes(...)}, <more CTEs> ...``."""
+    return f"""r AS ({robots_sql}),
+split AS (
+  SELECT host, regexp_split_to_array(robots, '\\r?\\n') AS arr FROM r),
+idx AS (
+  SELECT host, arr, unnest(range(0, len(arr)))::BIGINT AS ln FROM split),
+lines AS (SELECT host, ln, arr[ln + 1] AS raw FROM idx),
+parsed AS (
+  SELECT host, ln,
+         regexp_replace(regexp_replace(raw, '#[\\s\\S]*', ''),
+                        '^[ \\t]+|[ \\t]+\\z', '', 'g') AS clean
+  FROM lines),
+fields AS (
+  SELECT host, ln,
+         lower(trim(split_part(clean, ':', 1))) AS field,
+         trim(CASE WHEN strpos(clean, ':') > 0
+                   THEN substr(clean, strpos(clean, ':') + 1)
+                   ELSE '' END) AS value
+  FROM parsed),
+flagged AS (
+  SELECT host, ln, field, value,
+         CASE WHEN field = 'user-agent' AND coalesce(
+                lag(field = 'user-agent') OVER (PARTITION BY host ORDER BY ln),
+                false) = false THEN 1 ELSE 0 END AS newg
+  FROM fields),
+grouped AS (
+  SELECT host, ln, field, value,
+         (sum(newg) OVER (PARTITION BY host ORDER BY ln
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS grp
+  FROM flagged),
+star_groups AS (
+  SELECT DISTINCT host, grp FROM grouped
+  WHERE field = 'user-agent' AND value = '*')"""
+
+
 def robots_verdicts(
     urls: DataFrame,
     robots: DataFrame,
@@ -734,42 +824,8 @@ def robots_verdicts(
 
     Reference analog: the per-file skip predicates of SURVEY.md F5/F9,
     lifted to the crawl's fetch-permission contract."""
-    w = Window.partitionBy(host_col).orderBy("_ln")
-    lines = robots.select(
-        host_col,
-        F.posexplode(F.split(F.col(robots_col), r"\r?\n")).alias("_ln", "_raw"),
-    )
-    clean = F.regexp_replace(
-        F.regexp_replace(F.col("_raw"), "#[\\s\\S]*", ""),
-        "^[ \\t]+|[ \\t]+\\z",
-        "",
-    )
-    parsed = lines.select(
-        host_col, "_ln", clean.alias("_clean")
-    ).select(
-        host_col, "_ln", "_clean",
-        F.lower(F.trim(F.substring_index(F.col("_clean"), ":", 1))).alias("_field"),
-        F.trim(F.expr("substring(_clean, instr(_clean, ':') + 1)")).alias("_value"),
-    )
-    is_ua = F.col("_field") == "user-agent"
-    # two passes: a window function may not nest inside another's
-    # argument (both engines), so the new-group flag (lag) and the
-    # running group id (sum) are separate projections over one shuffle
-    flagged = parsed.select(
-        host_col, "_ln", "_field", "_value",
-        (is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False)))
-        .cast("int").alias("_newg"),
-    )
-    grouped = flagged.select(
-        host_col, "_ln", "_field", "_value",
-        F.sum("_newg").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("_grp"),
-    )
-    star_groups = (
-        grouped.filter((F.col("_field") == "user-agent") & (F.col("_value") == "*"))
-        .select(host_col, "_grp").distinct()
-    )
+    grouped = _robots_grouped(robots, host_col, robots_col)
+    star_groups = _robots_star_groups(grouped, host_col)
     rules = (
         grouped.filter(
             F.col("_field").isin("allow", "disallow") & (F.col("_value") != "")
@@ -826,39 +882,8 @@ def robots_verdicts_sql(
     window; window sum cast ::BIGINT per the cross-engine rule)."""
     canon = canonicalize_url_sql("u.url")
     return f"""
-WITH r AS ({robots_sql}),
+WITH {robots_grouped_ctes(robots_sql)},
 u AS ({urls_sql}),
-split AS (
-  SELECT host, regexp_split_to_array(robots, '\\r?\\n') AS arr FROM r),
-idx AS (
-  SELECT host, arr, unnest(range(0, len(arr)))::BIGINT AS ln FROM split),
-lines AS (SELECT host, ln, arr[ln + 1] AS raw FROM idx),
-parsed AS (
-  SELECT host, ln,
-         regexp_replace(regexp_replace(raw, '#[\\s\\S]*', ''),
-                        '^[ \\t]+|[ \\t]+\\z', '', 'g') AS clean
-  FROM lines),
-fields AS (
-  SELECT host, ln,
-         lower(trim(split_part(clean, ':', 1))) AS field,
-         trim(CASE WHEN strpos(clean, ':') > 0
-                   THEN substr(clean, strpos(clean, ':') + 1)
-                   ELSE '' END) AS value
-  FROM parsed),
-flagged AS (
-  SELECT host, ln, field, value,
-         CASE WHEN field = 'user-agent' AND coalesce(
-                lag(field = 'user-agent') OVER (PARTITION BY host ORDER BY ln),
-                false) = false THEN 1 ELSE 0 END AS newg
-  FROM fields),
-grouped AS (
-  SELECT host, ln, field, value,
-         (sum(newg) OVER (PARTITION BY host ORDER BY ln
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS grp
-  FROM flagged),
-star_groups AS (
-  SELECT DISTINCT host, grp FROM grouped
-  WHERE field = 'user-agent' AND value = '*'),
 rules AS (
   SELECT g.host, g.value AS prefix, length(g.value)::BIGINT AS plen,
          g.field = 'allow' AS is_allow, g.ln AS rule_ln
@@ -884,4 +909,92 @@ SELECT k.{id_col},
             WHEN w.is_allow THEN 'allow' ELSE 'disallow' END AS rule_type,
        coalesce(w.prefix, '(none)') AS matched_rule
 FROM keyed k LEFT JOIN winner w USING ({id_col})
+"""
+
+
+def robots_directives(
+    robots: DataFrame, host_col: str = "host", robots_col: str = "robots"
+) -> DataFrame:
+    """Per-host crawl-control directives — the scheduling half of the
+    robots contract (robots_verdicts is the permission half): the
+    wildcard group's Crawl-delay (min if repeated, seconds -> milli
+    via DECIMAL(18,3), non-numeric values -> NULL through try_cast),
+    the group census, whether a wildcard group exists at all, and the
+    per-spec GLOBAL Sitemap lines (count + lexicographically first).
+    A crawl scheduler joins this against its frontier to rate-limit
+    per host and to seed discovery from sitemaps.
+
+    Returns one row per input robots row: (host, n_groups,
+    has_star_group, crawl_delay_milli, n_sitemaps, first_sitemap).
+
+    Scale: same discipline as robots_verdicts — everything is
+    host-cardinality metadata; four host-keyed aggregates over the
+    shared parse, left-joined back onto the host spine."""
+    grouped = _robots_grouped(robots, host_col, robots_col)
+    star = _robots_star_groups(grouped, host_col)
+    delays = (
+        grouped.filter(F.col("_field") == "crawl-delay")
+        .join(star, [host_col, "_grp"], "left_semi")
+        .groupBy(host_col)
+        .agg(F.min(F.expr("try_cast(_value AS DECIMAL(18,3))")).alias("_d"))
+    )
+    sitemaps = (
+        grouped.filter((F.col("_field") == "sitemap") & (F.col("_value") != ""))
+        .groupBy(host_col)
+        .agg(
+            F.count("*").cast("long").alias("n_sitemaps"),
+            F.min("_value").alias("first_sitemap"),
+        )
+    )
+    ngroups = (
+        grouped.filter(F.col("_field") == "user-agent")
+        .select(host_col, "_grp").distinct()
+        .groupBy(host_col)
+        .agg(F.count("*").cast("long").alias("n_groups"))
+    )
+    star_hosts = star.select(host_col).distinct().withColumn("_has", F.lit(True))
+    return (
+        robots.select(host_col)
+        .join(ngroups, host_col, "left")
+        .join(star_hosts, host_col, "left")
+        .join(delays, host_col, "left")
+        .join(sitemaps, host_col, "left")
+        .select(
+            host_col,
+            F.coalesce("n_groups", F.lit(0)).cast("long").alias("n_groups"),
+            F.coalesce("_has", F.lit(False)).alias("has_star_group"),
+            (F.col("_d") * 1000).cast("long").alias("crawl_delay_milli"),
+            F.coalesce("n_sitemaps", F.lit(0)).cast("long").alias("n_sitemaps"),
+            F.coalesce("first_sitemap", F.lit("(none)")).alias("first_sitemap"),
+        )
+    )
+
+
+def robots_directives_sql(robots_sql: str) -> str:
+    """DuckDB twin of robots_directives (shared robots_grouped_ctes;
+    TRY_CAST mirrors try_cast; DECIMAL(18,3) * 1000 -> BIGINT exact)."""
+    return f"""
+WITH {robots_grouped_ctes(robots_sql)},
+rd_delay AS (
+  SELECT g.host, min(TRY_CAST(g.value AS DECIMAL(18,3))) AS d
+  FROM grouped g JOIN star_groups s ON g.host = s.host AND g.grp = s.grp
+  WHERE g.field = 'crawl-delay' GROUP BY 1),
+rd_sm AS (
+  SELECT host, count(*)::BIGINT AS n_sitemaps, min(value) AS first_sitemap
+  FROM grouped WHERE field = 'sitemap' AND value <> '' GROUP BY 1),
+rd_ng AS (
+  SELECT host, count(DISTINCT grp)::BIGINT AS n_groups
+  FROM grouped WHERE field = 'user-agent' GROUP BY 1),
+rd_sh AS (SELECT DISTINCT host FROM star_groups)
+SELECT r.host AS host,
+       coalesce(rd_ng.n_groups, 0)::BIGINT AS n_groups,
+       (rd_sh.host IS NOT NULL) AS has_star_group,
+       CAST(rd_delay.d * 1000 AS BIGINT) AS crawl_delay_milli,
+       coalesce(rd_sm.n_sitemaps, 0)::BIGINT AS n_sitemaps,
+       coalesce(rd_sm.first_sitemap, '(none)') AS first_sitemap
+FROM r
+LEFT JOIN rd_ng ON r.host = rd_ng.host
+LEFT JOIN rd_sh ON r.host = rd_sh.host
+LEFT JOIN rd_delay ON r.host = rd_delay.host
+LEFT JOIN rd_sm ON r.host = rd_sm.host
 """

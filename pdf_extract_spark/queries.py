@@ -4929,6 +4929,63 @@ def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pmi_collocations(docs.select("doc_id", deco.alias("text")))
 
 
+# Directive-rich robots fixture: even hosts publish a star-group
+# Crawl-delay of 1.5 s and a Sitemap line; host 5's delay is the
+# non-numeric 'soon' (must TRY_CAST to NULL, not error); host 1 has
+# no star group at all (only otherbot) so has_star_group is false.
+_ROBOTS_DIR_FIXTURE_SQL = (
+    "SELECT 'site' || i::VARCHAR || '.example' AS host, "
+    "CASE WHEN i = 1 THEN 'User-agent: otherbot' || chr(10) || 'Disallow: /' "
+    "WHEN i % 2 = 0 THEN 'Sitemap: https://site' || i::VARCHAR || "
+    "'.example/sitemap.xml' || chr(10) || 'User-agent: *' || chr(10) || "
+    "'Crawl-delay: 1.5' || chr(10) || 'Disallow: /p/1' "
+    "WHEN i = 5 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: soon' "
+    "ELSE 'User-agent: *' || chr(10) || 'User-agent: helper' || chr(10) || "
+    "'Disallow: /x' || chr(10) || chr(10) || 'User-agent: other' || chr(10) || "
+    "'Disallow: /' END AS robots "
+    "FROM (SELECT unnest(range(0, 6)) AS i)"
+)
+
+
+def _robots_directives_oracle() -> str:
+    from pdf_extract_spark.operators import weburl
+
+    return weburl.robots_directives_sql(_ROBOTS_DIR_FIXTURE_SQL)
+
+
+@query("robots_directives", _robots_directives_oracle())
+def robots_directives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-scheduling directives (weburl.robots_directives): per-host
+    wildcard-group Crawl-delay in milli (TRY_CAST: 'soon' -> NULL),
+    group census, star-group presence and global Sitemap lines — the
+    rate-limit/discovery half of the robots contract."""
+    from pdf_extract_spark.operators import weburl
+
+    h = F.col("id")
+    hs = h.cast("string")
+    robots_text = (
+        F.when(h == 1, F.lit("User-agent: otherbot\nDisallow: /"))
+        .when(
+            h % 2 == 0,
+            F.concat(
+                F.lit("Sitemap: https://site"), hs,
+                F.lit(".example/sitemap.xml\nUser-agent: *\n"
+                      "Crawl-delay: 1.5\nDisallow: /p/1"),
+            ),
+        )
+        .when(h == 5, F.lit("User-agent: *\nCrawl-delay: soon"))
+        .otherwise(
+            F.lit("User-agent: *\nUser-agent: helper\nDisallow: /x\n\n"
+                  "User-agent: other\nDisallow: /")
+        )
+    )
+    robots = spark.range(6).select(
+        F.concat(F.lit("site"), hs, F.lit(".example")).alias("host"),
+        robots_text.alias("robots"),
+    )
+    return weburl.robots_directives(robots)
+
+
 # Planted 25%-hot key over 97 cold keys: the shape salting exists for.
 _SKEW_KEYS_SQL = (
     "SELECT CASE WHEN doc_id % 4 = 0 THEN 'hot' "
@@ -5170,6 +5227,10 @@ _DEMOTED_ORACLED = frozenset({
     # which the component-size report is the cluster-label special
     # case):
     "component_stats",          # size-histogram family: skew_stats in-window; the components closure itself stays in-window via cluster_keepbest, split_assign_clustered and both curate pipelines' recursive-CTE oracles
+    # forty-fourth r5 wave — yields a slot to robots_directives (never
+    # sampled; the scheduling half of the robots contract whose
+    # permission half, robots_gate, is in-window on the same parse):
+    "anchor_terms",             # web-metadata family: robots_gate + robots_directives + canonical_dedup in-window; the anchor harvest stays pytest-mirrored every run
 })
 
 

@@ -430,3 +430,30 @@ def test_robots_rules_before_any_group_are_invalid(spark):
     )
     assert v["/free"][0] is True
     assert v["/only/x"][0] is False
+
+
+def test_robots_directives_semantics(spark):
+    from pdf_extract_spark.operators import weburl
+
+    rows = [
+        # two delays in the star group: min wins; sitemap global
+        ("a.example",
+         "Sitemap: https://a.example/s2.xml\nUser-agent: *\n"
+         "Crawl-delay: 2\nCrawl-delay: 0.5\n\n"
+         "User-agent: bot\nCrawl-delay: 9\n"
+         "Sitemap: https://a.example/s1.xml"),
+        # delay only in ANOTHER bot's group: ours is NULL
+        ("b.example", "User-agent: bot\nCrawl-delay: 7"),
+        # non-numeric delay -> NULL, never an ANSI cast error
+        ("c.example", "User-agent: *\nCrawl-delay: soon"),
+    ]
+    r = spark.createDataFrame(rows, "host string, robots string")
+    out = {x["host"]: x for x in weburl.robots_directives(r).collect()}
+    a = out["a.example"]
+    assert a["crawl_delay_milli"] == 500          # min of 2000/500
+    assert a["has_star_group"] is True and a["n_groups"] == 2
+    assert a["n_sitemaps"] == 2                   # sitemap lines are GLOBAL
+    assert a["first_sitemap"] == "https://a.example/s1.xml"  # lexicographic
+    b = out["b.example"]
+    assert b["crawl_delay_milli"] is None and b["has_star_group"] is False
+    assert out["c.example"]["crawl_delay_milli"] is None

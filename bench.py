@@ -120,6 +120,7 @@ HEADLINE = [
     "pmi_collocations",         # PMI phrase induction (integer-milli lift, heap top-N)
     "skew_stats",               # key-skew diagnostic (exact Gini over count-of-counts)
     "robots_directives",        # crawl-delay/sitemap extraction (shared robots parse)
+    "lang_segments",            # mixed-language doc segmentation (per-doc windows only)
 ]
 
 

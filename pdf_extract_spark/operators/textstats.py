@@ -2956,3 +2956,119 @@ SELECT n_rows, n_keys,
                   // (n_keys::HUGEINT * n_rows) END)::BIGINT AS milli_gini
 FROM sk_st, sk_med, sk_hot
 """
+
+
+# --------------------------------------------- language segmentation
+
+
+def lang_segments(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mixed-language document segmentation: split each document into
+    lines, language-ID each line with the shared marker heuristic
+    (argmax of LANG_MARKERS hits, ties and zero-hit lines resolving to
+    language-code order — the exact lang_id contract), then merge
+    CONSECUTIVE same-language lines into segments. The pipeline step
+    that lets a curation run keep the English half of a mixed page
+    instead of dropping (or keeping) the whole document on its
+    majority language.
+
+    Returns one row per segment: (doc_id, seg_no, seg_lang, n_lines,
+    n_tokens), seg_no numbered from 0 in reading order.
+
+    Scale (100 TB): the line explode is bounded by document size; the
+    per-line scores are map-only JVM array ops; the run merge is the
+    robots-parse discipline — TWO window passes (lag flag, then the
+    running segment id; a window may not nest inside another's
+    argument) over ONE hashpartitioning(doc_id) Exchange, followed by
+    a per-(doc, segment) aggregate that rides the same partitioning.
+    Nothing corpus-wide: every window partitions by doc_id.
+
+    Reference analog: W4 run-length merge + F4 language detection
+    (SURVEY.md), composed per line instead of per filename."""
+    w = Window.partitionBy("doc_id").orderBy("_ln")
+    lines = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("_ln", "_line"),
+    )
+    toks = tokens(F.col("_line"))
+    langs = sorted(LANG_MARKERS)
+
+    def _hits(ws: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda x: x.isin(*ws)))
+
+    scores = [_hits(LANG_MARKERS[lang]).alias(f"_s_{lang}") for lang in langs]
+    scored = lines.select(
+        "doc_id", "_ln", F.size(toks).cast("long").alias("_ntok"), *scores
+    )
+    best = F.greatest(*[F.col(f"_s_{l}") for l in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"_s_{l}") == best, F.lit(l)) for l in langs]
+    )
+    tagged = scored.select(
+        "doc_id", "_ln", "_ntok", pred.alias("_lang")
+    )
+    flagged = tagged.select(
+        "doc_id", "_ln", "_ntok", "_lang",
+        F.when(
+            F.lag("_lang").over(w).eqNullSafe(F.col("_lang")), F.lit(0)
+        ).otherwise(F.lit(1)).alias("_newseg"),
+    )
+    segged = flagged.select(
+        "doc_id", "_ntok", "_lang",
+        (F.sum("_newseg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ) - 1).cast("long").alias("seg_no"),
+    )
+    return (
+        segged.groupBy("doc_id", "seg_no")
+        .agg(
+            F.min("_lang").alias("seg_lang"),  # constant within a segment
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("_ntok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def lang_segments_sql(table: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB twin of lang_segments (shared marker tuples via
+    LANG_MARKERS so both sides rebuild from ONE table; same split /
+    per-line argmax / two-window run merge; window sum ::BIGINT)."""
+    langs = sorted(LANG_MARKERS)
+
+    def _hits(lang: str) -> str:
+        ws = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        return f"len(list_filter(toks, x -> x IN ({ws})))"
+
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    score_cols = ",\n         ".join(f"{_hits(l)} AS s_{l}" for l in langs)
+    toks = tokens_sql("line")
+    return f"""
+WITH ls_split AS (
+  SELECT doc_id, regexp_split_to_array({text_expr}, '\\r?\\n') AS arr
+  FROM {table}),
+ls_idx AS (
+  SELECT doc_id, arr, unnest(range(0, len(arr)))::BIGINT AS ln FROM ls_split),
+ls_lines AS (SELECT doc_id, ln, arr[ln + 1] AS line FROM ls_idx),
+ls_tok AS (SELECT doc_id, ln, {toks} AS toks FROM ls_lines),
+ls_scored AS (
+  SELECT doc_id, ln, len(toks)::BIGINT AS ntok,
+         {score_cols}
+  FROM ls_tok),
+ls_tagged AS (SELECT doc_id, ln, ntok, {pred} AS lang FROM ls_scored),
+ls_flagged AS (
+  SELECT doc_id, ln, ntok, lang,
+         CASE WHEN lag(lang) OVER (PARTITION BY doc_id ORDER BY ln)
+                   IS NOT DISTINCT FROM lang THEN 0 ELSE 1 END AS newseg
+  FROM ls_tagged),
+ls_segged AS (
+  SELECT doc_id, ntok, lang,
+         ((sum(newseg) OVER (PARTITION BY doc_id ORDER BY ln
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - 1)::BIGINT
+             AS seg_no
+  FROM ls_flagged)
+SELECT doc_id, seg_no, min(lang) AS seg_lang,
+       count(*)::BIGINT AS n_lines, sum(ntok)::BIGINT AS n_tokens
+FROM ls_segged GROUP BY doc_id, seg_no
+"""

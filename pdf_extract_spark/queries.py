@@ -4986,6 +4986,39 @@ def robots_directives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weburl.robots_directives(robots)
 
 
+# Multi-line mixed-language fixture: every doc gets its own (English-
+# marked) text as line 0, a German or French marker line as line 1,
+# and a German or English line as line 2 — so %15 docs carry two
+# CONSECUTIVE German lines that must merge into one segment.
+_LANG_SEG_DOCS_SQL = (
+    "SELECT doc_id, text || chr(10) || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'der und ist die das' "
+    "ELSE 'le et est la les' END || chr(10) || "
+    "CASE WHEN doc_id % 5 = 0 THEN 'der die das und ist' "
+    "ELSE 'the of and to a' END AS text FROM documents"
+)
+
+
+@query(
+    "lang_segments",
+    textstats.lang_segments_sql(table=f"({_LANG_SEG_DOCS_SQL})"),
+)
+def lang_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language segmentation (textstats.lang_segments): per-line
+    marker language-ID + run-length merge into segments — keep the
+    English half of a mixed page instead of judging the whole doc."""
+    docs = _t(spark, sf_dir, "documents")
+    d, t = F.col("doc_id"), F.col("text")
+    l1 = F.when(d % 3 == 0, F.lit("der und ist die das")).otherwise(
+        F.lit("le et est la les")
+    )
+    l2 = F.when(d % 5 == 0, F.lit("der die das und ist")).otherwise(
+        F.lit("the of and to a")
+    )
+    deco = F.concat(t, F.lit("\n"), l1, F.lit("\n"), l2)
+    return textstats.lang_segments(docs.select("doc_id", deco.alias("text")))
+
+
 # Planted 25%-hot key over 97 cold keys: the shape salting exists for.
 _SKEW_KEYS_SQL = (
     "SELECT CASE WHEN doc_id % 4 = 0 THEN 'hot' "
@@ -5231,6 +5264,10 @@ _DEMOTED_ORACLED = frozenset({
     # sampled; the scheduling half of the robots contract whose
     # permission half, robots_gate, is in-window on the same parse):
     "anchor_terms",             # web-metadata family: robots_gate + robots_directives + canonical_dedup in-window; the anchor harvest stays pytest-mirrored every run
+    # forty-fifth r5 wave — yields a slot to lang_segments (never
+    # sampled; per-line language composition via the same marker
+    # machinery):
+    "filter_kappa",             # signal-agreement family: rank_correlation (Spearman between quality signals) in-window; the five-counter kappa fold stays pytest-mirrored every run
 })
 
 

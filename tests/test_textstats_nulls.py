@@ -441,3 +441,44 @@ def test_skew_stats_extremes_and_hand_check(spark):
     n, t = len(sizes), sum(sizes)
     naive = sum(abs(a - b) for a, b in itertools.product(sizes, sizes))
     assert r["milli_gini"] == naive * 1000 // (2 * n * t)
+
+
+# ------------------------------------------------------ lang_segments
+
+def test_lang_segments_runs_merge_and_plan(spark):
+    from pdf_extract_spark.operators import textstats
+
+    rows = [
+        # en, en, de, de, fr -> three segments with merged runs
+        (1, "the cat of the house\nand a dog of note\n"
+            "der hund ist und das\ndie katze und der ist\nle chat et la"),
+        # single line -> one segment
+        (2, "the of and"),
+        # empty text -> one empty line: zero tokens, zero-hit tie ->
+        # first language code (the documented lang_id tie contract)
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.lang_segments(df).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["seg_no"])):
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["seg_lang"], r["n_lines"], r["n_tokens"]))
+    assert by_doc[1] == [("en", 2, 10), ("de", 2, 10), ("fr", 1, 4)]
+    assert by_doc[2] == [("en", 1, 3)]
+    assert by_doc[3] == [("de", 1, 0)]
+    # seg_no is dense from 0 per doc
+    for segs in by_doc.values():
+        assert len(segs) >= 1
+
+    # every window partitions by doc_id: no corpus-wide (empty
+    # partition-spec) window anywhere in the plan
+    plan = (
+        textstats.lang_segments(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        frag = plan[m.start():m.start() + 400]
+        assert "doc_id" in frag.split("windowspecdefinition")[1][:120], frag

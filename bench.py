@@ -121,6 +121,7 @@ HEADLINE = [
     "skew_stats",               # key-skew diagnostic (exact Gini over count-of-counts)
     "robots_directives",        # crawl-delay/sitemap extraction (shared robots parse)
     "lang_segments",            # mixed-language doc segmentation (per-doc windows only)
+    "frontier_schedule",        # composed crawl leg: gate + delay + per-host slots
 ]
 
 
@@ -574,7 +575,40 @@ def write_bench_md(result: dict) -> None:
         "shuffle_shards, the deterministic training-order shuffle —",
         "portable-hash shard + rank + exact cumulative offsets, ONE",
         "data shuffle with the shard-size aggregate riding it as a",
-        "ReusedExchange, warm 0.4 s).",
+        "ReusedExchange, warm 0.4 s), then 81 (added: bloom_ingest,",
+        "the incremental-ingest Bloom prefilter — the bounded bit set",
+        "broadcasts, history is never broadcast and only the",
+        "bloom-positive subset pays the confirm SortMergeJoin;",
+        "site_quality, the RefinedWeb per-host gate — one map-side-",
+        "combinable (sum, count) aggregate, no salting needed because",
+        "a mean is associative; encoding_audit, the mojibake/control/",
+        "U+FFFD triage — map-only, zero Exchange; and compaction_plan,",
+        "Iceberg-style binpack planning over the metadata-sized file",
+        "manifest — per-partition cumsum window, never a global sort),",
+        "then 82 (added: robots_gate, the RFC 9309 fetch-permission",
+        "gate — robots files are host-cardinality metadata, every",
+        "window is per-host or per-URL, the verdict join is",
+        "host-keyed), then 83 (added: pmi_collocations, word2vec-style",
+        "phrase induction by integer-milli PMI lift — two map-",
+        "combinable count aggregates, word-keyed unigram joins, heap",
+        "top-N), then 84 (added: skew_stats, the pre-salting key-skew",
+        "diagnostic — exact milli Gini over the bounded count-of-counts",
+        "histogram; the only corpus-sized pass is the key-count",
+        "aggregate being diagnosed), then 85 (added: robots_directives,",
+        "the crawl-delay/sitemap scheduling half of the robots contract",
+        "on the same shared parse), then 86 (added: lang_segments,",
+        "mixed-language doc segmentation — per-line marker language-ID",
+        "plus run-length merge, every window partitioned by doc_id over",
+        "one Exchange), then 87 (added: frontier_schedule, the composed",
+        "crawl leg — permission gate + crawl-delay directives + per-host",
+        "serialized fetch slots; the slot window carries only",
+        "(host, id)). The final 86-query suite run measured the first",
+        "nine r5-final adds cheap at sf0.1: bloom_ingest 0.89 s,",
+        "site_quality 0.94 s, encoding_audit 0.29 s, compaction_plan",
+        "0.37 s, robots_gate 3.8 s (overhead-dominated at toy scale —",
+        "isolated warm reps 2.6-3.5 s, the url_dedup_hosts pattern),",
+        "pmi_collocations 1.35 s, skew_stats 0.90 s, robots_directives",
+        "1.04 s, lang_segments 1.26 s.",
         "Total suite wall time GROWS by",
         "construction each round; per-query timings are the comparable unit.",
         "The r4 additions cost ~9 s of suite wall at sf0.1 (html_extract 5.7 s",
@@ -669,9 +703,11 @@ def write_bench_md(result: dict) -> None:
         "  unchanged flagship); the rerun two minutes later on the",
         "  settled machine read 0.981 with all legs back at historical",
         "  values. The pinned pair must run on a settled machine — the",
-        "  number recorded above is the settled rerun, and the",
         "  contaminated reading is retained here rather than silently",
-        "  discarded.",
+        "  discarded. The table above is the most recent settled run on",
+        "  the shipped code (the r5-final settled readings were 0.95,",
+        "  0.972 and 0.981 — all well inside the band and above the 0.8",
+        "  criterion).",
         "",
         "## Iceberg commit overhead — not measurable in this sandbox",
         "",

@@ -998,3 +998,81 @@ LEFT JOIN rd_sh ON r.host = rd_sh.host
 LEFT JOIN rd_delay ON r.host = rd_delay.host
 LEFT JOIN rd_sm ON r.host = rd_sm.host
 """
+
+
+DEFAULT_CRAWL_DELAY_MILLI = 1000
+
+
+def frontier_schedule(
+    urls: DataFrame,
+    robots: DataFrame,
+    default_delay_milli: int = DEFAULT_CRAWL_DELAY_MILLI,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The crawl-frontier scheduler that composes the whole robots leg:
+    gate the frontier through robots_verdicts (disallowed URLs never
+    schedule), attach each host's Crawl-delay from robots_directives
+    (falling back to ``default_delay_milli`` when a host publishes no
+    delay — including hostless rows, which serialize in their own ''
+    lane), then serialize fetches per host: slot = position in
+    deterministic id order, eta_milli = slot * delay. The output IS
+    the politeness contract as data — fetch row k of a host no
+    earlier than eta_milli after the host's first fetch.
+
+    Returns (id_col, host, slot, delay_milli, eta_milli), one row per
+    ALLOWED frontier URL.
+
+    Scale (10^9-URL frontiers): the slot window is per-host and
+    carries ONLY (host, id) — the domain_cap discipline; a mega-host
+    is a genuinely serial fetch lane, so its single window partition
+    is the honest cost of politeness, not a plan defect (the
+    scheduler emits it as one long lane either way). Everything else
+    is the host-keyed metadata of the two robots operators."""
+    verdicts = robots_verdicts(urls, robots, url_col=url_col, id_col=id_col)
+    allowed = verdicts.filter(F.col("allowed")).select(id_col, "host")
+    delays = robots_directives(robots).select(
+        "host", F.col("crawl_delay_milli").alias("_delay"),
+    )
+    w = Window.partitionBy("host").orderBy(id_col)
+    return (
+        allowed.join(delays, "host", "left")
+        .select(
+            id_col, "host",
+            (F.row_number().over(w) - 1).cast("long").alias("slot"),
+            F.coalesce("_delay", F.lit(default_delay_milli))
+            .cast("long").alias("delay_milli"),
+        )
+        .select(
+            id_col, "host", "slot", "delay_milli",
+            (F.col("slot") * F.col("delay_milli")).cast("long")
+            .alias("eta_milli"),
+        )
+    )
+
+
+def frontier_schedule_sql(
+    urls_sql: str,
+    robots_sql: str,
+    default_delay_milli: int = DEFAULT_CRAWL_DELAY_MILLI,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of frontier_schedule (nested-WITH composition of the
+    two robots twins; same per-host slot window and id order)."""
+    v = robots_verdicts_sql(urls_sql, robots_sql, id_col=id_col)
+    d = robots_directives_sql(robots_sql)
+    return f"""
+WITH fs_v AS ({v}),
+fs_d AS ({d}),
+fs_a AS (SELECT {id_col}, host FROM fs_v WHERE allowed),
+fs_j AS (
+  SELECT a.{id_col}, a.host,
+         (row_number() OVER (PARTITION BY a.host ORDER BY a.{id_col})
+          - 1)::BIGINT AS slot,
+         coalesce(d.crawl_delay_milli, {default_delay_milli})::BIGINT
+             AS delay_milli
+  FROM fs_a a LEFT JOIN fs_d d ON a.host = d.host)
+SELECT {id_col}, host, slot, delay_milli,
+       (slot * delay_milli)::BIGINT AS eta_milli
+FROM fs_j
+"""

@@ -4947,20 +4947,9 @@ _ROBOTS_DIR_FIXTURE_SQL = (
 )
 
 
-def _robots_directives_oracle() -> str:
-    from pdf_extract_spark.operators import weburl
-
-    return weburl.robots_directives_sql(_ROBOTS_DIR_FIXTURE_SQL)
-
-
-@query("robots_directives", _robots_directives_oracle())
-def robots_directives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl-scheduling directives (weburl.robots_directives): per-host
-    wildcard-group Crawl-delay in milli (TRY_CAST: 'soon' -> NULL),
-    group census, star-group presence and global Sitemap lines — the
-    rate-limit/discovery half of the robots contract."""
-    from pdf_extract_spark.operators import weburl
-
+def _robots_dir_fixture(spark: SparkSession) -> DataFrame:
+    """Spark twin of _ROBOTS_DIR_FIXTURE_SQL (shared by the directives
+    and frontier queries)."""
     h = F.col("id")
     hs = h.cast("string")
     robots_text = (
@@ -4979,11 +4968,50 @@ def robots_directives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "User-agent: other\nDisallow: /")
         )
     )
-    robots = spark.range(6).select(
+    return spark.range(6).select(
         F.concat(F.lit("site"), hs, F.lit(".example")).alias("host"),
         robots_text.alias("robots"),
     )
+
+
+def _robots_directives_oracle() -> str:
+    from pdf_extract_spark.operators import weburl
+
+    return weburl.robots_directives_sql(_ROBOTS_DIR_FIXTURE_SQL)
+
+
+@query("robots_directives", _robots_directives_oracle())
+def robots_directives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-scheduling directives (weburl.robots_directives): per-host
+    wildcard-group Crawl-delay in milli (TRY_CAST: 'soon' -> NULL),
+    group census, star-group presence and global Sitemap lines — the
+    rate-limit/discovery half of the robots contract."""
+    from pdf_extract_spark.operators import weburl
+
+    robots = _robots_dir_fixture(spark)
     return weburl.robots_directives(robots)
+
+
+def _frontier_schedule_oracle() -> str:
+    from pdf_extract_spark.operators import weburl
+
+    return weburl.frontier_schedule_sql(
+        _MESSY_URL_SQL, _ROBOTS_DIR_FIXTURE_SQL
+    )
+
+
+@query("frontier_schedule", _frontier_schedule_oracle())
+def frontier_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier scheduling (weburl.frontier_schedule): the whole
+    robots leg composed — permission gate, per-host Crawl-delay (the
+    directive-rich fixture: even hosts 1500 ms, others the 1000 ms
+    default), and per-host serialized fetch slots with eta_milli."""
+    from pdf_extract_spark.operators import weburl
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", _messy_url().alias("url"))
+    robots = _robots_dir_fixture(spark)
+    return weburl.frontier_schedule(urls, robots)
 
 
 # Multi-line mixed-language fixture: every doc gets its own (English-
@@ -5268,6 +5296,10 @@ _DEMOTED_ORACLED = frozenset({
     # sampled; per-line language composition via the same marker
     # machinery):
     "filter_kappa",             # signal-agreement family: rank_correlation (Spearman between quality signals) in-window; the five-counter kappa fold stays pytest-mirrored every run
+    # forty-sixth r5 wave — yields a slot to frontier_schedule (never
+    # sampled; the composed crawl leg: permission gate + crawl-delay
+    # directives + per-host serialized slots):
+    "host_pagerank",            # link-graph family: the crawl-frontier chain (robots_gate, robots_directives, frontier_schedule) + canonical_dedup in-window; the fixed-point iteration keeps its per-run pytest mirror
 })
 
 

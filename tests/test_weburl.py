@@ -457,3 +457,31 @@ def test_robots_directives_semantics(spark):
     b = out["b.example"]
     assert b["crawl_delay_milli"] is None and b["has_star_group"] is False
     assert out["c.example"]["crawl_delay_milli"] is None
+
+
+def test_frontier_schedule_composes_gate_and_delay(spark):
+    from pdf_extract_spark.operators import weburl
+
+    r = spark.createDataFrame(
+        [("slow.example", "User-agent: *\nCrawl-delay: 2\nDisallow: /x"),
+         ("fast.example", "User-agent: *\nDisallow:")],
+        "host string, robots string",
+    )
+    u = spark.createDataFrame(
+        [(1, "http://slow.example/a"), (2, "http://slow.example/b"),
+         (3, "http://slow.example/x/blocked"),
+         (4, "http://fast.example/a"), (5, "http://nothing.example/a"),
+         (6, "mailto:z@example.org")],
+        "doc_id long, url string",
+    )
+    out = {x["doc_id"]: x for x in weburl.frontier_schedule(u, r).collect()}
+    assert 3 not in out                      # disallowed: never scheduled
+    # slow host serializes at its declared 2000 ms
+    assert (out[1]["slot"], out[1]["eta_milli"]) == (0, 0)
+    assert (out[2]["slot"], out[2]["eta_milli"]) == (1, 2000)
+    assert out[2]["delay_milli"] == 2000
+    # no declared delay (or no robots at all) -> the default lane
+    assert out[4]["delay_milli"] == 1000 and out[4]["slot"] == 0
+    assert out[5]["delay_milli"] == 1000
+    # hostless rows serialize in their own '' lane
+    assert out[6]["host"] == "" and out[6]["slot"] == 0

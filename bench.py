@@ -122,6 +122,7 @@ HEADLINE = [
     "robots_directives",        # crawl-delay/sitemap extraction (shared robots parse)
     "lang_segments",            # mixed-language doc segmentation (per-doc windows only)
     "frontier_schedule",        # composed crawl leg: gate + delay + per-host slots
+    "skew_top_keys",            # hot-key listing for targeted salting (heap top-N)
 ]
 
 
@@ -602,7 +603,9 @@ def write_bench_md(result: dict) -> None:
         "one Exchange), then 87 (added: frontier_schedule, the composed",
         "crawl leg — permission gate + crawl-delay directives + per-host",
         "serialized fetch slots; the slot window carries only",
-        "(host, id)). The final 86-query suite run measured the first",
+        "(host, id)), then 88 (added: skew_top_keys, the actionable",
+        "hot-key listing beside skew_stats — same one key-count",
+        "aggregate, heap top-N). The final 86-query suite run measured the first",
         "nine r5-final adds cheap at sf0.1: bloom_ingest 0.89 s,",
         "site_quality 0.94 s, encoding_audit 0.29 s, compaction_plan",
         "0.37 s, robots_gate 3.8 s (overhead-dominated at toy scale —",

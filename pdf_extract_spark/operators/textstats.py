@@ -3072,3 +3072,47 @@ SELECT doc_id, seg_no, min(lang) AS seg_lang,
        count(*)::BIGINT AS n_lines, sum(ntok)::BIGINT AS n_tokens
 FROM ls_segged GROUP BY doc_id, seg_no
 """
+
+
+def skew_top_keys(df: DataFrame, key_col: str = "key", top: int = 10) -> DataFrame:
+    """The actionable companion of skew_stats: WHICH keys are hot. The
+    top-N heaviest keys by row count with their milli share of all
+    rows — the list a pipeline feeds into targeted salting (salt only
+    the listed keys, leave the long tail alone) or into an AQE
+    skew-join expectation check. Ties break on the key string.
+
+    Scale: the same single key-count aggregate as skew_stats; the
+    global top-N is a TakeOrderedAndProject heap (never a full sort of
+    the key space) with the rank window AFTER the limit over <= top
+    rows; the single-row total broadcasts."""
+    counts = df.groupBy(key_col).agg(F.count("*").cast("long").alias("c"))
+    total = counts.agg(F.sum("c").cast("long").alias("n_rows"))
+    order = [F.col("c").desc(), F.col(key_col).asc()]
+    return (
+        counts.orderBy(*order).limit(top)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+            F.col(key_col).cast("string").alias("key"),
+            "c",
+            F.expr("CAST(c AS DECIMAL(38,0)) * 1000 DIV n_rows")
+            .cast("long").alias("share_milli"),
+        )
+    )
+
+
+def skew_top_keys_sql(keys_sql: str, key_col: str = "key", top: int = 10) -> str:
+    """DuckDB twin of skew_top_keys (same order, HUGEINT == the
+    DECIMAL(38,0) chain, rank after the limit)."""
+    return f"""
+WITH st_in AS ({keys_sql}),
+st_cnt AS (SELECT {key_col} AS k, count(*)::BIGINT AS c
+           FROM st_in GROUP BY 1),
+st_tot AS (SELECT sum(c)::BIGINT AS n_rows FROM st_cnt),
+st_top AS (SELECT k, c FROM st_cnt ORDER BY c DESC, k LIMIT {top})
+SELECT (row_number() OVER (ORDER BY c DESC, k))::BIGINT AS rank,
+       k::VARCHAR AS key, c,
+       (c::HUGEINT * 1000 // (SELECT n_rows FROM st_tot))::BIGINT
+           AS share_milli
+FROM st_top
+"""

@@ -5054,6 +5054,19 @@ _SKEW_KEYS_SQL = (
 )
 
 
+@query("skew_top_keys", textstats.skew_top_keys_sql(_SKEW_KEYS_SQL, top=5))
+def skew_top_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key listing (textstats.skew_top_keys): the top-5 heaviest
+    keys with milli shares — the list targeted salting consumes; the
+    planted 'hot' key must rank #1 at ~250 milli."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    key = F.when(d % 4 == 0, F.lit("hot")).otherwise(
+        F.concat(F.lit("k"), (d % 97).cast("string"))
+    )
+    return textstats.skew_top_keys(docs.select(key.alias("key")), top=5)
+
+
 @query("skew_stats", textstats.skew_stats_sql(_SKEW_KEYS_SQL))
 def skew_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic (textstats.skew_stats): exact integer-milli
@@ -5300,6 +5313,10 @@ _DEMOTED_ORACLED = frozenset({
     # sampled; the composed crawl leg: permission gate + crawl-delay
     # directives + per-host serialized slots):
     "host_pagerank",            # link-graph family: the crawl-frontier chain (robots_gate, robots_directives, frontier_schedule) + canonical_dedup in-window; the fixed-point iteration keeps its per-run pytest mirror
+    # forty-seventh r5 wave — yields a slot to skew_top_keys (never
+    # sampled; the actionable hot-key listing beside the in-window
+    # skew_stats summary):
+    "zorder_lookup",            # point-lookup family: sentence_lookup (single-column sorted+bloom layout) in-window; the Morton-interleave pruning evidence keeps its per-run pytest plan pins (tests/test_zorder.py)
 })
 
 

@@ -482,3 +482,17 @@ def test_lang_segments_runs_merge_and_plan(spark):
     for m in re.finditer(r"Window \[", plan):
         frag = plan[m.start():m.start() + 400]
         assert "doc_id" in frag.split("windowspecdefinition")[1][:120], frag
+
+
+def test_skew_top_keys_ranking_and_plan(spark):
+    from pdf_extract_spark.operators import textstats
+
+    rows = ([("big",)] * 6 + [("mid",)] * 3 + [("a",)] * 1 + [("b",)] * 1)
+    df = spark.createDataFrame(rows, "key string")
+    out = sorted(textstats.skew_top_keys(df, top=3).collect(),
+                 key=lambda r: r["rank"])
+    assert [(r["key"], r["c"], r["share_milli"]) for r in out] == [
+        ("big", 6, 545), ("mid", 3, 272), ("a", 1, 90)]  # tie a<b, top=3
+    plan = (textstats.skew_top_keys(df, top=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan, plan  # heap, never a full sort
